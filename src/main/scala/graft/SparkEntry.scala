@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.TxGen
+import graft.operators.{FraudQueries, FraudRules}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator module's oracle-testable surface;
+  * `oracleSql` carries the DuckDB twin for each (same column names, same
+  * rounding — the driver hash-compares by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query: the reference's end-to-end pipeline — synthesize the
+    * labeled transaction stream (producer semantics), score it with the
+    * three fraud rules, keep the FRAUD stream (fraud_detection.py:193).
+    * Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    FraudRules
+      .scoreTransactions(TxGen.dataset(spark, 5000).toDF())
+      .filter(col("status") === "FRAUD")
+      .select("event_id", "card_id", "amount", "location", "ip_address",
+        "score", "status", "severity", "timestamp", "event_type", "reasons")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    FraudQueries.queries
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    FraudQueries.oracleSql
 }

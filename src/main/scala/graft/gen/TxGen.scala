@@ -1,0 +1,136 @@
+package graft.gen
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.{FraudConstants, GenDims, Transaction}
+
+/** Deterministic synthetic transaction generator.
+  *
+  * Replicates the semantics of producer/transaction-kafka-producer.py:52-100:
+  * uniform customer choice then uniform card within customer, fraud-type mix
+  * 80/8/6/6, per-card monotonic event time (+1..5 s; IMPOSSIBLE_TRAVEL forces
+  * +90 s and a different location), type-shaped amounts (NORMAL 20-300,
+  * CARD_TESTING 1-5, VELOCITY 80-200), ISO-8601 `Z` second-precision
+  * timestamps, random IPv4 with octets 1-245, and the ground-truth label in
+  * `event_type`.
+  *
+  * Unlike the reference (which anchors on wall-clock `datetime.now`,
+  * producer:40), we anchor each card's first event at a fixed base instant so
+  * runs are fully reproducible — the reference's own `random.seed(42)`
+  * (producer:12) shows determinism was intended.
+  */
+object TxGen {
+
+  val BaseInstant: Instant = Instant.parse("2024-01-01T00:00:00Z")
+  private val IsoFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(ZoneOffset.UTC)
+
+  /** Sequential, exactly-ordered generation (driver-side). Good up to a few
+    * million rows; use [[distributed]] for the scale path.
+    */
+  def generate(n: Int, seed: Long = 42L): Seq[Transaction] = {
+    val rnd = new Random(seed)
+    val lastActivity = mutable.Map[String, (String, Instant)]() // card -> (loc, time)
+    (0 until n).map(_ => next(rnd, lastActivity))
+  }
+
+  /** One transaction, mutating per-card last-activity (the generator's only
+    * state, producer:95-98).
+    */
+  private def next(
+      rnd: Random,
+      lastActivity: mutable.Map[String, (String, Instant)]
+  ): Transaction = {
+    val (customer, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
+    val cardId = cards(rnd.nextInt(cards.size))
+    val fraudType = weightedChoice(rnd, GenDims.FraudTypeWeights)
+
+    var time = lastActivity.get(cardId) match {
+      case Some((_, t)) => t.plusSeconds(1L + rnd.nextInt(5))
+      case None         => BaseInstant
+    }
+    var location = FraudConstants.Locations(rnd.nextInt(FraudConstants.Locations.size))
+    var amount = round2(20 + rnd.nextDouble() * 280)
+    val (category, merchants) =
+      GenDims.MerchantCategories(rnd.nextInt(GenDims.MerchantCategories.size))
+    val merchant = merchants(rnd.nextInt(merchants.size))
+
+    fraudType match {
+      case "CARD_TESTING" => amount = round2(1 + rnd.nextDouble() * 4)
+      case "VELOCITY"     => amount = round2(80 + rnd.nextDouble() * 120)
+      case "IMPOSSIBLE_TRAVEL" =>
+        lastActivity.get(cardId).foreach { case (prevLoc, prevTime) =>
+          val others = FraudConstants.Locations.filter(_ != prevLoc)
+          location = others(rnd.nextInt(others.size))
+          time = prevTime.plusSeconds(90)
+        }
+      case _ => ()
+    }
+
+    val tx = Transaction(
+      schema_version = "1.0",
+      event_id = s"evt-${time.toEpochMilli}-${hex6(rnd)}",
+      transaction_id = new UUID(rnd.nextLong(), rnd.nextLong()).toString,
+      customer_id = customer,
+      card_id = cardId,
+      merchant_id = merchant.replace(" ", "_").toLowerCase,
+      merchant_category = category,
+      amount = amount,
+      currency = "USD",
+      location = location,
+      ip_address = Seq.fill(4)(1 + rnd.nextInt(245)).mkString("."),
+      event_type = fraudType,
+      timestamp = IsoFmt.format(time)
+    )
+    lastActivity(cardId) = (location, time)
+    tx
+  }
+
+  def dataset(spark: SparkSession, n: Int, seed: Long = 42L): Dataset[Transaction] = {
+    import spark.implicits._
+    spark.createDataset(generate(n, seed))
+  }
+
+  /** Scale-path generator: each card's monotonic event stream is generated
+    * independently in its own task (per-card state never crosses partitions),
+    * so generation parallelizes across the 8 cards — and across any number of
+    * cards if the dim table grows. Event-time ordering per card is preserved;
+    * the global interleaving (which the rules never depend on — all scoring
+    * is per-card) differs from [[generate]].
+    */
+  def distributed(spark: SparkSession, perCard: Int, seed: Long = 42L): Dataset[Transaction] = {
+    import spark.implicits._
+    val cards = GenDims.CardToCustomer.keys.toSeq.sorted
+    spark
+      .createDataset(cards)
+      .repartition(cards.size)
+      .flatMap { cardId =>
+        val rnd = new Random(seed ^ cardId.hashCode.toLong)
+        val lastActivity = mutable.Map[String, (String, Instant)]()
+        val customer = GenDims.CardToCustomer(cardId)
+        Iterator.range(0, perCard).map { _ =>
+          val tx = next(rnd, lastActivity)
+          tx.copy(card_id = cardId, customer_id = customer)
+        }
+      }
+  }
+
+  private def weightedChoice(rnd: Random, weighted: Seq[(String, Int)]): String = {
+    val total = weighted.map(_._2).sum
+    var r = rnd.nextInt(total)
+    weighted
+      .collectFirst { case (v, w) if { r -= w; r < 0 } => v }
+      .getOrElse(weighted.last._1)
+  }
+
+  private def round2(d: Double): Double = math.rint(d * 100) / 100
+
+  private def hex6(rnd: Random): String = f"${rnd.nextInt(0x1000000)}%06x"
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate: run
+graft.Verify output against DuckDB oracles and diff. Dev tooling only —
+the Scala library has no python/duckdb dependency.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = pq.read_table(f"{out_dir}/{name}").to_pandas()
+        except Exception as ex:
+            print(f"FAIL {name}: no spark result ({ex})")
+            failures += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle sql error: {str(ex)[:200]}")
+            failures += 1
+            continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            failures += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            failures += 1
+            continue
+        gs = got.sort_values(by=list(got.columns), ignore_index=True)
+        es = exp.sort_values(by=list(exp.columns), ignore_index=True)
+        mismatch = []
+        for c in got.columns:
+            gv, ev = gs[c], es[c]
+            if str(gv.dtype) != str(ev.dtype):
+                mismatch.append(f"{c}: dtype {gv.dtype} != {ev.dtype}")
+            try:
+                eq = (gv == ev) | (gv.isna() & ev.isna())
+            except Exception:
+                eq = gv.astype(str) == ev.astype(str)
+            if not eq.all():
+                bad = (~eq).idxmax()
+                mismatch.append(f"{c}: {int((~eq).sum())} diffs, e.g. row {bad}: {gv[bad]!r} != {ev[bad]!r}")
+        if mismatch:
+            print(f"FAIL {name}: " + "; ".join(mismatch[:4]))
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
