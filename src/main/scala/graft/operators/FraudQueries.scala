@@ -21,7 +21,7 @@ object FraudQueries {
   def eventsAsTx(spark: SparkSession, sfDir: String): DataFrame =
     Tables
       .eventsNormalized(spark, sfDir)
-      .withColumn("event_millis", unix_millis(col("ts")))
+      .withColumn("event_millis", col("ts_ms"))
       .withColumn("amount", col("value"))
       .withColumn(
         "location",

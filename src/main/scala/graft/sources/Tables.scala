@@ -19,8 +19,12 @@ object Tables {
   def eventsNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // ts_ms = epoch millis (long); ts = TIMESTAMP_NTZ micros, matching how
+    // Spark reads the other tables' naive timestamps (and how DuckDB casts
+    // ns → TIMESTAMP). Session TZ is pinned UTC so LTZ→NTZ is identity.
     apply(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
