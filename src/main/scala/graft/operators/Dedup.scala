@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the LLM-data-pipeline surface (north_star): exact dedup, MinHash
+  * signatures + banded LSH candidate pairs, SimHash fingerprints +
+  * hamming pairs, exact n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Portability backbone: every hash is `int(md5(x)[:8 hex])` — identical in
+  * Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,8))::BIGINT`) — so even the MinHash/LSH output
+  * is bit-for-bit oracle-checkable. Everything is built-in higher-order
+  * functions (transform/aggregate/zip_with), fully codegen-friendly, no
+  * UDFs.
+  *
+  * Scale notes: exact all-pairs Jaccard (dedup_ngram_jaccard,
+  * dedup_simhash_pairs, dedup_embedding_topk) are the CORRECTNESS baselines;
+  * the 100 TB paths are the banded-LSH joins (dedup_minhash_pairs here,
+  * Similarity.ann_lsh for vectors) whose candidate sets shuffle on
+  * (band_id, band_key) — output ∝ true-duplicate density, not n².
+  */
+object Dedup {
+
+  /** documents → (doc_id, ws: words, sh: distinct 3-word shingles). */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn(
+        "sh",
+        expr("array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
+      )
+
+  /** 16-element MinHash signature over shingles. Seeded family:
+    * h_i(s) = int(md5(i || ':' || s)[:8]).
+    */
+  private val minhashSigExpr =
+    """transform(sequence(0, 15), i ->
+      |  array_min(transform(sh, s ->
+      |    cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 8), 16, 10) as bigint))))""".stripMargin
+
+  /** 48-bit SimHash over word tokens (occurrence-weighted); 48 bits keeps
+    * `1 << b` inside BIGINT in both engines.
+    */
+  private def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", expr("cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("b"))
+      .withColumn("contrib", expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "b")
+      .agg(sum("contrib").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END")).as("simhash"))
+
+  private def embPairs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+    val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"))
+    val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("dot", expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"))
+      .withColumn("n1", expr("aggregate(e1, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+      .withColumn("n2", expr("aggregate(e2, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+      .withColumn("cosine", round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 4))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => {
+      val byHash = Window.partitionBy(col("text_hash"))
+      Tables.documents(s, d)
+        .withColumn("text_hash", md5(col("text")))
+        .withColumn("dup_count", count(lit(1)).over(byHash))
+        .withColumn("is_canonical", col("doc_id") === min("doc_id").over(byHash))
+        .select("doc_id", "text_hash", "dup_count", "is_canonical")
+    }),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = withShingles(Tables.documents(s, d)).select("doc_id", "sh")
+      val a = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 4))
+        .filter(col("jaccard") > 0.1)
+        .select("d1", "d2", "jaccard")
+    }),
+    "dedup_minhash_sig" -> ((s, d) => {
+      withShingles(Tables.documents(s, d))
+        .withColumn("sig", expr(minhashSigExpr))
+        .select(col("doc_id"),
+          expr("concat_ws(',', transform(sig, x -> cast(x as string)))").as("minhash_sig"))
+    }),
+    "dedup_minhash_pairs" -> ((s, d) => {
+      // banded LSH: 4 bands × 4 rows; candidates shuffle on (band, key),
+      // then exact-Jaccard confirm at ≥ 0.8.
+      val sigs = withShingles(Tables.documents(s, d))
+        .withColumn("sig", expr(minhashSigExpr))
+        .select("doc_id", "sh", "sig")
+      val bands = sigs.select(
+        col("doc_id"), col("sh"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b as band_id,
+            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
+        )).as("band"))
+        .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_key"))
+      val a = bands.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("band_id"), col("band_key"))
+      val b = bands.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("band_id"), col("band_key"))
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2", "sh1", "sh2")
+        .distinct()
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 4))
+        .filter(col("jaccard") >= 0.8)
+        .select("d1", "d2", "jaccard")
+    }),
+    "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => {
+      val sh = simhash(Tables.documents(s, d))
+      val a = sh.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+      val b = sh.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+      a.join(b, col("d1") < col("d2"))
+        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
+        .filter(col("hamming") <= 6)
+        .select("d1", "d2", "hamming")
+    }),
+    "dedup_embedding_topk" -> ((s, d) => {
+      embPairs(s, d)
+        .orderBy(col("cosine").desc, col("id1"), col("id2"))
+        .select("id1", "id2", "cosine")
+        .limit(30)
+    })
+  )
+
+  private val shingleCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM t),
+      |shg AS (SELECT doc_id, list_distinct(list(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh
+      |        FROM idx GROUP BY doc_id)""".stripMargin
+
+  private val sigCte =
+    """sig AS (SELECT doc_id, sh, list_transform(range(0, 16), i ->
+      |  list_min(list_transform(sh, s -> ('0x' || substr(md5(i || ':' || s), 1, 8))::BIGINT))) sig
+      |FROM shg)""".stripMargin
+
+  private val simhashCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+      |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT h FROM tok),
+      |tb AS (SELECT doc_id, h, unnest(range(0, 48)) b FROM th),
+      |bs AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+      |       FROM tb GROUP BY doc_id, b),
+      |sh48 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT simhash
+      |         FROM bs GROUP BY doc_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id d1, b.doc_id d2,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) jaccard
+         |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) > 0.1""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $shingleCte, $sigCte
+         |SELECT doc_id, array_to_string(sig, ',') AS minhash_sig FROM sig""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $shingleCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, sh, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+         |  FROM sig, unnest(range(0, 4)) t(b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.sh sh1, b.sh sh2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2,
+         |  round(len(list_intersect(sh1, sh2))::DOUBLE / len(list_distinct(sh1 || sh2)), 4) jaccard
+         |FROM cand
+         |WHERE round(len(list_intersect(sh1, sh2))::DOUBLE / len(list_distinct(sh1 || sh2)), 4) >= 0.8""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh48""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id d1, b.doc_id d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming
+         |FROM sh48 a JOIN sh48 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "dedup_embedding_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings),
+        |p AS (SELECT a.vec_id id1, b.vec_id id2,
+        |        round(list_cosine_similarity(a.emb, b.emb), 4) cosine
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cosine FROM p
+        |ORDER BY cosine DESC, id1, id2 LIMIT 30""".stripMargin
+  )
+}
