@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors, FIXTURES.md §B).
+  *
+  * Two paths, same output shape (query_id, rank, vec_id, cosine):
+  *
+  *  - `ann_bruteforce_topk` — exact top-k: the (small, fixed) query set is
+  *    broadcast against the corpus scan; cosine in double precision via
+  *    zip_with/aggregate; per-query row_number. At 100 TB the corpus side
+  *    stays a single pass with no shuffle until the per-query top-k
+  *    aggregation (k rows per query).
+  *
+  *  - `ann_lsh_topk` — the scale path: 16 random-hyperplane sign bits →
+  *    4 bands × 4 bits; query and corpus vectors join on (band, 4-bit
+  *    value) so the candidate set is bucket-sized, then exact cosine
+  *    re-ranks. Hyperplane components derive from int(md5(p:i)[:8]) mapped
+  *    to [-1,1) — deterministic and identical in DuckDB, so even the
+  *    approximate result is oracle-checked. (A trained IVF/k-means coarse
+  *    quantizer is the other classic scale path; LSH is chosen here
+  *    because it is training-free and deterministic.)
+  *
+  * Queries = vectors with vec_id % 50 == 0 (10 at sf0.01, 40 at sf0.1).
+  */
+object Similarity {
+
+  /** Pseudo-random hyperplane component in [-1, 1): plane p, dim i.
+    * Self-parenthesized — it splices into larger products.
+    */
+  private def hpv(p: String, i: String): String =
+    s"((cast(conv(substring(md5(concat($p, ':', $i)), 1, 8), 16, 10) as double) / 4294967296.0) * 2 - 1)"
+
+  /** 16-bit hyperplane-sign signature of `emb` (array<double>). */
+  private val sigExpr =
+    s"""aggregate(sequence(0, 15), cast(0 as bigint), (acc, p) ->
+       |  acc + IF(aggregate(sequence(0, 63), cast(0.0 as double),
+       |             (a2, i) -> a2 + emb[i] * ${hpv("p", "i")}) > 0,
+       |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
+
+  private def withEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  private def cosineCols(df: DataFrame): DataFrame =
+    df.withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"))
+      .withColumn("nq", expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+      .withColumn("nc", expr("aggregate(ce, cast(0.0 as double), (acc, v) -> acc + v * v)"))
+      .withColumn("cosine", round(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))), 4))
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cosineCols(pairs)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cosine")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> ((s, d) => {
+      val e = withEmb(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      val c = e.select(col("vec_id"), col("emb").as("ce"))
+      topk(c.join(broadcast(q), col("query_id") =!= col("vec_id")), 5)
+    }),
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = withEmb(s, d).withColumn("sig", expr(sigExpr))
+      val banded = e.select(
+        col("vec_id"), col("emb"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b as band_id, shiftright(sig, b * 4) & 15 as band_val))")).as("bd"))
+        .select(col("vec_id"), col("emb"), col("bd.band_id"), col("bd.band_val"))
+      val q = banded.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("band_id"), col("band_val"))
+      val c = banded.select(col("vec_id"), col("emb").as("ce"), col("band_id"), col("band_val"))
+      val cands = c.join(broadcast(q), Seq("band_id", "band_val"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "qe", "vec_id", "ce")
+        .distinct()
+      topk(cands, 5)
+    }),
+    "embedding_stats" -> ((s, d) => {
+      withEmb(s, d)
+        .withColumn("norm", sqrt(expr("aggregate(emb, cast(0.0 as double), (acc, v) -> acc + v * v)")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
+          round(min("norm"), 4).as("min_norm"), round(max("norm"), 4).as("max_norm"))
+    })
+  )
+
+  private val hpvSql =
+    "((('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT / 4294967296.0) * 2 - 1"
+
+  private val embCte =
+    "e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings)"
+
+  private val sigCteSql =
+    s"""sg AS (SELECT vec_id, emb,
+       |  CAST(list_sum(list_transform(range(0, 16), p ->
+       |    CASE WHEN list_sum(list_transform(range(0, 64), i -> emb[i+1] * $hpvSql))) > 0
+       |         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) sig
+       |FROM e)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      s"""WITH $embCte,
+         |p AS (SELECT q.vec_id query_id, c.vec_id,
+         |        round(list_dot_product(q.emb, c.emb) /
+         |          (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) cosine
+         |      FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, rank, vec_id, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $embCte, $sigCteSql,
+         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 4)) & 15 band_val
+         |          FROM sg, unnest(range(0, 4)) t(b)),
+         |cand AS (SELECT DISTINCT q.vec_id query_id, q.emb qe, c.vec_id, c.emb ce
+         |         FROM bands q JOIN bands c
+         |           ON q.band_id = c.band_id AND q.band_val = c.band_val
+         |          AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |p AS (SELECT query_id, vec_id,
+         |        round(list_dot_product(qe, ce) /
+         |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
+         |      FROM cand)
+         |SELECT query_id, rank, vec_id, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
+    "embedding_stats" ->
+      s"""WITH $embCte
+         |SELECT label, count(*) n,
+         |  round(avg(sqrt(list_dot_product(emb, emb))), 4) avg_norm,
+         |  round(min(sqrt(list_dot_product(emb, emb))), 4) min_norm,
+         |  round(max(sqrt(list_dot_product(emb, emb))), 4) max_norm
+         |FROM e GROUP BY label""".stripMargin
+  )
+}
