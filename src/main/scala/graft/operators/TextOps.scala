@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.RollingHash
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (north_star):
+  * token counting (whitespace + BPE-ish regex), quality scoring,
+  * stopword-heuristic language ID, and document fingerprinting via the
+  * custom codegen'd [[graft.functions.RollingHash]] expression.
+  *
+  * All scalar column work — one pass over the scan, fully
+  * codegen-friendly, trivially 100 TB-parallel. Oracles share the exact
+  * arithmetic (rounding at output boundaries only).
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic.
+    * Priority tiebreak order: en > es > de > fr.
+    */
+  private val stops = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "une", "et", "est")
+  )
+
+  private def inList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString(", ")
+
+  private def hitExpr(vs: Seq[String]): String =
+    s"cast(size(filter(ws, w -> w IN (${inList(vs)}))) as int)"
+
+  private def hitSql(vs: Seq[String]): String =
+    s"CAST(len(list_filter(ws, w -> w IN (${inList(vs)}))) AS INT)"
+
+  /** BPE-ish tokenizer: runs of letters, runs of digits, or single
+    * non-alnum non-space symbols.
+    */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("int").as("n_ws_tokens"),
+          expr(s"cast(size(regexp_extract_all(text, '$BpePattern', 0)) as int)").as("n_bpe_tokens"),
+          length(col("text")).cast("int").as("n_chars_measured")
+        )
+    }),
+    "text_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_words", size(col("ws")).cast("int"))
+        .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("int"))
+        .withColumn("stop_hits", expr(hitExpr(stops.flatMap(_._2))))
+        .withColumn("avg_word_len",
+          round(expr("aggregate(ws, cast(0 as bigint), (a, w) -> a + length(w))") /
+            col("n_words").cast("double"), 4))
+        .withColumn("stopword_ratio", round(col("stop_hits") / col("n_words").cast("double"), 4))
+        .withColumn("distinct_ratio", round(col("n_distinct") / col("n_words").cast("double"), 4))
+        .withColumn("quality_score",
+          round(lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
+            lit(0.3) * (lit(1.0) - col("stop_hits") / col("n_words").cast("double")) +
+            lit(0.3) * (col("n_distinct") / col("n_words").cast("double")), 4))
+        .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+          "distinct_ratio", "quality_score")
+    }),
+    "text_lang_id" -> ((s, d) => {
+      val withHits = stops.foldLeft(
+        Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
+      ) { case (df, (lang, vs)) => df.withColumn(s"${lang}_hits", expr(hitExpr(vs))) }
+      withHits
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+            col("en_hits") >= col("fr_hits"), "en")
+            .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+        .withColumn("is_correct", col("pred_lang") === col("lang"))
+        .select("doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits",
+          "pred_lang", "is_correct")
+    }),
+    "text_fingerprint" -> ((s, d) => {
+      RollingHash.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"),
+          expr("rolling_hash(substring(text, 1, 64))").as("prefix_fp"))
+    }),
+    "text_stats_by_lang" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_words", size(split(col("text"), " ")).cast("int"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(avg("n_words"), 4).as("avg_words"),
+          countDistinct(col("source")).as("n_sources"))
+    })
+  )
+
+  private val wsCte = "t AS (SELECT *, string_split(text, ' ') ws FROM documents)"
+
+  private val rollSql = (c: String) =>
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(range(1, length($c) + 1), i -> ascii(substr($c, i, 1))::BIGINT)),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""WITH $wsCte
+         |SELECT doc_id, CAST(len(ws) AS INT) n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) n_bpe_tokens,
+         |  CAST(length(text) AS INT) n_chars_measured
+         |FROM t""".stripMargin,
+    "text_quality" ->
+      s"""WITH $wsCte
+         |SELECT doc_id, CAST(len(ws) AS INT) n_words,
+         |  round(list_sum(list_transform(ws, w -> length(w)::BIGINT)) / len(ws)::DOUBLE, 4) avg_word_len,
+         |  round(${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE, 4) stopword_ratio,
+         |  round(CAST(len(list_distinct(ws)) AS INT) / len(ws)::DOUBLE, 4) distinct_ratio,
+         |  round(0.4 * least(1.0, len(ws) / 100.0)
+         |    + 0.3 * (1.0 - ${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE)
+         |    + 0.3 * (len(list_distinct(ws)) / len(ws)::DOUBLE), 4) quality_score
+         |FROM t""".stripMargin,
+    "text_lang_id" -> {
+      val hitCols = stops
+        .map { case (l, vs) => s"${hitSql(vs)} AS ${l}_hits" }
+        .mkString(",\n  ")
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id, lang,
+         |  $hitCols
+         |FROM t)
+         |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END pred_lang,
+         |  (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |        WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |        WHEN de_hits >= fr_hits THEN 'de'
+         |        ELSE 'fr' END) = lang AS is_correct
+         |FROM h""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${rollSql("text")} AS fingerprint,
+         |  ${rollSql("substr(text, 1, 64)")} AS prefix_fp
+         |FROM documents""".stripMargin,
+    "text_stats_by_lang" ->
+      """SELECT lang, count(*) n_docs, round(avg(n_chars), 4) avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) avg_words,
+        |  count(DISTINCT source) n_sources
+        |FROM documents GROUP BY lang""".stripMargin
+  )
+}
