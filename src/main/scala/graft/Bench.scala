@@ -1,24 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall seconds on
+  * `SPARK_GRAFT_SF_DIR` (driver runs sf0.1).
+  *
+  * Headline set = one representative per operator family (agg, join chain,
+  * window, top-k, set ops, sessionize, fraud scoring, dedup×3, ANN×2,
+  * text×2, multimodal) — the full 40+ query surface is exercised by
+  * Verify; bench keeps a stable, interpretable basket. `count()` forces
+  * full plan execution without collecting results to the driver.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q_pricing_summary",
+    "q_forecast_revenue",
+    "q_local_supplier_volume",
+    "q_shipping_priority",
+    "q_top_orders_per_cust",
+    "q_running_supplier_qty",
+    "q_sessionize",
+    "q_setops",
+    "fraud_score_v1",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_features"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries
+    val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { queries(name)(spark, sfDir).count(); () }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,28 @@ object Smoke {
       .count()
       .orderBy("event_type", "status")
       .show(20, truncate = false)
+
+    println("--- streaming pipeline (MemoryStream -> stateful scoring -> memory sink) ---")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.model.Transaction]
+    ms.addData(TxGen.generate(2000))
+    val q = graft.streaming.FraudStream
+      .score(ms.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("smoke_scored")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("smoke_ckpt").toString)
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val scored = spark.table("smoke_scored").cache()
+    println(s"STREAMED_ROWS=${scored.count()}")
+    scored.groupBy("status").count().show(5, truncate = false)
     spark.stop()
   }
 }

@@ -46,10 +46,14 @@ object TxGen {
     */
   private def next(
       rnd: Random,
-      lastActivity: mutable.Map[String, (String, Instant)]
+      lastActivity: mutable.Map[String, (String, Instant)],
+      forcedCard: Option[String] = None
   ): Transaction = {
-    val (customer, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
-    val cardId = cards(rnd.nextInt(cards.size))
+    val cardId = forcedCard.getOrElse {
+      val (_, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
+      cards(rnd.nextInt(cards.size))
+    }
+    val customer = GenDims.CardToCustomer(cardId)
     val fraudType = weightedChoice(rnd, GenDims.FraudTypeWeights)
 
     var time = lastActivity.get(cardId) match {
@@ -114,11 +118,7 @@ object TxGen {
       .flatMap { cardId =>
         val rnd = new Random(seed ^ cardId.hashCode.toLong)
         val lastActivity = mutable.Map[String, (String, Instant)]()
-        val customer = GenDims.CardToCustomer(cardId)
-        Iterator.range(0, perCard).map { _ =>
-          val tx = next(rnd, lastActivity)
-          tx.copy(card_id = cardId, customer_id = customer)
-        }
+        Iterator.range(0, perCard).map(_ => next(rnd, lastActivity, Some(cardId)))
       }
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.operators.Multimodal
+
+/** Custom-expression and multimodal-pipeline semantics. */
+class TextMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rolling_hash codegen expression matches the reference recurrence") {
+    import spark.implicits._
+    RollingHash.register(spark)
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val inputs = Seq("hello world", "", "a", "the quick brown fox", "ünïcödé")
+    val got = spark.createDataset(inputs).toDF("s")
+      .selectExpr("s", "rolling_hash(s) as h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach(s => assert(got(s) == ref(s), s"mismatch for '$s'"))
+    assert(got("hello world") == 204910434L) // pinned cross-engine value
+  }
+
+  test("quality scores are bounded and deterministic") {
+    val df = graft.operators.TextOps.queries("text_quality")(spark, sf)
+    val scores = df.select("quality_score").collect().map(_.getDouble(0))
+    assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0001))
+  }
+
+  test("lang-id predicts en for stopword-bearing english word-salad") {
+    val df = graft.operators.TextOps.queries("text_lang_id")(spark, sf)
+    val preds = df.select("pred_lang").collect().map(_.getString(0))
+    assert(preds.forall(_ == "en")) // corpus vocabulary only contains en stopwords
+  }
+
+  test("multimodal pipeline: schema, batch decode, determinism") {
+    val feats = Multimodal.extractFeatures(Multimodal.synthesize(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { f =>
+      assert(f.feature.length == Multimodal.FakeCodec.FeatureDim)
+      assert(f.feature_norm > 0.0)
+      assert(Set("image", "audio", "video").contains(f.kind))
+      assert(f.n_bytes > 0)
+    }
+    // deterministic across plans
+    val again = Multimodal.extractFeatures(Multimodal.synthesize(spark, sf))
+      .collect().map(f => f.media_id -> f.feature_norm).toMap
+    rows.foreach(f => assert(again(f.media_id) == f.feature_norm))
+  }
+
+  test("binary content column survives the opaque-payload roundtrip") {
+    val blobs = Multimodal.synthesize(spark, sf)
+    assert(blobs.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    blobs.collect().take(20).foreach { b =>
+      assert(new String(b.content, "UTF-8") == docs(b.media_id))
+    }
+  }
+}

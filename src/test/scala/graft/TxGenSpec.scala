@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TxGen
+import graft.model.GenDims
+import graft.streaming.FraudScoring
+
+/** Generator semantics (producer/transaction-kafka-producer.py:52-100):
+  * determinism, per-card monotonic time, fraud-type shaping, dims.
+  */
+class TxGenSpec extends AnyFunSuite {
+
+  private lazy val txs = TxGen.generate(5000)
+
+  test("seeded generation is deterministic; different seeds diverge") {
+    assert(TxGen.generate(200) == TxGen.generate(200))
+    assert(TxGen.generate(200, seed = 7) != TxGen.generate(200, seed = 8))
+  }
+
+  test("per-card event time is strictly monotonic") {
+    txs.groupBy(_.card_id).foreach { case (_, ts) =>
+      val millis = ts.map(t => FraudScoring.parseMillis(t.timestamp))
+      assert(millis == millis.sorted)
+      assert(millis.distinct.size == millis.size)
+    }
+  }
+
+  test("fraud mix approximates 80/8/6/6 and amounts follow type shaping") {
+    val byType = txs.groupBy(_.event_type).view.mapValues(_.size).toMap
+    assert(byType("NORMAL").toDouble / txs.size > 0.7)
+    assert(byType.keySet == Set("NORMAL", "CARD_TESTING", "VELOCITY", "IMPOSSIBLE_TRAVEL"))
+    txs.filter(_.event_type == "CARD_TESTING").foreach(t => assert(t.amount >= 1 && t.amount <= 5))
+    txs.filter(_.event_type == "VELOCITY").foreach(t => assert(t.amount >= 80 && t.amount <= 200))
+    txs.filter(_.event_type == "NORMAL").foreach(t => assert(t.amount >= 20 && t.amount <= 300))
+  }
+
+  test("dims match the reference: cards map to their customers, 5 locations, merchant ids lowercased") {
+    txs.foreach { t =>
+      assert(GenDims.CardToCustomer(t.card_id) == t.customer_id)
+      assert(graft.model.FraudConstants.Locations.contains(t.location))
+      assert(t.merchant_id == t.merchant_id.toLowerCase.replace(" ", "_"))
+      assert(t.currency == "USD" && t.schema_version == "1.0")
+    }
+  }
+
+  test("distributed generator preserves per-card monotonicity") {
+    val ds = TxGen.distributed(TestSpark.spark, perCard = 200)
+    val rows = ds.collect()
+    assert(rows.length == 8 * 200)
+    rows.groupBy(_.card_id).foreach { case (_, ts) =>
+      val millis = ts.map(t => FraudScoring.parseMillis(t.timestamp))
+      assert(millis.sorted.sameElements(millis))
+    }
+  }
+}
