@@ -43,6 +43,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JIT/codegen paths + parquet footers, so the first timed query
+    // doesn't absorb one-time session costs.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
     val queries = SparkEntry.queries
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()

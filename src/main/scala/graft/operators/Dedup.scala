@@ -36,13 +36,38 @@ object Dedup {
         expr("array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
       )
 
-  /** 16-element MinHash signature over shingles. Seeded family:
-    * h_i(s) = int(md5(i || ':' || s)[:8]).
+  /** 16-element MinHash signature over shingles.
+    *
+    * One md5 per shingle (`base = int(md5(s)[:8]) mod p`), then an affine
+    * family `h_i = (a_i * base + b_i) mod p` with plan-time constants —
+    * 16× fewer md5 evaluations than hashing per (seed, shingle), which
+    * dominated the sf0.1 bench. p = 2^31-1 keeps a_i * base < 2^62 so the
+    * arithmetic is overflow-free (and identical) in both engines.
     */
-  private val minhashSigExpr =
-    """transform(sequence(0, 15), i ->
-      |  array_min(transform(sh, s ->
-      |    cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 8), 16, 10) as bigint))))""".stripMargin
+  private val MinhashP = 2147483647L
+  private[operators] val hashA: IndexedSeq[Long] =
+    (0 until 16).map(i => 1L + graft.functions.PortableHash.md5Int8(s"a:$i") % (MinhashP - 1))
+  private[operators] val hashB: IndexedSeq[Long] =
+    (0 until 16).map(i => graft.functions.PortableHash.md5Int8(s"b:$i") % MinhashP)
+
+  /** (doc_id, sig) via explode + partial aggregation: md5 evaluates exactly
+    * once per (doc, shingle) row, the 16 seed minima are plain `min()`
+    * aggregates (map-side combined before any shuffle) — the shape that
+    * survives 100 TB, unlike nested array lambdas which Catalyst's project
+    * collapsing would re-evaluate per seed.
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val exploded = withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h",
+        expr(s"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $MinhashP"))
+    val aggs = (0 until 16).map(i =>
+      min(expr(s"(${hashA(i)} * h + ${hashB(i)}) % $MinhashP")).as(s"m$i"))
+    exploded
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** 48-bit SimHash over word tokens (occurrence-weighted); 48 bits keeps
     * `1 << b` inside BIGINT in both engines.
@@ -91,30 +116,33 @@ object Dedup {
         .select("d1", "d2", "jaccard")
     }),
     "dedup_minhash_sig" -> ((s, d) => {
-      withShingles(Tables.documents(s, d))
-        .withColumn("sig", expr(minhashSigExpr))
+      minhashSigs(Tables.documents(s, d))
         .select(col("doc_id"),
           expr("concat_ws(',', transform(sig, x -> cast(x as string)))").as("minhash_sig"))
     }),
     "dedup_minhash_pairs" -> ((s, d) => {
       // banded LSH: 4 bands × 4 rows; candidates shuffle on (band, key),
       // then exact-Jaccard confirm at ≥ 0.8.
-      val sigs = withShingles(Tables.documents(s, d))
-        .withColumn("sig", expr(minhashSigExpr))
-        .select("doc_id", "sh", "sig")
-      val bands = sigs.select(
-        col("doc_id"), col("sh"),
+      // bands carry only (doc_id, band) — the shingle payload joins back in
+      // AFTER the candidate set is known, so the wide columns never ride
+      // through the LSH shuffle.
+      val bands = minhashSigs(Tables.documents(s, d)).select(
+        col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b as band_id,
             |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
         )).as("band"))
-        .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_key"))
-      val a = bands.select(col("doc_id").as("d1"), col("sh").as("sh1"), col("band_id"), col("band_key"))
-      val b = bands.select(col("doc_id").as("d2"), col("sh").as("sh2"), col("band_id"), col("band_key"))
-      a.join(b, Seq("band_id", "band_key"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      val cand = bands.select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
+        .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
         .filter(col("d1") < col("d2"))
-        .select("d1", "d2", "sh1", "sh2")
+        .select("d1", "d2")
         .distinct()
+      val sh = withShingles(Tables.documents(s, d)).select("doc_id", "sh")
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
         .withColumn("jaccard",
           round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
             size(array_union(col("sh1"), col("sh2"))), 4))
@@ -145,10 +173,14 @@ object Dedup {
       |shg AS (SELECT doc_id, list_distinct(list(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh
       |        FROM idx GROUP BY doc_id)""".stripMargin
 
-  private val sigCte =
-    """sig AS (SELECT doc_id, sh, list_transform(range(0, 16), i ->
-      |  list_min(list_transform(sh, s -> ('0x' || substr(md5(i || ':' || s), 1, 8))::BIGINT))) sig
-      |FROM shg)""".stripMargin
+  private val sigCte = {
+    val mins = (0 until 16)
+      .map(i => s"min((${hashA(i)} * h + ${hashB(i)}) % $MinhashP)")
+      .mkString(", ")
+    s"""shx AS (SELECT doc_id, unnest(sh) s FROM shg),
+       |hb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % $MinhashP h FROM shx),
+       |sig AS (SELECT doc_id, [$mins] sig FROM hb GROUP BY doc_id)""".stripMargin
+  }
 
   private val simhashCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
@@ -177,19 +209,19 @@ object Dedup {
     "dedup_minhash_pairs" ->
       s"""WITH $shingleCte, $sigCte,
          |bands AS (
-         |  SELECT doc_id, sh, b AS band_id,
+         |  SELECT doc_id, b AS band_id,
          |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
          |  FROM sig, unnest(range(0, 4)) t(b)
          |),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2, a.sh sh1, b.sh sh2
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |)
          |SELECT d1, d2,
-         |  round(len(list_intersect(sh1, sh2))::DOUBLE / len(list_distinct(sh1 || sh2)), 4) jaccard
-         |FROM cand
-         |WHERE round(len(list_intersect(sh1, sh2))::DOUBLE / len(list_distinct(sh1 || sh2)), 4) >= 0.8""".stripMargin,
+         |  round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) jaccard
+         |FROM cand JOIN shg x ON cand.d1 = x.doc_id JOIN shg y ON cand.d2 = y.doc_id
+         |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) >= 0.8""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh48""".stripMargin,

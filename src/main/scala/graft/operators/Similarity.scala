@@ -30,17 +30,23 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Pseudo-random hyperplane component in [-1, 1): plane p, dim i.
-    * Self-parenthesized — it splices into larger products.
+  /** 16 × 64 hyperplane components in [-1, 1), derived from
+    * int(md5("p:i")[:8]) but precomputed ONCE at plan-build time and
+    * inlined as literals in both engines — the per-row md5 evaluation
+    * (1024 per vector) dominated the sf0.1 bench.
     */
-  private def hpv(p: String, i: String): String =
-    s"((cast(conv(substring(md5(concat($p, ':', $i)), 1, 8), 16, 10) as double) / 4294967296.0) * 2 - 1)"
+  private[operators] val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 16).map(p => (0 until 64).map(i =>
+      graft.functions.PortableHash.planeComponent(p, i)))
+
+  private val planesLit: String =
+    planes.map(row => s"array(${row.mkString(",")})").mkString("array(", ",", ")")
 
   /** 16-bit hyperplane-sign signature of `emb` (array<double>). */
   private val sigExpr =
     s"""aggregate(sequence(0, 15), cast(0 as bigint), (acc, p) ->
        |  acc + IF(aggregate(sequence(0, 63), cast(0.0 as double),
-       |             (a2, i) -> a2 + emb[i] * ${hpv("p", "i")}) > 0,
+       |             (a2, i) -> a2 + emb[i] * $planesLit[p][i]) > 0,
        |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
 
   private def withEmb(s: SparkSession, d: String): DataFrame =
@@ -93,8 +99,8 @@ object Similarity {
     })
   )
 
-  private val hpvSql =
-    "((('0x' || substr(md5(p || ':' || i), 1, 8))::BIGINT / 4294967296.0) * 2 - 1"
+  private val planesSqlLit: String =
+    planes.map(row => s"[${row.mkString(",")}]").mkString("[", ",", "]")
 
   private val embCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings)"
@@ -102,7 +108,7 @@ object Similarity {
   private val sigCteSql =
     s"""sg AS (SELECT vec_id, emb,
        |  CAST(list_sum(list_transform(range(0, 16), p ->
-       |    CASE WHEN list_sum(list_transform(range(0, 64), i -> emb[i+1] * $hpvSql))) > 0
+       |    CASE WHEN list_sum(list_transform(range(0, 64), i -> emb[i+1] * ($planesSqlLit)[p+1][i+1])) > 0
        |         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) sig
        |FROM e)""".stripMargin
 
