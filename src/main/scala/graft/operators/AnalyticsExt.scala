@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Second wave of analytics coverage: exact percentiles, JSON extraction,
+  * the SQL-entry surface (`spark.sql` over registered views — the
+  * reference's latent sql-client, SURVEY.md §2 X1), and the batch (lag)
+  * formulation of CEP-style strict-contiguity sequence detection
+  * (SURVEY.md §2 X2 — the reference ships flink-cep as an unused jar; here
+  * it is a real operator, streaming twin in graft.streaming.Cep).
+  */
+object AnalyticsExt {
+
+  /** Register every testdata table as a temp view so the SQL surface can
+    * query by name (events via the nanos-normalized loader).
+    */
+  def registerTables(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables(spark, sfDir, t).createOrReplaceTempView(t))
+    Tables.eventsNormalized(spark, sfDir).createOrReplaceTempView("events")
+  }
+
+  /** Dialect-common SQL (runs verbatim on Spark AND DuckDB). */
+  private val SqlPriorityRevenue =
+    """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  private val SqlNationCustomers =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> ((s, d) => {
+      Tables.eventsNormalized(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+    }),
+    "q_json_extract" -> ((s, d) => {
+      Tables.eventsNormalized(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+    "q_sql_priority_revenue" -> ((s, d) => {
+      registerTables(s, d)
+      s.sql(SqlPriorityRevenue)
+    }),
+    "q_sql_nation_customers" -> ((s, d) => {
+      registerTables(s, d)
+      s.sql(SqlNationCustomers)
+    }),
+    "cep_signup_purchase" -> ((s, d) => {
+      // strict-contiguity [signup, purchase] within 1 h per user — the
+      // lag-window batch dual of the streaming pattern machine.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      Tables.eventsNormalized(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .filter(col("event_type") === "purchase" && col("prev_type") === "signup" &&
+          col("ts_ms") - col("prev_ms") <= 3600000L)
+        .select(col("user_id"), col("prev_ms").as("start_ms"),
+          col("ts_ms").as("end_ms"),
+          (col("ts_ms") - col("prev_ms")).as("gap_ms"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT (json_extract_string(props, '$.k')::INT) % 10 AS k_bucket,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value,
+        |  min(json_extract_string(props, '$.k')::INT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::INT) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_sql_priority_revenue" -> SqlPriorityRevenue,
+    "q_sql_nation_customers" -> SqlNationCustomers,
+    "cep_signup_purchase" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
+        |w AS (SELECT *,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev_type,
+        |  lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) prev_ms
+        |FROM e)
+        |SELECT user_id, prev_ms AS start_ms, ms AS end_ms, ms - prev_ms AS gap_ms
+        |FROM w
+        |WHERE event_type = 'purchase' AND prev_type = 'signup' AND ms - prev_ms <= 3600000""".stripMargin
+  )
+}
