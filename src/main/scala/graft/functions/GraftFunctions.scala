@@ -1,0 +1,142 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct n-word shingles of a space-separated string, as one compact JVM
+  * pass. Replaces `array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', ws[i], ws[i+1], ws[i+2])))` — higher-order functions are
+  * interpreted (never codegen'd) in Spark and that expression tree cost
+  * ~75 s first-run JIT + ~6 s warm per 260 k shingles at sf0.1; this
+  * evaluator is a single monomorphic loop.
+  *
+  * Split semantics match `split(text, ' ')` (trailing/empty tokens kept);
+  * returns NULL when the text has fewer than n words (callers filter,
+  * matching the DuckDB oracle's `WHERE len(ws) >= n`).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("word_shingles(string, n>=1)")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) return null
+    val seen = mutable.LinkedHashSet.empty[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Dot product of two double arrays, summed sequentially in index order —
+  * exactly `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)` but as one
+  * tight loop instead of an interpreted lambda tree (the ANN queries spend
+  * most of their time here).
+  */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("dot_double(array<double>, array<double>)")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val m = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
+    copy(left = l, right = r)
+}
+
+/** 16-bit hyperplane-sign signature: bit p set iff dot(emb, planes(p)) > 0.
+  * The planes are bound at plan build — constants inside one loop, zero
+  * per-row md5/literal-array traffic.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("hyperplane_sig(array<double>)")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val m = math.min(v.length, plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += v(i) * plane(i); i += 1 }
+      if (acc > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  // the planes array is not a child expression; exclude it from equality noise
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Session registration for expr()/SQL use of the custom expressions. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    RollingHash.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head, 3),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_double",
+      exprs => DotDouble(exprs(0), exprs(1)),
+      "scala_udf")
+  }
+}

@@ -26,15 +26,18 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** documents → (doc_id, ws: words, sh: distinct 3-word shingles). */
-  private def withShingles(docs: DataFrame): DataFrame =
+  /** documents → (doc_id, sh: distinct 3-word shingles) via the compact
+    * [[graft.functions.WordShingles]] evaluator (the equivalent
+    * higher-order-function expression is interpreted and ~10× slower).
+    * NULL shingles = fewer than 3 words, filtered like the oracle's
+    * `WHERE len(ws) >= 3`.
+    */
+  private def withShingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 3)
-      .withColumn(
-        "sh",
-        expr("array_distinct(transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")
-      )
+      .withColumn("sh", expr("word_shingles(text)"))
+      .filter(col("sh").isNotNull)
+  }
 
   /** 16-element MinHash signature over shingles.
     *
@@ -84,15 +87,14 @@ object Dedup {
       .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END")).as("simhash"))
 
   private def embPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
     val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"))
     val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("dot", expr("aggregate(zip_with(e1, e2, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"))
-      .withColumn("n1", expr("aggregate(e1, cast(0.0 as double), (acc, v) -> acc + v * v)"))
-      .withColumn("n2", expr("aggregate(e2, cast(0.0 as double), (acc, v) -> acc + v * v)"))
-      .withColumn("cosine", round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 4))
+      .withColumn("cosine", round(expr("dot_double(e1, e2)") /
+        (sqrt(expr("dot_double(e1, e1)")) * sqrt(expr("dot_double(e2, e2)"))), 4))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -39,25 +39,28 @@ object Similarity {
     (0 until 16).map(p => (0 until 64).map(i =>
       graft.functions.PortableHash.planeComponent(p, i)))
 
-  private val planesLit: String =
-    planes.map(row => s"array(${row.mkString(",")})").mkString("array(", ",", ")")
+  /** Register the plan-time-bound signature + dot expressions: compact JVM
+    * loops replacing interpreted higher-order lambdas (the previous
+    * formulation dominated the sf0.1 bench).
+    */
+  private def registerFns(s: SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val planesArr = planes.map(_.toArray).toArray
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig16",
+      exprs => graft.functions.HyperplaneSig(exprs.head, planesArr),
+      "scala_udf")
+  }
 
-  /** 16-bit hyperplane-sign signature of `emb` (array<double>). */
-  private val sigExpr =
-    s"""aggregate(sequence(0, 15), cast(0 as bigint), (acc, p) ->
-       |  acc + IF(aggregate(sequence(0, 63), cast(0.0 as double),
-       |             (a2, i) -> a2 + emb[i] * $planesLit[p][i]) > 0,
-       |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin
-
-  private def withEmb(s: SparkSession, d: String): DataFrame =
+  private def withEmb(s: SparkSession, d: String): DataFrame = {
+    registerFns(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+  }
 
   private def cosineCols(df: DataFrame): DataFrame =
-    df.withColumn("dot", expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"))
-      .withColumn("nq", expr("aggregate(qe, cast(0.0 as double), (acc, v) -> acc + v * v)"))
-      .withColumn("nc", expr("aggregate(ce, cast(0.0 as double), (acc, v) -> acc + v * v)"))
-      .withColumn("cosine", round(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))), 4))
+    df.withColumn("cosine", round(expr("dot_double(qe, ce)") /
+      (sqrt(expr("dot_double(qe, qe)")) * sqrt(expr("dot_double(ce, ce)"))), 4))
 
   private def topk(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
@@ -76,7 +79,7 @@ object Similarity {
       topk(c.join(broadcast(q), col("query_id") =!= col("vec_id")), 5)
     }),
     "ann_lsh_topk" -> ((s, d) => {
-      val e = withEmb(s, d).withColumn("sig", expr(sigExpr))
+      val e = withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)"))
       val banded = e.select(
         col("vec_id"), col("emb"),
         explode(expr("transform(sequence(0, 3), b -> struct(b as band_id, shiftright(sig, b * 4) & 15 as band_val))")).as("bd"))
@@ -92,7 +95,7 @@ object Similarity {
     }),
     "embedding_stats" -> ((s, d) => {
       withEmb(s, d)
-        .withColumn("norm", sqrt(expr("aggregate(emb, cast(0.0 as double), (acc, v) -> acc + v * v)")))
+        .withColumn("norm", sqrt(expr("dot_double(emb, emb)")))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_norm"),
           round(min("norm"), 4).as("min_norm"), round(max("norm"), 4).as("max_norm"))
