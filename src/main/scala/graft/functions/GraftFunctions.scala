@@ -126,6 +126,48 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** 48-bit SimHash over whitespace tokens, occurrence-weighted: bit b of
+  * the result is set iff Σ_tokens (±1 per bit b of md5₄₈(token)) > 0.
+  * Single pass per document — replaces an explode(tokens) × explode(48
+  * bits) + two-level aggregation plan (~48× row inflation and a shuffle)
+  * with one loop. Exactly the recurrence the DuckDB oracle computes.
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("simhash48(string)")
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val acc = new Array[Int](48)
+    val cache = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var h = cache.getOrDefault(w, -1L)
+      if (h == -1L) { h = PortableHash.md5Int12(w); cache.put(w, h) }
+      var b = 0
+      while (b < 48) {
+        if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 48) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
 /** Session registration for expr()/SQL use of the custom expressions. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -137,6 +179,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_double",
       exprs => DotDouble(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash48",
+      exprs => SimHash48(exprs.head),
       "scala_udf")
   }
 }

@@ -17,6 +17,17 @@ object PortableHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 12 hex chars (6 bytes, big-endian) of md5 — the 48-bit token
+    * hash the SimHash operator uses.
+    */
+  def md5Int12(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** Hyperplane component in [-1, 1) for plane p, dim i — same formula the
     * SQL previously evaluated per row.
     */

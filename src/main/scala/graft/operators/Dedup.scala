@@ -73,18 +73,15 @@ object Dedup {
   }
 
   /** 48-bit SimHash over word tokens (occurrence-weighted); 48 bits keeps
-    * `1 << b` inside BIGINT in both engines.
+    * `1 << b` inside BIGINT in both engines. One pass per doc via the
+    * custom [[graft.functions.SimHash48]] evaluator (the
+    * explode-words × explode-bits + double-aggregation plan inflated rows
+    * 48× and shuffled twice).
     */
-  private def simhash(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", expr("cast(conv(substring(md5(w), 1, 12), 16, 10) as bigint)"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("b"))
-      .withColumn("contrib", expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "b")
-      .agg(sum("contrib").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END")).as("simhash"))
+  private def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("simhash48(text)").as("simhash"))
+  }
 
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
