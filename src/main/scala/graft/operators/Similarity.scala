@@ -93,6 +93,35 @@ object Similarity {
         .distinct()
       topk(cands, 5)
     }),
+    "dedup_embedding_lsh" -> ((s, d) => {
+      // near-dup scale path: hyperplane-LSH buckets → exact cosine re-rank,
+      // top-20 pairs. Candidate volume tracks bucket collisions, not n².
+      val e = withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)"))
+      val banded = e.select(
+        col("vec_id"), col("emb"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b as band_id, shiftright(sig, b * 4) & 15 as band_val))")).as("bd"))
+        .select(col("vec_id"), col("emb"), col("bd.band_id"), col("bd.band_val"))
+      val a = banded.select(col("vec_id").as("id1"), col("emb").as("qe"), col("band_id"), col("band_val"))
+      val b = banded.select(col("vec_id").as("id2"), col("emb").as("ce"), col("band_id"), col("band_val"))
+      a.join(b, Seq("band_id", "band_val"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "qe", "id2", "ce")
+        .distinct()
+        .withColumn("cosine", round(expr("dot_double(qe, ce)") /
+          (sqrt(expr("dot_double(qe, qe)")) * sqrt(expr("dot_double(ce, ce)"))), 4))
+        .orderBy(col("cosine").desc, col("id1"), col("id2"))
+        .select("id1", "id2", "cosine")
+        .limit(20)
+    }),
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL sketch vs exact - no oracle (sketch internals differ across
+      // engines); rows-only check + deterministic output.
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    }),
     "embedding_stats" -> ((s, d) => {
       withEmb(s, d)
         .withColumn("norm", sqrt(expr("dot_double(emb, emb)")))
@@ -140,6 +169,19 @@ object Similarity {
          |SELECT query_id, rank, vec_id, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH $embCte, $sigCteSql,
+         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 4)) & 15 band_val
+         |          FROM sg, unnest(range(0, 4)) t(b)),
+         |cand AS (SELECT DISTINCT a.vec_id id1, a.emb qe, b.vec_id id2, b.emb ce
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.vec_id < b.vec_id)
+         |SELECT id1, id2,
+         |  round(list_dot_product(qe, ce) /
+         |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
+         |FROM cand
+         |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
     "embedding_stats" ->
       s"""WITH $embCte
          |SELECT label, count(*) n,

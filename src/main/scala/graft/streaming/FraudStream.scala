@@ -227,6 +227,30 @@ object FraudStream {
       }
       .start()
 
+  /** v1 console wire format (F2 + P2h): `"FRAUD | {json}"` with the exact
+    * field order of fraud_detection.py:113-123 (README.md:87-99 example).
+    */
+  def toV1Json(scored: Dataset[ScoredEvent]): DataFrame =
+    scored.toDF().select(concat(col("status"), lit(" | "), to_json(struct(
+      col("event_id"), col("card_id"), col("amount"), col("location"),
+      col("ip_address"), col("score"), col("status"), col("severity"),
+      col("event_time")))).as("value"))
+
+  /** v2 wire format (fraud_detector_TAG.py:116-126): ip, risk_score,
+    * reasons array, no severity; status last.
+    */
+  def toV2Json(scored: Dataset[ScoredEvent]): DataFrame =
+    scored.toDF().select(to_json(struct(
+      col("event_id"), col("card_id"), col("amount"), col("location"),
+      col("ip_address").as("ip"), col("score").as("risk_score"),
+      col("reasons"), col("event_time"), col("status"))).as("value"))
+
+  /** v2 risk-audit record (fraud_detector_TAG.py:137-144). */
+  def toAuditJson(scored: Dataset[ScoredEvent]): DataFrame =
+    scored.toDF().select(to_json(struct(
+      col("card_id"), col("score"), col("reasons").as("rules_triggered"),
+      col("event_time"))).as("value"))
+
   /** Kafka sink in the producer's wire format (K3): key = card_id, value =
     * result JSON, headers event_type/schema_version.
     */
