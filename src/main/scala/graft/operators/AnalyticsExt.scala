@@ -59,6 +59,36 @@ object AnalyticsExt {
       registerTables(s, d)
       s.sql(SqlNationCustomers)
     }),
+    "q_asof_signup" -> ((s, d) => {
+      // as-of join shape: for every purchase, the most recent prior signup
+      // time for the same user (last-value-ignore-nulls over event time) —
+      // composed from built-in windows per §7.3 preference (a).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.eventsNormalized(s, d)
+        .withColumn("last_signup_ms",
+          last(when(col("event_type") === "signup", col("ts_ms")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("last_signup_ms").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("last_signup_ms"),
+          (col("ts_ms") - col("last_signup_ms")).as("ms_since_signup"))
+    }),
+    "q_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_discount")), 4).as("cov_pd"))
+    }),
+    "q_collect_sorted" -> ((s, d) => {
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_set(substring(col("p_type"), 1, 5)))).as("type_prefixes"))
+    }),
     "cep_signup_purchase" -> ((s, d) => {
       // strict-contiguity [signup, purchase] within 1 h per user — the
       // lag-window batch dual of the streaming pattern machine.
@@ -90,6 +120,27 @@ object AnalyticsExt {
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_priority_revenue" -> SqlPriorityRevenue,
     "q_sql_nation_customers" -> SqlNationCustomers,
+    "q_asof_signup" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type, value FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ms END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) last_signup_ms
+        |FROM e)
+        |SELECT user_id, event_id, ms AS ts_ms, last_signup_ms,
+        |  ms - last_signup_ms AS ms_since_signup
+        |FROM w WHERE event_type = 'purchase' AND last_signup_ms IS NOT NULL""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_collect_sorted" ->
+      """SELECT p_brand, count(*) AS n,
+        |  string_agg(DISTINCT substr(p_type, 1, 5), ',' ORDER BY substr(p_type, 1, 5)) AS type_prefixes
+        |FROM part GROUP BY p_brand""".stripMargin,
     "cep_signup_purchase" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type FROM events),
         |w AS (SELECT *,
