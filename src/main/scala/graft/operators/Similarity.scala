@@ -113,6 +113,46 @@ object Similarity {
         .select("id1", "id2", "cosine")
         .limit(20)
     }),
+    "ann_ivf_topk" -> ((s, d) => {
+      // IVF coarse quantizer, the trained-index scale path (complement of
+      // hash-based LSH): K=8 centroids from a deterministic hash-ordered
+      // sample (stands in for k-means init; at 100 TB the train step is the
+      // same tiny sampled side job), one assignment pass over the corpus
+      // (8 dots/row, no shuffle), queries probe nprobe=2 cells, exact
+      // cosine re-rank inside the probed cells only.
+      val e = withEmb(s, d)
+      val cents: Array[(Int, Array[Double])] = e
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+        .orderBy(col("h"), col("vec_id")).limit(8)
+        .select("emb").collect()
+        .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+      def arrLit(v: Array[Double]) = v.map(x => s"${x}D").mkString("array(", ",", ")")
+      // Norms precomputed with the same sequential fold dot_double /
+      // list_dot_product use, so both engines see identical doubles.
+      def norm(v: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        math.sqrt(acc)
+      }
+      val cellsSql = cents.map { case (id, v) =>
+        s"named_struct('cos', dot_double(emb, ${arrLit(v)}) / (sqrt(dot_double(emb, emb)) * ${norm(v)}D), 'cell_id', $id)"
+      }.mkString("array(", ",", ")")
+      val assigned = e
+        .withColumn("cells", expr(cellsSql))
+        .withColumn("best", expr("array_max(cells)"))
+      val corpus = assigned.select(
+        col("vec_id"), col("emb").as("ce"), col("best.cell_id").as("cell_id"))
+      val q = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+          explode(expr(
+            """array(best.cell_id,
+              |  array_max(filter(cells, x ->
+              |    x.cos < best.cos or (x.cos = best.cos and x.cell_id < best.cell_id))).cell_id)""".stripMargin)).as("cell_id"))
+      topk(corpus.join(broadcast(q), Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "qe", "vec_id", "ce"), 5)
+    }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact - no oracle (sketch internals differ across
       // engines); rows-only check + deterministic output.
@@ -182,6 +222,25 @@ object Similarity {
          |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
          |FROM cand
          |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $embCte,
+         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
+         |         FROM h ORDER BY h, vec_id LIMIT 8),
+         |cs AS (SELECT e.vec_id, e.emb, c.cell_id,
+         |         list_dot_product(e.emb, c.cv) /
+         |           (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) cos
+         |       FROM e CROSS JOIN cent c),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
+         |corpus AS (SELECT vec_id, emb ce, cell_id FROM rk WHERE r = 1),
+         |q AS (SELECT vec_id query_id, emb qe, cell_id FROM rk WHERE r <= 2 AND vec_id % 50 = 0),
+         |p AS (SELECT query_id, c.vec_id,
+         |        round(list_dot_product(qe, ce) /
+         |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
+         |      FROM q JOIN corpus c USING (cell_id) WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, rank, vec_id, cosine FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
     "embedding_stats" ->
       s"""WITH $embCte
          |SELECT label, count(*) n,
