@@ -34,6 +34,31 @@ object AnalyticsExt {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (RewriteCorrelatedScalarSubquery); DuckDB plans the
+    * same shape natively.
+    */
+  private val SqlScalarSubquery =
+    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** IN-subquery → left-semi join after RewritePredicateSubquery. */
+  private val SqlInSubquery =
+    """SELECT p_brand, count(*) AS n
+      |FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |GROUP BY p_brand""".stripMargin
+
+  /** dense_rank / ntile / lead in one pass over a single window sort. */
+  private val SqlWindowFuncs =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS dr,
+      |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS nt,
+      |  round(lead(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey), 2) AS next_price
+      |FROM orders WHERE o_custkey % 100 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_percentiles" -> ((s, d) => {
       Tables.eventsNormalized(s, d)
@@ -58,6 +83,18 @@ object AnalyticsExt {
     "q_sql_nation_customers" -> ((s, d) => {
       registerTables(s, d)
       s.sql(SqlNationCustomers)
+    }),
+    "q_scalar_subquery" -> ((s, d) => {
+      registerTables(s, d)
+      s.sql(SqlScalarSubquery)
+    }),
+    "q_in_subquery" -> ((s, d) => {
+      registerTables(s, d)
+      s.sql(SqlInSubquery)
+    }),
+    "q_window_funcs" -> ((s, d) => {
+      registerTables(s, d)
+      s.sql(SqlWindowFuncs)
     }),
     "q_asof_signup" -> ((s, d) => {
       // as-of join shape: for every purchase, the most recent prior signup
@@ -120,6 +157,9 @@ object AnalyticsExt {
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_priority_revenue" -> SqlPriorityRevenue,
     "q_sql_nation_customers" -> SqlNationCustomers,
+    "q_scalar_subquery" -> SqlScalarSubquery,
+    "q_in_subquery" -> SqlInSubquery,
+    "q_window_funcs" -> SqlWindowFuncs,
     "q_asof_signup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type, value FROM events),
         |w AS (SELECT *,
