@@ -1,0 +1,89 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.FraudConstants
+import graft.operators.FraudRules
+
+/** MLlib scoring path (BASELINE.json `spark_approach`: "Structured
+  * Streaming + MLlib for fraud detection"): learn the fraud signal from
+  * the generator's labeled stream instead of hand-coded thresholds.
+  *
+  * Features are the raw quantities the reference's rules threshold on
+  * (flink/fraud_detection.py:87-111) — amount, trailing-10 s transaction
+  * count, gap to the previous event, inter-location distance — so the
+  * model is learnable by construction and the comparison against the rule
+  * engine is apples-to-apples. Label = the producer's injected fraud
+  * intent (`event_type != NORMAL`,
+  * producer/transaction-kafka-producer.py:91).
+  *
+  * Train is a batch job over a labeled window of history; the fitted
+  * model's `transform` is a stateless per-row map, so the SAME model
+  * scores a streaming frame (a featurized stream) unchanged — that is the
+  * 100 TB deployment shape: periodic batch (re)train, continuous
+  * streaming score.
+  */
+object FraudModel {
+
+  /** Numeric feature columns from a transaction frame in the reference
+    * wire schema (same windows as the rule engine).
+    */
+  def featurize(tx: DataFrame): DataFrame = {
+    val withMs = tx.withColumn("event_millis",
+      unix_millis(to_timestamp(regexp_replace(col("timestamp"), "Z$", ""))))
+    val byKey = Window.partitionBy(col("card_id"))
+    val rangeW = byKey.orderBy(col("event_millis")).rangeBetween(-FraudConstants.RapidWindowMs, 0)
+    val lagW = byKey.orderBy(col("event_millis"), col("event_id"))
+    val prevLoc = lag(col("location"), 1).over(lagW)
+    val prevMs = lag(col("event_millis"), 1).over(lagW)
+    val dist = FraudRules.haversineKm(
+      FraudRules.latFor(prevLoc), FraudRules.lonFor(prevLoc),
+      FraudRules.latFor(col("location")), FraudRules.lonFor(col("location")))
+    withMs
+      .withColumn("f_amount", col("amount"))
+      .withColumn("f_recent_count", count(lit(1)).over(rangeW).cast("double"))
+      .withColumn("f_gap_ms",
+        least(coalesce(col("event_millis") - prevMs, lit(600000L)), lit(600000L)).cast("double"))
+      .withColumn("f_travel_km", coalesce(dist, lit(0.0)))
+      .withColumn("label", when(col("event_type") =!= "NORMAL", 1.0).otherwise(0.0))
+  }
+
+  val featureCols: Array[String] =
+    Array("f_amount", "f_recent_count", "f_gap_ms", "f_travel_km")
+
+  private def assemble(df: DataFrame): DataFrame =
+    new VectorAssembler().setInputCols(featureCols).setOutputCol("features")
+      .transform(df)
+
+  /** Fit a logistic model on a labeled (featurized) frame. */
+  def train(featurized: DataFrame): LogisticRegressionModel =
+    new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setStandardization(true)
+      .fit(assemble(featurized))
+
+  /** Score any frame with the same feature columns — works unchanged on a
+    * streaming frame (transform is a stateless row map).
+    */
+  def score(model: LogisticRegressionModel, featurized: DataFrame): DataFrame =
+    model.transform(assemble(featurized))
+
+  /** Batch end-to-end: train on generated labeled history, report per-class
+    * mean fraud probability + predicted-positive counts. (Rows-only driver
+    * check: model internals are not SQL-expressible.)
+    */
+  def trainScoreSummary(tx: DataFrame): DataFrame = {
+    val feats = featurize(tx)
+    val model = train(feats)
+    val getP = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    score(model, feats)
+      .withColumn("p_fraud", getP(col("probability")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("p_fraud"), 4).as("avg_p_fraud"),
+        sum(col("prediction")).cast("long").as("n_pred_fraud"))
+  }
+}

@@ -53,6 +53,11 @@ object FraudQueries {
       "severity", "reasons")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fraud_ml_score" -> ((s, d) =>
+      // MLlib path (BASELINE.json spark_approach): train on the seeded
+      // labeled generator stream, report per-class probability summary.
+      // Rows-only driver check — model internals aren't SQL-expressible.
+      graft.ml.FraudModel.trainScoreSummary(graft.gen.TxGen.dataset(s, 4000).toDF())),
     "fraud_score_v1" -> ((s, d) =>
       scored(s, d, RapidTxCountV1).select(outCols.map(col): _*)),
     "fraud_score_v2" -> ((s, d) =>
