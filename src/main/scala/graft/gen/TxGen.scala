@@ -122,6 +122,58 @@ object TxGen {
       }
   }
 
+  /** Streaming analogue of the reference's paced infinite producer
+    * (SURVEY.md §2 G1; producer/transaction-kafka-producer.py:110-144):
+    * the built-in `rate` source paces ticks, each tick maps statelessly
+    * and deterministically (seeded by the tick number) to one shaped
+    * transaction. Event time anchors on the tick's wall-clock timestamp,
+    * matching the reference's `datetime.now` anchoring (producer:40,48);
+    * the IMPOSSIBLE_TRAVEL branch labels intent without reading per-card
+    * state (stateless map — detection downstream is what reconstructs
+    * travel from history, exactly as in the reference pipeline).
+    */
+  def stream(spark: SparkSession, rowsPerSecond: Int = 10, seed: Long = 42L): Dataset[Transaction] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, tick) => fromTick(ts.toInstant, tick, seed) }
+  }
+
+  /** One stateless, tick-deterministic transaction (used by [[stream]]). */
+  def fromTick(time: Instant, tick: Long, seed: Long = 42L): Transaction = {
+    val rnd = new Random(seed ^ tick)
+    val (_, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
+    val cardId = cards(rnd.nextInt(cards.size))
+    val fraudType = weightedChoice(rnd, GenDims.FraudTypeWeights)
+    var location = FraudConstants.Locations(rnd.nextInt(FraudConstants.Locations.size))
+    var amount = round2(20 + rnd.nextDouble() * 280)
+    val (category, merchants) =
+      GenDims.MerchantCategories(rnd.nextInt(GenDims.MerchantCategories.size))
+    val merchant = merchants(rnd.nextInt(merchants.size))
+    fraudType match {
+      case "CARD_TESTING" => amount = round2(1 + rnd.nextDouble() * 4)
+      case "VELOCITY"     => amount = round2(80 + rnd.nextDouble() * 120)
+      case _              => ()
+    }
+    val secs = Instant.ofEpochSecond(time.getEpochSecond)
+    Transaction(
+      schema_version = "1.0",
+      event_id = s"evt-${secs.toEpochMilli}-${hex6(rnd)}",
+      transaction_id = new UUID(rnd.nextLong(), rnd.nextLong()).toString,
+      customer_id = GenDims.CardToCustomer(cardId),
+      card_id = cardId,
+      merchant_id = merchant.replace(" ", "_").toLowerCase,
+      merchant_category = category,
+      amount = amount,
+      currency = "USD",
+      location = location,
+      ip_address = Seq.fill(4)(1 + rnd.nextInt(245)).mkString("."),
+      event_type = fraudType,
+      timestamp = IsoFmt.format(secs)
+    )
+  }
+
   private def weightedChoice(rnd: Random, weighted: Seq[(String, Int)]): String = {
     val total = weighted.map(_._2).sum
     var r = rnd.nextInt(total)

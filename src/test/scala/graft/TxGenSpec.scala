@@ -53,4 +53,30 @@ class TxGenSpec extends AnyFunSuite {
       assert(millis.sorted.sameElements(millis))
     }
   }
+
+  test("tick generator is deterministic and shaped; rate stream produces rows") {
+    val now = java.time.Instant.parse("2024-06-01T12:00:00Z")
+    val a = (0L until 2000L).map(TxGen.fromTick(now, _))
+    val b = (0L until 2000L).map(TxGen.fromTick(now, _))
+    assert(a == b)
+    val byType = a.groupBy(_.event_type).view.mapValues(_.size).toMap
+    assert(byType.keySet == Set("NORMAL", "CARD_TESTING", "VELOCITY", "IMPOSSIBLE_TRAVEL"))
+    a.filter(_.event_type == "CARD_TESTING").foreach(t => assert(t.amount >= 1 && t.amount <= 5))
+
+    val spark = TestSpark.spark
+    val q = TxGen.stream(spark, rowsPerSecond = 100)
+      .writeStream.format("memory").queryName("txgen_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txgen").toString)
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        n = spark.table("txgen_stream").count()
+      }
+      assert(n > 0, "rate stream produced no rows in 30 s")
+    } finally q.stop()
+  }
 }
