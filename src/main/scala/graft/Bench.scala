@@ -27,6 +27,9 @@ object Bench {
     "dedup_simhash_pairs",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "q_range_join_binned",
+    "q_scalar_subquery",
     "text_quality",
     "text_fingerprint",
     "multimodal_features"

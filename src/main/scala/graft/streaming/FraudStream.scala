@@ -156,6 +156,33 @@ object FraudStream {
       .as[Transaction]
   }
 
+  /** [[parse]] with a dead-letter channel: the reference's
+    * `JsonRowDeserializationSchema` fails the task on malformed JSON; at
+    * 100 TB/day a poison record must not kill the job. PERMISSIVE
+    * `from_json` nulls the struct on parse failure; rows whose struct is
+    * null (or that lack the two fields scoring cannot proceed without)
+    * route to a dead-letter frame carrying the raw payload for replay.
+    * Returns (good, dead) — same upstream scan, two filtered views.
+    */
+  def parseWithDeadLetter(kafka: DataFrame): (Dataset[Transaction], DataFrame) = {
+    import kafka.sparkSession.implicits._
+    val parsed = kafka
+      .select(col("value").cast("string").as("raw"),
+        from_json(col("value").cast("string"), txSchema).as("tx"))
+    val bad = parsed.filter(
+      col("tx").isNull || col("tx.card_id").isNull || col("tx.timestamp").isNull)
+      .select(col("raw"), current_timestamp().as("rejected_at"))
+    val good = parsed.filter(
+      col("tx").isNotNull && col("tx.card_id").isNotNull && col("tx.timestamp").isNotNull)
+      .select("tx.*")
+      .withColumn("event_time",
+        to_timestamp(regexp_replace(col("timestamp"), "Z$", "")))
+      .withWatermark("event_time", "5 seconds")
+      .drop("event_time")
+      .as[Transaction]
+    (good, bad)
+  }
+
   /** Keyed stateful scoring (P1 + P2): shuffle by card_id, fold each
     * group's events in event-time order through [[FraudScoring.scoreOne]].
     * State carries [[CardState]] with a 10-minute processing-time timeout

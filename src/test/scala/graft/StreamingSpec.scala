@@ -116,4 +116,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("headers"))
       .map(_.getString(0)).toSeq == Seq("event_type", "schema_version"))
   }
+
+  test("malformed JSON routes to the dead-letter frame, valid rows parse") {
+    import spark.implicits._
+    val valid =
+      """{"schema_version":"1.0","event_id":"e1","transaction_id":"t1",
+        |"customer_id":"Alice","card_id":"card_1","merchant_id":"m",
+        |"merchant_category":"POS","amount":10.0,"currency":"USD",
+        |"location":"NY","ip_address":"1.2.3.4","event_type":"NORMAL",
+        |"timestamp":"2024-01-01T00:00:00Z"}""".stripMargin.replace("\n", "")
+    val kafkaLike = Seq(
+      valid,
+      "not json at all",
+      """{"card_id":"c9"}""", // parses but no timestamp
+      "{\"truncated\":").toDF("value")
+    val (good, dead) = FraudStream.parseWithDeadLetter(kafkaLike)
+    assert(good.collect().map(_.card_id).toSeq == Seq("card_1"))
+    assert(dead.count() == 3)
+    assert(dead.columns.contains("raw"))
+  }
 }
