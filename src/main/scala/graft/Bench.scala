@@ -25,6 +25,8 @@ object Bench {
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -51,17 +53,26 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     val queries = SparkEntry.queries
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { queries(name)(spark, sfDir).count(); () }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            errors += name
+            false
+        }
+      // a failed query reports -1, never its partial wall time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,9 +3,9 @@ package graft.functions
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -18,22 +18,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~75 s first-run JIT + ~6 s warm per 260 k shingles at sf0.1; this
   * evaluator is a single monomorphic loop.
   *
+  * `doGenCode` emits a call through a codegen reference object, so the
+  * surrounding whole-stage-codegen span stays intact (a `CodegenFallback`
+  * would split it at every call site).
+  *
   * Split semantics match `split(text, ' ')` (trailing/empty tokens kept);
   * returns NULL when the text has fewer than n words (callers filter,
   * matching the DuckDB oracle's `WHERE len(ws) >= n`).
   */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null for texts with < n words
   override def prettyName: String = "word_shingles"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("word_shingles(string, n>=1)")
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  def compute(input: UTF8String): ArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < n) return null
     val seen = mutable.LinkedHashSet.empty[String]
     val sb = new java.lang.StringBuilder(64)
@@ -52,6 +56,24 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(seen.toArray.map(s => UTF8String.fromString(s): Any))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("shingles")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp = $self.compute($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
@@ -59,12 +81,17 @@ case class WordShingles(child: Expression, n: Int)
 /** Dot product of two double arrays, summed sequentially in index order —
   * exactly `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)` but as one
   * tight loop instead of an interpreted lambda tree (the ANN queries spend
-  * most of their time here).
+  * most of their time here). Real `doGenCode`: the loop is inlined into
+  * whole-stage codegen.
+  *
+  * Length-mismatched inputs return NULL: a silently truncated dot product
+  * would score corrupt/mixed-dimension embedding data plausibly instead of
+  * surfacing it (DuckDB's `list_dot_product` errors on mismatch).
   */
-case class DotDouble(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch
   override def prettyName: String = "dot_double"
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -79,12 +106,33 @@ case class DotDouble(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toDoubleArray()
     val b = r.asInstanceOf[ArrayData].toDoubleArray()
-    val m = math.min(a.length, b.length)
+    if (a.length != b.length) return null
     var acc = 0.0
     var i = 0
-    while (i < m) { acc += a(i) * b(i); i += 1 }
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val a = ctx.freshName("dotA")
+      val b = ctx.freshName("dotB")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotI")
+      s"""
+         |double[] $a = $l.toDoubleArray();
+         |double[] $b = $r.toDoubleArray();
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += $a[$i] * $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
     copy(left = l, right = r)
@@ -92,10 +140,12 @@ case class DotDouble(left: Expression, right: Expression)
 
 /** 16-bit hyperplane-sign signature: bit p set iff dot(emb, planes(p)) > 0.
   * The planes are bound at plan build — constants inside one loop, zero
-  * per-row md5/literal-array traffic.
+  * per-row md5/literal-array traffic. `doGenCode` calls through a codegen
+  * reference object (keeps the whole-stage span intact; the planes matrix
+  * rides along inside the referenced instance).
   */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
@@ -105,8 +155,8 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     case _ => TypeCheckResult.TypeCheckFailure("hyperplane_sig(array<double>)")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+  def sig(input: ArrayData): Long = {
+    val v = input.toDoubleArray()
     var sig = 0L
     var p = 0
     while (p < planes.length) {
@@ -121,6 +171,14 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     sig
   }
 
+  override def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hyperplaneSig", this, classOf[HyperplaneSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.sig($c);")
+  }
+
   // the planes array is not a child expression; exclude it from equality noise
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
@@ -131,9 +189,10 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   * Single pass per document — replaces an explode(tokens) × explode(48
   * bits) + two-level aggregation plan (~48× row inflation and a shuffle)
   * with one loop. Exactly the recurrence the DuckDB oracle computes.
+  * `doGenCode` calls through a codegen reference object (no whole-stage
+  * split).
   */
-case class SimHash48(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash48(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash48"
@@ -142,8 +201,8 @@ case class SimHash48(child: Expression)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure("simhash48(string)")
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  def hash(input: UTF8String): Long = {
+    val words = input.toString.split(" ", -1)
     val acc = new Array[Int](48)
     val cache = new java.util.HashMap[String, Long]()
     var i = 0
@@ -164,25 +223,41 @@ case class SimHash48(child: Expression)
     sig
   }
 
+  override def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHash48", this, classOf[SimHash48].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hash($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): SimHash48 =
     copy(child = newChild)
 }
 
-/** Session registration for expr()/SQL use of the custom expressions. */
+/** Session registration for expr()/SQL use of the custom expressions.
+  * Idempotent per session: re-invoking is a cheap no-op (round 1 registered
+  * inside every query constructor and spammed the logs with
+  * `replaced a previously registered function` warnings).
+  */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    RollingHash.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => WordShingles(exprs.head, 3),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_double",
-      exprs => DotDouble(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash48",
-      exprs => SimHash48(exprs.head),
-      "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("dot_double"))) {
+      RollingHash.register(spark)
+      reg.createOrReplaceTempFunction(
+        "word_shingles",
+        exprs => WordShingles(exprs.head, 3),
+        "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "simhash48",
+        exprs => SimHash48(exprs.head),
+        "scala_udf")
+      // last: its presence is the "already registered" marker above
+      reg.createOrReplaceTempFunction(
+        "dot_double",
+        exprs => DotDouble(exprs(0), exprs(1)),
+        "scala_udf")
+    }
   }
 }

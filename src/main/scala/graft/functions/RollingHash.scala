@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Document fingerprint: polynomial rolling hash
-  * `h = (h * 31 + char) mod 1e9+7` over the string's UTF-16 units.
+  * `h = (h * 31 + codepoint) mod 1e9+7` over the string's Unicode code
+  * points — NOT UTF-16 units, so supplementary-plane characters (emoji,
+  * rare CJK) hash as one value, matching the DuckDB oracle's per-character
+  * `ascii(substr(s, i, 1))` iteration.
   *
   * A native Catalyst `Expression` with `doGenCode` so the per-character
   * loop runs inside whole-stage codegen — no UDF boxing, no lambda
@@ -35,8 +38,9 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      h = (h * 31L + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }
@@ -45,11 +49,14 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
          |java.lang.String $s = $c.toString();
          |long ${ev.value}Acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  ${ev.value}Acc = (${ev.value}Acc * 31L + $s.charAt($i)) % ${Mod}L;
+         |for (int $i = 0; $i < $s.length();) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value}Acc = (${ev.value}Acc * 31L + $cp) % ${Mod}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = ${ev.value}Acc;
        """.stripMargin
@@ -63,10 +70,14 @@ object RollingHash {
   /** Register `rolling_hash(str)` in the session's function registry so it
     * is usable from `expr(...)` / `spark.sql(...)`.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash",
-      exprs => RollingHash(exprs.head),
-      "scala_udf"
-    )
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"))) {
+      reg.createOrReplaceTempFunction(
+        "rolling_hash",
+        exprs => RollingHash(exprs.head),
+        "scala_udf"
+      )
+    }
+  }
 }

@@ -176,10 +176,18 @@ object TxGen {
 
   private def weightedChoice(rnd: Random, weighted: Seq[(String, Int)]): String = {
     val total = weighted.map(_._2).sum
-    var r = rnd.nextInt(total)
-    weighted
-      .collectFirst { case (v, w) if { r -= w; r < 0 } => v }
-      .getOrElse(weighted.last._1)
+    val r = rnd.nextInt(total)
+    // explicit cumulative scan — no side effects in any predicate, so the
+    // 80/8/6/6 mix survives refactors (a side-effecting pattern guard in
+    // collectFirst depends on exactly-once guard evaluation)
+    var cum = 0
+    var i = 0
+    while (i < weighted.length) {
+      cum += weighted(i)._2
+      if (r < cum) return weighted(i)._1
+      i += 1
+    }
+    weighted.last._1
   }
 
   private def round2(d: Double): Double = math.rint(d * 100) / 100

@@ -78,9 +78,9 @@ object FraudModel {
   def trainScoreSummary(tx: DataFrame): DataFrame = {
     val feats = featurize(tx)
     val model = train(feats)
-    val getP = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     score(model, feats)
-      .withColumn("p_fraud", getP(col("probability")))
+      .withColumn("p_fraud",
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))(1))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(avg("p_fraud"), 4).as("avg_p_fraud"),

@@ -26,9 +26,22 @@ import graft.sources.Tables
   *    quantizer is the other classic scale path; LSH is chosen here
   *    because it is training-free and deterministic.)
   *
-  * Queries = vectors with vec_id % 50 == 0 (10 at sf0.01, 40 at sf0.1).
+  * Queries = a FIXED 50-id list (0, 50, …, 2450). A corpus-derived
+  * predicate like `vec_id % 50 == 0` selects 2 % *of the corpus* — a
+  * broadcast side that grows linearly with data and OOMs at 100×; a
+  * constant id list keeps the query side O(K) at any scale and pushes
+  * into the parquet scan as an IN filter. (At sf0.01/sf0.1 the list
+  * selects exactly the same vectors as the old modulo predicate, so the
+  * oracle output is unchanged.)
   */
 object Similarity {
+
+  /** Fixed ANN query set: 50 literal ids, the 100 TB-safe replacement for
+    * a corpus-proportional `vec_id % 50 == 0` predicate.
+    */
+  private[operators] val QueryIds: IndexedSeq[Int] = (0 until 50).map(_ * 50)
+  private val queryIdsSql: String = QueryIds.mkString(", ")
+  private def isQueryId(c: org.apache.spark.sql.Column) = c.isin(QueryIds: _*)
 
   /** 16 × 64 hyperplane components in [-1, 1), derived from
     * int(md5("p:i")[:8]) but precomputed ONCE at plan-build time and
@@ -45,18 +58,33 @@ object Similarity {
     */
   private def registerFns(s: SparkSession): Unit = {
     graft.functions.GraftFunctions.register(s)
-    val planesArr = planes.map(_.toArray).toArray
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig16",
-      exprs => graft.functions.HyperplaneSig(exprs.head, planesArr),
-      "scala_udf")
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("hyperplane_sig16"))) {
+      val planesArr = planes.map(_.toArray).toArray
+      reg.createOrReplaceTempFunction(
+        "hyperplane_sig16",
+        exprs => graft.functions.HyperplaneSig(exprs.head, planesArr),
+        "scala_udf")
+    }
   }
 
   private def withEmb(s: SparkSession, d: String): DataFrame = {
     registerFns(s)
+    // float→double widening is exact and array Cast is codegen'd (a
+    // transform() lambda would be interpreted per row).
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
   }
+
+  /** 4 × 4-bit LSH band keys from the 16-bit hyperplane signature, as a
+    * static posexplode (codegen-friendly; no interpreted lambda).
+    */
+  private def banded4(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftright(sig, ${b * 4}) & 15")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
 
   private def cosineCols(df: DataFrame): DataFrame =
     df.withColumn("cosine", round(expr("dot_double(qe, ce)") /
@@ -72,19 +100,19 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => {
+      // exact baseline: one corpus pass × K=50 broadcast queries. The IN
+      // filter pushes to the parquet scan, so the query side is O(K) at
+      // any corpus size.
       val e = withEmb(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(isQueryId(col("vec_id")))
         .select(col("vec_id").as("query_id"), col("emb").as("qe"))
       val c = e.select(col("vec_id"), col("emb").as("ce"))
       topk(c.join(broadcast(q), col("query_id") =!= col("vec_id")), 5)
     }),
     "ann_lsh_topk" -> ((s, d) => {
       val e = withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)"))
-      val banded = e.select(
-        col("vec_id"), col("emb"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b as band_id, shiftright(sig, b * 4) & 15 as band_val))")).as("bd"))
-        .select(col("vec_id"), col("emb"), col("bd.band_id"), col("bd.band_val"))
-      val q = banded.filter(col("vec_id") % 50 === 0)
+      val banded = banded4(e)
+      val q = banded.filter(isQueryId(col("vec_id")))
         .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("band_id"), col("band_val"))
       val c = banded.select(col("vec_id"), col("emb").as("ce"), col("band_id"), col("band_val"))
       val cands = c.join(broadcast(q), Seq("band_id", "band_val"))
@@ -97,10 +125,7 @@ object Similarity {
       // near-dup scale path: hyperplane-LSH buckets → exact cosine re-rank,
       // top-20 pairs. Candidate volume tracks bucket collisions, not n².
       val e = withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)"))
-      val banded = e.select(
-        col("vec_id"), col("emb"),
-        explode(expr("transform(sequence(0, 3), b -> struct(b as band_id, shiftright(sig, b * 4) & 15 as band_val))")).as("bd"))
-        .select(col("vec_id"), col("emb"), col("bd.band_id"), col("bd.band_val"))
+      val banded = banded4(e)
       val a = banded.select(col("vec_id").as("id1"), col("emb").as("qe"), col("band_id"), col("band_val"))
       val b = banded.select(col("vec_id").as("id2"), col("emb").as("ce"), col("band_id"), col("band_val"))
       a.join(b, Seq("band_id", "band_val"))
@@ -138,12 +163,18 @@ object Similarity {
       val cellsSql = cents.map { case (id, v) =>
         s"named_struct('cos', dot_double(emb, ${arrLit(v)}) / (sqrt(dot_double(emb, emb)) * ${norm(v)}D), 'cell_id', $id)"
       }.mkString("array(", ",", ")")
-      val assigned = e
+      // The corpus assignment subtree is consumed exactly once; the query
+      // side re-derives its own (tiny) assignment from a scan whose IN
+      // filter is pushed to parquet — so the full scan + 8-dot assignment
+      // runs ONCE, not twice (round-1 bench bug: an unpersisted `assigned`
+      // fed both sides and executed twice).
+      val corpus = e
         .withColumn("cells", expr(cellsSql))
         .withColumn("best", expr("array_max(cells)"))
-      val corpus = assigned.select(
-        col("vec_id"), col("emb").as("ce"), col("best.cell_id").as("cell_id"))
-      val q = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("emb").as("ce"), col("best.cell_id").as("cell_id"))
+      val q = e.filter(isQueryId(col("vec_id")))
+        .withColumn("cells", expr(cellsSql))
+        .withColumn("best", expr("array_max(cells)"))
         .select(col("vec_id").as("query_id"), col("emb").as("qe"),
           explode(expr(
             """array(best.cell_id,
@@ -190,7 +221,7 @@ object Similarity {
          |p AS (SELECT q.vec_id query_id, c.vec_id,
          |        round(list_dot_product(q.emb, c.emb) /
          |          (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) cosine
-         |      FROM e q JOIN e c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+         |      FROM e q JOIN e c ON q.vec_id IN ($queryIdsSql) AND q.vec_id <> c.vec_id)
          |SELECT query_id, rank, vec_id, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
@@ -201,7 +232,7 @@ object Similarity {
          |cand AS (SELECT DISTINCT q.vec_id query_id, q.emb qe, c.vec_id, c.emb ce
          |         FROM bands q JOIN bands c
          |           ON q.band_id = c.band_id AND q.band_val = c.band_val
-         |          AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+         |          AND q.vec_id IN ($queryIdsSql) AND q.vec_id <> c.vec_id),
          |p AS (SELECT query_id, vec_id,
          |        round(list_dot_product(qe, ce) /
          |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
@@ -233,7 +264,7 @@ object Similarity {
          |       FROM e CROSS JOIN cent c),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
          |corpus AS (SELECT vec_id, emb ce, cell_id FROM rk WHERE r = 1),
-         |q AS (SELECT vec_id query_id, emb qe, cell_id FROM rk WHERE r <= 2 AND vec_id % 50 = 0),
+         |q AS (SELECT vec_id query_id, emb qe, cell_id FROM rk WHERE r <= 2 AND vec_id IN ($queryIdsSql)),
          |p AS (SELECT query_id, c.vec_id,
          |        round(list_dot_product(qe, ce) /
          |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
