@@ -53,8 +53,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     val queries = SparkEntry.queries
+    // dev: `runMain graft.Bench q1 q2` times just those queries
+    val basket = if (args.nonEmpty) args.toSeq else headline
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = headline.filter(queries.contains).map { name =>
+    val results = basket.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { queries(name)(spark, sfDir).count(); true }

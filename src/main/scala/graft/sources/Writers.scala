@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output side of the training-data pipeline: write a frame as a
@@ -33,4 +34,35 @@ object Writers {
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
   }
+
+  /** Batch JDBC sink — the reference ships flink-connector-jdbc +
+    * postgresql driver jars as a latent capability (DockerFile:17,
+    * custom_lib/; SURVEY.md §2 X2). Spark's built-in JDBC relation writes
+    * partition-parallel batched INSERTs; `numPartitions` caps the
+    * connection fan-in so a 1000-executor job doesn't open 1000
+    * connections against one database.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      mode: SaveMode = SaveMode.Append, numPartitions: Int = 8): Unit =
+    df.coalesce(numPartitions).write
+      .mode(mode)
+      .jdbc(url, table, properties)
+
+  /** Streaming JDBC sink via foreachBatch (Structured Streaming has no
+    * first-party jdbc format) — per micro-batch, one partition-parallel
+    * batched append; at-least-once like the reference's Flink JDBC sink in
+    * non-XA mode.
+    */
+  def streamToJdbc(ds: Dataset[_], url: String, table: String,
+      checkpointDir: String,
+      properties: java.util.Properties = new java.util.Properties(),
+      numPartitions: Int = 8): StreamingQuery =
+    ds.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeJdbc(batch, url, table, properties, SaveMode.Append, numPartitions)
+      }
+      .start()
 }

@@ -34,6 +34,14 @@ object Cep {
 
   /** Detect `steps` in strict contiguity within `withinMs` per key.
     *
+    * State hygiene for unbounded key spaces (the 100 TB/day stream shape):
+    * a key whose machine is at step 0 stores NO state (an empty machine is
+    * indistinguishable from no machine), and mid-pattern state carries a
+    * processing-time TTL of `withinMs` — state older than the pattern
+    * window can never complete a match, so expiring it is semantically
+    * free. Both mirror FraudStream.score's TTL handling; without them,
+    * per-key state accumulates forever.
+    *
     * @param events   keyed event stream/dataset
     * @param key      grouping key (card/user)
     * @param eventId  id extractor (for match provenance)
@@ -57,32 +65,45 @@ object Cep {
     events
       .groupByKey(key)
       .flatMapGroupsWithState[CepState, CepMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (k: String, it: Iterator[E], state: GroupState[CepState]) =>
-          var st = state.getOption.getOrElse(CepState(0, Nil, 0L))
-          val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
+          if (state.hasTimedOut) {
+            // mid-pattern state idle past the pattern window: can never
+            // complete a match — drop it, emit nothing.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(CepState(0, Nil, 0L))
+            val out = scala.collection.mutable.ListBuffer.empty[CepMatch]
 
-          def tryStart(e: E, ms: Long): CepState =
-            if (steps.head.pred(e)) CepState(1, List(eventId(e)), ms)
-            else CepState(0, Nil, 0L)
+            def tryStart(e: E, ms: Long): CepState =
+              if (steps.head.pred(e)) CepState(1, List(eventId(e)), ms)
+              else CepState(0, Nil, 0L)
 
-          it.toSeq
-            .map(e => (millis(e), eventId(e), e))
-            .sortBy { case (ms, id, _) => (ms, id) }
-            .foreach { case (ms, _, e) =>
-              st =
-                if (st.stepIdx == 0) tryStart(e, ms)
-                else if (ms - st.startMillis > withinMs) tryStart(e, ms)
-                else if (steps(st.stepIdx).pred(e)) {
-                  val next = CepState(st.stepIdx + 1, st.eventIds :+ eventId(e), st.startMillis)
-                  if (next.stepIdx == steps.size) {
-                    out += CepMatch(k, next.eventIds, next.startMillis, ms)
-                    CepState(0, Nil, 0L) // skip past last event
-                  } else next
-                } else tryStart(e, ms) // strict contiguity broken: restart
+            it.toSeq
+              .map(e => (millis(e), eventId(e), e))
+              .sortBy { case (ms, id, _) => (ms, id) }
+              .foreach { case (ms, _, e) =>
+                st =
+                  if (st.stepIdx == 0) tryStart(e, ms)
+                  else if (ms - st.startMillis > withinMs) tryStart(e, ms)
+                  else if (steps(st.stepIdx).pred(e)) {
+                    val next = CepState(st.stepIdx + 1, st.eventIds :+ eventId(e), st.startMillis)
+                    if (next.stepIdx == steps.size) {
+                      out += CepMatch(k, next.eventIds, next.startMillis, ms)
+                      CepState(0, Nil, 0L) // skip past last event
+                    } else next
+                  } else tryStart(e, ms) // strict contiguity broken: restart
+              }
+            if (st.stepIdx == 0) {
+              // empty machine ≡ no machine: never store it
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              state.setTimeoutDuration(math.max(withinMs, 1000L))
             }
-          state.update(st)
-          out.iterator
+            out.iterator
+          }
       }
   }
 }

@@ -71,6 +71,33 @@ class CepSpec extends AnyFunSuite {
     assert(m.forall(_.key == "c1"))
   }
 
+  test("state hygiene: only mid-pattern keys hold state (idle keys store nothing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Transaction]
+    // c1 starts the pattern (one micro-probe, mid-pattern); c2 and c3 see
+    // only normal amounts (machine stays at step 0 → no stored state)
+    in.addData(
+      tx("c1", "2024-01-01T00:00:00Z", 2.0, "a"),
+      tx("c2", "2024-01-01T00:00:00Z", 50.0, "x"),
+      tx("c3", "2024-01-01T00:00:00Z", 60.0, "y"),
+      tx("c3", "2024-01-01T00:00:05Z", 70.0, "z"))
+    val q = Cep.detect[Transaction](
+      in.toDS(),
+      key = _.card_id,
+      eventId = _.event_id,
+      millis = t => graft.streaming.FraudScoring.parseMillis(t.timestamp),
+      steps = cardTesting,
+      withinMs = 60000L
+    ).writeStream.format("memory").queryName("cep_state_hygiene")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1L, s"expected state only for c1, got $stateRows rows")
+  }
+
   test("streaming 2-step pattern agrees with the batch lag-window query on events") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
