@@ -174,6 +174,119 @@ object TxGen {
     )
   }
 
+  /** Per-card generator state for [[statefulStream]]: the same
+    * last-location/last-time memory the reference producer keeps in
+    * `card_last_activity` (producer/transaction-kafka-producer.py:35-40),
+    * plus a velocity flag for the 0.15 s-after-VELOCITY pacing
+    * (producer:142, mapped to a 1 s event-time gap at our second
+    * precision).
+    */
+  final case class GenCardState(
+      lastLoc: String,
+      lastTimeMillis: Long,
+      lastWasVelocity: Boolean
+  )
+
+  /** One rate-source tick routed to its card (key) with its wall-clock
+    * anchor — the keyed input of [[statefulStream]].
+    */
+  final case class Tick(cardId: String, tick: Long, wallMillis: Long)
+
+  /** Stateful streaming generator with FULL reference-producer parity
+    * (SURVEY.md §2 G1a/G1b in stream mode, unlike the stateless
+    * [[stream]]): per-card state in `flatMapGroupsWithState` maintains
+    * last location/time so
+    *
+    *  - event time is per-card monotonic (+1..5 s; producer:95-98),
+    *  - IMPOSSIBLE_TRAVEL events are *shaped*, not just labeled: +90 s
+    *    after the previous event at a forced different location
+    *    (producer:70-77) — so the downstream travel rule actually fires,
+    *  - the event after a VELOCITY burst follows at the minimum +1 s gap
+    *    (the producer's 0.15 s pacing, producer:142, at our second
+    *    precision).
+    *
+    * Card state is 8 keys today but the operator is keyed, so the same
+    * plan holds for millions of cards across executors. Tick-seeded
+    * randomness keeps the corpus deterministic given a tick sequence.
+    */
+  def statefulStream(spark: SparkSession, rowsPerSecond: Int = 10, seed: Long = 42L): Dataset[Transaction] = {
+    import spark.implicits._
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, tick) => routeTick(ts.toInstant, tick, seed) }
+    statefulShape(ticks, seed)
+  }
+
+  /** Deterministic tick → card routing (same customer/card selection as
+    * [[fromTick]]).
+    */
+  def routeTick(wall: Instant, tick: Long, seed: Long = 42L): Tick = {
+    val rnd = new Random(seed ^ tick)
+    val (_, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
+    Tick(cards(rnd.nextInt(cards.size)), tick, wall.toEpochMilli)
+  }
+
+  /** The keyed state machine behind [[statefulStream]], factored over any
+    * tick source so tests can drive it through MemoryStream.
+    */
+  def statefulShape(ticks: Dataset[Tick], seed: Long = 42L): Dataset[Transaction] = {
+    import ticks.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ticks
+      .groupByKey(_.cardId)
+      .flatMapGroupsWithState[GenCardState, Transaction](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cardId: String, it: Iterator[Tick], state: GroupState[GenCardState]) =>
+          var st = state.getOption.orNull
+          val out = it.toSeq.sortBy(_.tick).map { t =>
+            val rnd = new Random(seed ^ t.tick)
+            // replay routeTick's two draws so the rest of the RNG stream
+            // stays aligned with the stateless fromTick variant
+            val (_, cards) = GenDims.Customers(rnd.nextInt(GenDims.Customers.size))
+            rnd.nextInt(cards.size)
+            val fraudType = weightedChoice(rnd, GenDims.FraudTypeWeights)
+            var location = FraudConstants.Locations(rnd.nextInt(FraudConstants.Locations.size))
+            var amount = round2(20 + rnd.nextDouble() * 280)
+            val (category, merchants) =
+              GenDims.MerchantCategories(rnd.nextInt(GenDims.MerchantCategories.size))
+            val merchant = merchants(rnd.nextInt(merchants.size))
+            var time = st match {
+              case null => Instant.ofEpochSecond(t.wallMillis / 1000)
+              case s if s.lastWasVelocity => Instant.ofEpochMilli(s.lastTimeMillis).plusSeconds(1)
+              case s => Instant.ofEpochMilli(s.lastTimeMillis).plusSeconds(1L + rnd.nextInt(5))
+            }
+            fraudType match {
+              case "CARD_TESTING" => amount = round2(1 + rnd.nextDouble() * 4)
+              case "VELOCITY"     => amount = round2(80 + rnd.nextDouble() * 120)
+              case "IMPOSSIBLE_TRAVEL" if st != null =>
+                val others = FraudConstants.Locations.filter(_ != st.lastLoc)
+                location = others(rnd.nextInt(others.size))
+                time = Instant.ofEpochMilli(st.lastTimeMillis).plusSeconds(90)
+              case _ => ()
+            }
+            st = GenCardState(location, time.toEpochMilli, fraudType == "VELOCITY")
+            Transaction(
+              schema_version = "1.0",
+              event_id = s"evt-${time.toEpochMilli}-${hex6(rnd)}",
+              transaction_id = new UUID(rnd.nextLong(), rnd.nextLong()).toString,
+              customer_id = GenDims.CardToCustomer(cardId),
+              card_id = cardId,
+              merchant_id = merchant.replace(" ", "_").toLowerCase,
+              merchant_category = category,
+              amount = amount,
+              currency = "USD",
+              location = location,
+              ip_address = Seq.fill(4)(1 + rnd.nextInt(245)).mkString("."),
+              event_type = fraudType,
+              timestamp = IsoFmt.format(time)
+            )
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   private def weightedChoice(rnd: Random, weighted: Seq[(String, Int)]): String = {
     val total = weighted.map(_._2).sum
     val r = rnd.nextInt(total)

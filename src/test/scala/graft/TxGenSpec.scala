@@ -79,4 +79,59 @@ class TxGenSpec extends AnyFunSuite {
       assert(n > 0, "rate stream produced no rows in 30 s")
     } finally q.stop()
   }
+
+  test("stateful stream generator: monotonic per-card time, shaped travel, fraud mix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wall = java.time.Instant.parse("2024-06-01T12:00:00Z")
+    val in = MemoryStream[TxGen.Tick]
+    in.addData((0L until 4000L).map(TxGen.routeTick(wall, _)))
+    val q = TxGen.statefulShape(in.toDS())
+      .writeStream.format("memory").queryName("txgen_stateful")
+      .outputMode("append").trigger(Trigger.Once())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txgen_sf").toString)
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("txgen_stateful").as[graft.model.Transaction].collect()
+    assert(rows.length == 4000)
+
+    // G1a in stream mode: strictly monotonic per-card event time
+    rows.groupBy(_.card_id).foreach { case (_, ts) =>
+      val millis = ts.map(t => FraudScoring.parseMillis(t.timestamp)).sorted
+      assert(millis.distinct.size == millis.size)
+    }
+
+    // G1b in stream mode: IMPOSSIBLE_TRAVEL events are +90 s at a forced
+    // different location (producer:70-77), so the travel rule really fires
+    val byCard = rows.groupBy(_.card_id).view.mapValues(
+      _.sortBy(t => FraudScoring.parseMillis(t.timestamp)))
+    var shaped = 0
+    byCard.foreach { case (_, ts) =>
+      ts.toSeq.sliding(2).foreach {
+        case Seq(prev, cur) if cur.event_type == "IMPOSSIBLE_TRAVEL" =>
+          assert(cur.location != prev.location)
+          assert(FraudScoring.parseMillis(cur.timestamp) -
+            FraudScoring.parseMillis(prev.timestamp) == 90000L)
+          shaped += 1
+        case _ => ()
+      }
+    }
+    assert(shaped > 20, s"expected a meaningful shaped-travel population, got $shaped")
+
+    // end-to-end: the batch rule engine detects travel on the shaped corpus
+    val scored = graft.operators.FraudRules.scoreTransactions(rows.toSeq.toDF())
+      .filter(org.apache.spark.sql.functions.col("reasons")
+        .contains("IMPOSSIBLE_TRAVEL"))
+    assert(scored.count() >= shaped,
+      "every shaped travel event must trigger the travel rule")
+
+    // fraud mix still approximates 80/8/6/6
+    val byType = rows.groupBy(_.event_type).view.mapValues(_.size).toMap
+    assert(byType("NORMAL").toDouble / rows.length > 0.7)
+    assert(byType.keySet == Set("NORMAL", "CARD_TESTING", "VELOCITY", "IMPOSSIBLE_TRAVEL"))
+  }
 }
