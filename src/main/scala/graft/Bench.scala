@@ -26,6 +26,7 @@ object Bench {
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

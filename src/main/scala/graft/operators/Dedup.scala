@@ -105,7 +105,51 @@ object Dedup {
         (sqrt(expr("dot_double(e1, e1)")) * sqrt(expr("dot_double(e2, e2)"))), 4))
   }
 
+  /** Connected components by iterative min-label propagation: every node's
+    * label converges to the smallest doc_id reachable through dup edges —
+    * the step that turns pairwise near-dup hits into canonical clusters
+    * (pick one survivor per cluster). Each iteration is one equi-join +
+    * one map-side-combined min() aggregation, and the loop runs
+    * O(cluster diameter) times — near-dup clusters are near-cliques, so
+    * 2-4 iterations in practice. `localCheckpoint` truncates lineage so
+    * plans don't grow with iterations. (At extreme diameters the
+    * large-star/small-star variant halves rounds; the join/agg shape is
+    * the same.) The driver-side loop condition is a scalar count — no row
+    * data ever reaches the driver.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("d1").as("u"), col("d2").as("v"))
+      .union(edges.select(col("d2").as("u"), col("d1").as("v")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = sym.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.union(viaEdges)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> ((s, d) => {
+      // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters
+      val pairs = queries("dedup_simhash_pairs")(s, d).select("d1", "d2")
+      val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(docs, pairs)
+      val bySize = Window.partitionBy(col("cluster_id"))
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(bySize))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    }),
     "dedup_exact" -> ((s, d) => {
       val byHash = Window.partitionBy(col("text_hash"))
       Tables.documents(s, d)
@@ -233,6 +277,22 @@ object Dedup {
       |         FROM bs GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_components" ->
+      s"""WITH RECURSIVE $simhashCte,
+         |p AS (SELECT a.doc_id d1, b.doc_id d2
+         |      FROM sh48 a JOIN sh48 b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         |e AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2 u, d1 v FROM p),
+         |reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.label FROM reach r JOIN e ON e.v = r.node
+         |),
+         |lab AS (SELECT node AS doc_id, min(label) cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM lab""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS text_hash,
         |  count(*) OVER (PARTITION BY md5(text)) AS dup_count,

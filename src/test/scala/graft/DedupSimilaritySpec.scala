@@ -32,6 +32,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"simhash covered ${covered.size}/${planted.size}")
   }
 
+  test("connected components: chain graph needs >1 iteration, labels = component min") {
+    import spark.implicits._
+    // path 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dedup_components clusters the planted near-dups around min doc_id") {
+    val comp = Dedup.queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // every simhash pair must land in one cluster
+    pairs("dedup_simhash_pairs").foreach { case (d1, d2) =>
+      val c1 = comp.find(_._1 == d1).get._2
+      val c2 = comp.find(_._1 == d2).get._2
+      assert(c1 == c2, s"pair ($d1,$d2) split across clusters $c1/$c2")
+    }
+    // exactly one canonical per cluster, and it is the min doc_id
+    comp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1)
+      assert(members.filter(_._4).head._1 == members.map(_._1).min)
+      assert(cid == members.map(_._1).min)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("exact dedup marks exactly one canonical doc per hash group") {
     val df = Dedup.queries("dedup_exact")(spark, sf)
     val byHash = df.groupBy("text_hash")
