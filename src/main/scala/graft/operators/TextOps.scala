@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -90,6 +91,37 @@ object TextOps {
         .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"),
           expr("rolling_hash(substring(text, 1, 64))").as("prefix_fp"))
     }),
+    "text_vocab" -> ((s, d) => {
+      // vocabulary building: corpus-wide token frequencies, top 50.
+      // explode + partial-aggregated count is the 100 TB shape (map-side
+      // combine before the single shuffle on token); top-k is
+      // TakeOrderedAndProject, no global sort.
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+    "text_tfidf" -> ((s, d) => {
+      // top-3 TF-IDF terms per document. tf and df are both
+      // explode + partial aggregation; the corpus size N joins in as a
+      // broadcast scalar (no driver collect); idf = ln((N+1)/(df+1)).
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "tfidf")
+    }),
     "text_stats_by_lang" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("n_words", size(split(col("text"), " ")).cast("int"))
@@ -148,6 +180,22 @@ object TextOps {
       s"""SELECT doc_id, ${rollSql("text")} AS fingerprint,
          |  ${rollSql("substr(text, 1, 64)")} AS prefix_fp
          |FROM documents""".stripMargin,
+    "text_vocab" ->
+      """SELECT w AS token, count(*) n
+        |FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |GROUP BY w ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token, tf,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tf, tfidf FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
     "text_stats_by_lang" ->
       """SELECT lang, count(*) n_docs, round(avg(n_chars), 4) avg_chars,
         |  round(avg(len(string_split(text, ' '))), 4) avg_words,
