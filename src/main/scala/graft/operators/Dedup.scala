@@ -278,7 +278,7 @@ object Dedup {
        |sig AS (SELECT doc_id, [$mins] sig FROM hb GROUP BY doc_id)""".stripMargin
   }
 
-  private val simhashCte =
+  private[operators] val simhashCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
       |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 12))::BIGINT h FROM tok),
       |tb AS (SELECT doc_id, h, unnest(range(0, 48)) b FROM th),
@@ -287,19 +287,26 @@ object Dedup {
       |sh48 AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT simhash
       |         FROM bs GROUP BY doc_id)""".stripMargin
 
+  /** simhash pigeonhole pairs → undirected edges → recursive min-label
+    * fixpoint → `lab(doc_id, cluster_id)`. Requires `WITH RECURSIVE`.
+    * Composed by dedup_components and [[TrainingPipeline]]'s oracle.
+    */
+  private[operators] val componentsCte: String =
+    s"""$simhashCte,
+       |p AS (SELECT a.doc_id d1, b.doc_id d2
+       |      FROM sh48 a JOIN sh48 b ON a.doc_id < b.doc_id
+       |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |e AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2 u, d1 v FROM p),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN e ON e.v = r.node
+       |),
+       |lab AS (SELECT node AS doc_id, min(label) cluster_id FROM reach GROUP BY node)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_components" ->
-      s"""WITH RECURSIVE $simhashCte,
-         |p AS (SELECT a.doc_id d1, b.doc_id d2
-         |      FROM sh48 a JOIN sh48 b ON a.doc_id < b.doc_id
-         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
-         |e AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2 u, d1 v FROM p),
-         |reach(node, label) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.u, r.label FROM reach r JOIN e ON e.v = r.node
-         |),
-         |lab AS (SELECT node AS doc_id, min(label) cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $componentsCte
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) cluster_size,
          |  doc_id = cluster_id AS is_canonical

@@ -133,7 +133,18 @@ object TextOps {
     })
   )
 
-  private val wsCte = "t AS (SELECT *, string_split(text, ' ') ws FROM documents)"
+  private[operators] val wsCte = "t AS (SELECT *, string_split(text, ' ') ws FROM documents)"
+
+  /** `q AS (…)` — per-doc quality_score over the `t` CTE, identical to the
+    * text_quality oracle's expression, for composition by other modules'
+    * oracles ([[TrainingPipeline]]).
+    */
+  private[operators] val qualityCte: String =
+    s"""q AS (SELECT doc_id,
+       |  round(0.4 * least(1.0, len(ws) / 100.0)
+       |    + 0.3 * (1.0 - ${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE)
+       |    + 0.3 * (len(list_distinct(ws)) / len(ws)::DOUBLE), 4) quality_score
+       |  FROM t)""".stripMargin
 
   private val rollSql = (c: String) =>
     s"""list_reduce(list_prepend(0::BIGINT,

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5}
+import java.nio.file.Files
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.RollingHash
@@ -62,5 +64,32 @@ class TextMultimodalSpec extends AnyFunSuite {
     blobs.collect().take(20).foreach { b =>
       assert(new String(b.content, "UTF-8") == docs(b.media_id))
     }
+  }
+
+  test("training pipeline: quality gate + dedup funnel materializes clean shards") {
+    import graft.operators.TrainingPipeline
+    val out = Files.createTempDirectory("shards_pipeline").toString
+    val minQ = 0.5
+    val summary = TrainingPipeline.materialize(spark, sf, out, minQ)
+      .collect().head
+    val total = summary.getAs[Long]("total_docs")
+    val kept = summary.getAs[Long]("kept")
+    assert(total > 0 && kept > 0 && kept < total)
+
+    val shards = spark.read.parquet(out)
+    assert(shards.count() == kept)
+    // no exact duplicates survive
+    assert(shards.select(md5(col("text"))).distinct().count() == kept)
+    // every kept doc clears the quality gate (score rides along in shards)
+    assert(shards.filter(col("quality_score") < minQ).count() == 0)
+    // near-dup clusters collapse to one survivor: no two kept docs share a
+    // dedup_components cluster
+    val clusters = graft.operators.Dedup.queries("dedup_components")(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    assert(shards.join(clusters, "doc_id")
+      .groupBy("cluster_id").count().filter(col("count") > 1).count() == 0)
+    // lang-partitioned layout
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("lang=")))
   }
 }
