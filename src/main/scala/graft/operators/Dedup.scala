@@ -35,7 +35,7 @@ object Dedup {
     * NULL shingles = fewer than 3 words, filtered like the oracle's
     * `WHERE len(ws) >= 3`.
     */
-  private def withShingles(docs: DataFrame): DataFrame = {
+  private[operators] def withShingles(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("sh", expr("word_shingles(text)"))
@@ -263,7 +263,7 @@ object Dedup {
     })
   )
 
-  private val shingleCte =
+  private[operators] val shingleCte =
     """t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |idx AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) i FROM t),
       |shg AS (SELECT doc_id, list_distinct(list(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) sh

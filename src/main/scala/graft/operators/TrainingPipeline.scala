@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -58,15 +59,108 @@ object TrainingPipeline {
       sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
   }
 
-  /** Oracle-checked surface: the per-doc decision vector. Hash-matching
-    * this against DuckDB pins the whole funnel — quality expression,
-    * exact-hash canonicalization, and the near-dup connected-components
-    * fixpoint — in one query.
+  /** Tokens-per-chunk budget for [[queries]]' pack_chunks. */
+  val ChunkBudget = 1000L
+
+  /** Oracle-checked surface: the per-doc decision vector plus the
+    * operators a training-data run needs after dedup — deterministic
+    * splits, token-budget chunking, benchmark decontamination, and
+    * embedding quantization. Hash-matching training_decisions against
+    * DuckDB pins the whole funnel — quality expression, exact-hash
+    * canonicalization, and the near-dup connected-components fixpoint —
+    * in one query.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_decisions" -> ((s, d) =>
       decisions(s, d, 0.5).select(
-        "doc_id", "quality_score", "exact_canonical", "cluster_canonical", "keep"))
+        "doc_id", "quality_score", "exact_canonical", "cluster_canonical", "keep")),
+
+    // Deterministic hash-based train/val/test assignment (80/10/10): pure
+    // per-row map, zero shuffle, and STABLE — a doc keeps its split across
+    // reruns, appends, and repartitions, which leakage-free eval demands.
+    // The salted md5 decouples this hash from every other md5 use in the
+    // engine (same portable int(md5[:8]) backbone as dedup/LSH).
+    "split_assign" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("split_bucket", expr(
+          "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("split_bucket") < 80, "train")
+            .when(col("split_bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "split_bucket", "split")
+    }),
+
+    // Token-budget chunking: assign each doc (in doc_id order) a chunk id
+    // so every chunk covers ChunkBudget tokens of the concatenated stream
+    // — the packing step before fixed-length sequence training. The naive
+    // formulation is a GLOBAL running sum (single-partition window =
+    // scale-killer); this is the two-stage distributed prefix sum: range-
+    // partition by doc_id, per-partition running sums in parallel, then a
+    // partition-count-sized offset table (32 rows) broadcast back. The
+    // localCheckpoint freezes partition ids so the offsets branch and the
+    // within-partition branch see identical pids (range-boundary sampling
+    // is not stable across separate jobs), and truncates lineage — at
+    // 100 TB this materializes 3 longs/doc, not the text.
+    "pack_chunks" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val parts = toks.repartitionByRange(32, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("pt"))
+        .withColumn("offset", coalesce(
+          sum("pt").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "offset")
+      val within = parts.withColumn("cum_in",
+        sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+      within.join(broadcast(offsets), "pid")
+        .withColumn("token_start", col("offset") + col("cum_in") - col("n_tokens"))
+        .withColumn("chunk_id", expr(s"token_start div $ChunkBudget"))
+        .select("doc_id", "n_tokens", "token_start", "chunk_id")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any 3-word
+    // shingle with the eval set (here the doc_id % 20 == 0 slice standing
+    // in for a benchmark table). Inverted-index equi-join on the shingle
+    // key — never all-pairs — so candidate volume tracks true overlap.
+    // The eval side is joined, not broadcast: it is corpus-proportional
+    // here; a real fixed benchmark would be broadcast-able.
+    "decontam_overlap" -> ((s, d) => {
+      val sh = Dedup.withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val evalSet = sh.filter(col("doc_id") % 20 === 0).select("s").distinct()
+      val hits = sh.filter(col("doc_id") % 20 =!= 0)
+        .join(evalSet, "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") >= 1)
+    }),
+
+    // Symmetric int8 quantization per embedding (scale = max|x| / 127) +
+    // reconstruction error — the compression step before shipping vectors
+    // to an ANN index. Per-row map, no shuffle. Explicit left folds
+    // (aggregate here, list_reduce in the oracle) keep float summation
+    // order identical in both engines; floor(x + 0.5) avoids engine-
+    // specific round-half modes.
+    "embedding_quantize" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("mx", expr(
+          "aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
+        .withColumn("scale", col("mx") / 127.0)
+        .withColumn("q_sum", expr(
+          """CASE WHEN mx = 0 THEN 0L ELSE aggregate(embedding, 0L, (a, x) ->
+            |  a + cast(greatest(-127.0, least(127.0, floor(cast(x as double) / scale + 0.5d))) as bigint)) END""".stripMargin))
+        .withColumn("recon_mae", expr(
+          """CASE WHEN mx = 0 THEN 0.0d ELSE round(aggregate(embedding, cast(0.0 as double), (a, x) ->
+            |  a + abs(cast(x as double) - greatest(-127.0d, least(127.0d, floor(cast(x as double) / scale + 0.5d))) * scale))
+            |  / size(embedding), 6) END""".stripMargin))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          col("q_sum"), col("recon_mae"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
