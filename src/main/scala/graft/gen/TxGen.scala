@@ -134,10 +134,22 @@ object TxGen {
     */
   def stream(spark: SparkSession, rowsPerSecond: Int = 10, seed: Long = 42L): Dataset[Transaction] = {
     import spark.implicits._
+    streamTicked(spark, rowsPerSecond, seed).map(_._2)
+  }
+
+  /** [[stream]] with the rate-source tick retained. The tick is the
+    * natural monotonic offset for kafka-shaped projections — streaming
+    * plans reject `monotonically_increasing_id()` (Spark's
+    * UnsupportedOperationChecker), so any "offset" column must derive
+    * from source data like this tick, never from a batch-only expression.
+    */
+  def streamTicked(spark: SparkSession, rowsPerSecond: Int = 10,
+      seed: Long = 42L): Dataset[(Long, Transaction)] = {
+    import spark.implicits._
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
       .as[(java.sql.Timestamp, Long)]
-      .map { case (ts, tick) => fromTick(ts.toInstant, tick, seed) }
+      .map { case (ts, tick) => (tick, fromTick(ts.toInstant, tick, seed)) }
   }
 
   /** One stateless, tick-deterministic transaction (used by [[stream]]). */

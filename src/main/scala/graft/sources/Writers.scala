@@ -44,10 +44,18 @@ object Writers {
     */
   def writeJdbc(df: DataFrame, url: String, table: String,
       properties: java.util.Properties = new java.util.Properties(),
-      mode: SaveMode = SaveMode.Append, numPartitions: Int = 8): Unit =
-    df.coalesce(numPartitions).write
+      mode: SaveMode = SaveMode.Append, numPartitions: Int = 8): Unit = {
+    // repartition, not coalesce: coalesce would collapse the whole
+    // upstream computation (joins, scoring) into ≤ numPartitions tasks,
+    // trading all upstream parallelism for one saved shuffle. One shuffle
+    // of the final rows is the right price for a bounded connection fan-in.
+    val bounded =
+      if (df.rdd.getNumPartitions > numPartitions) df.repartition(numPartitions)
+      else df
+    bounded.write
       .mode(mode)
       .jdbc(url, table, properties)
+  }
 
   /** Streaming JDBC sink via foreachBatch (Structured Streaming has no
     * first-party jdbc format) — per micro-batch, one partition-parallel

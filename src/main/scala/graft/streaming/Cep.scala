@@ -16,6 +16,12 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   */
 object Cep {
 
+  /** Processing-time TTL = this × the event-time pattern window: the
+    * operator's tolerated processing lag before mid-pattern state is
+    * reclaimed (see [[detect]]'s scaladoc).
+    */
+  val TtlMarginFactor = 10L
+
   /** One step of a pattern: a name + predicate over the event. */
   final case class Step[E](name: String, pred: E => Boolean)
 
@@ -37,10 +43,15 @@ object Cep {
     * State hygiene for unbounded key spaces (the 100 TB/day stream shape):
     * a key whose machine is at step 0 stores NO state (an empty machine is
     * indistinguishable from no machine), and mid-pattern state carries a
-    * processing-time TTL of `withinMs` — state older than the pattern
-    * window can never complete a match, so expiring it is semantically
-    * free. Both mirror FraudStream.score's TTL handling; without them,
-    * per-key state accumulates forever.
+    * processing-time TTL of `TtlMarginFactor × withinMs`. The pattern
+    * window itself is event-time (`ms - startMillis`), so a
+    * processing-time TTL is only a cleanup heuristic: it is safe exactly
+    * when processing time roughly tracks event time. The 10× margin keeps
+    * state alive through transient lag (backlog replay, earliest-offset
+    * catch-up); a continuation that arrives more than 10× the pattern
+    * window late in processing time is abandoned — that lag bound is this
+    * operator's documented assumption. Both mirror FraudStream.score's
+    * TTL handling; without them, per-key state accumulates forever.
     *
     * @param events   keyed event stream/dataset
     * @param key      grouping key (card/user)
@@ -100,7 +111,7 @@ object Cep {
               if (state.exists) state.remove()
             } else {
               state.update(st)
-              state.setTimeoutDuration(math.max(withinMs, 1000L))
+              state.setTimeoutDuration(math.max(TtlMarginFactor * withinMs, 1000L))
             }
             out.iterator
           }

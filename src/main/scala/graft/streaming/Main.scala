@@ -100,8 +100,12 @@ object Main {
     * fallback when the kafka connector jar is not deployed.
     */
   def kafkaShapedSynthetic(spark: SparkSession, rowsPerSecond: Int = 10): DataFrame = {
-    import spark.implicits._
-    graft.gen.TxGen.stream(spark, rowsPerSecond)
+    // the offset derives from the rate source's tick (carried through the
+    // generator map) — `monotonically_increasing_id()` is batch-only and
+    // rejected by the streaming UnsupportedOperationChecker at start().
+    graft.gen.TxGen.streamTicked(spark, rowsPerSecond)
+      .toDF("tick", "tx")
+      .select(col("tick"), col("tx.*"))
       .select(
         col("card_id").cast("binary").as("key"),
         to_json(struct(col("schema_version"), col("event_id"),
@@ -111,7 +115,7 @@ object Main {
           col("event_type"), col("timestamp"))).cast("binary").as("value"),
         lit("transactions").as("topic"),
         lit(0).as("partition"),
-        monotonically_increasing_id().as("offset"),
+        col("tick").as("offset"),
         current_timestamp().as("timestamp"),
         lit(0).as("timestampType"))
   }
@@ -119,6 +123,29 @@ object Main {
   private def source(spark: SparkSession, cfg: Config): DataFrame =
     if (cfg.source == "synthetic") kafkaShapedSynthetic(spark)
     else FraudStream.kafkaSource(spark, cfg.brokers, cfg.topic, cfg.effectiveOffsets)
+
+  /** The dry-run source: the configured source if its data source
+    * resolves, else the kafka-shaped synthetic stand-in. The kafka source
+    * is lazy (no broker contact before `start()`) but needs the connector
+    * jar at analysis time; environments without it (no kafka jar in
+    * `/opt/spark/jars`) still get a full wiring check. Matching is on the
+    * error class `DATA_SOURCE_NOT_FOUND`, not the message text — Spark
+    * 4.1's message is "Failed to find the data source: kafka" and has
+    * changed wording across releases.
+    */
+  def resolveDryRunSource(spark: SparkSession, cfg: Config): DataFrame =
+    try {
+      val k = source(spark, cfg)
+      k.schema // force analysis
+      k
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "DATA_SOURCE_NOT_FOUND" ||
+            (e.getMessage.contains("Failed to find") && e.getMessage.contains("kafka")) =>
+        println("[dry-run] kafka connector jar not deployed; " +
+          "using kafka-shaped synthetic source for the wiring check")
+        kafkaShapedSynthetic(spark)
+    }
 
   private def kafkaBatchWriter(brokers: String, topic: String)(df: DataFrame): Unit =
     df.write.format("kafka")
@@ -143,23 +170,8 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     val kafka =
-      if (cfg.dryRun) {
-        // the kafka source is lazy (no broker contact before start), but it
-        // does need the connector jar at analysis time; environments
-        // without it still get a full wiring check via the kafka-shaped
-        // synthetic stand-in.
-        try {
-          val k = source(spark, cfg)
-          k.schema // force analysis
-          k
-        } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.contains("Failed to find data source: kafka") =>
-            println("[dry-run] kafka connector jar not deployed; " +
-              "using kafka-shaped synthetic source for the wiring check")
-            kafkaShapedSynthetic(spark)
-        }
-      } else source(spark, cfg)
+      if (cfg.dryRun) resolveDryRunSource(spark, cfg)
+      else source(spark, cfg)
 
     if (cfg.dryRun) {
       // construct + explain every topology without contacting a broker

@@ -69,6 +69,28 @@ class MainSpec extends AnyFunSuite {
     assert(dead.length == 1 && dead.head.contains("definitely-not-json"))
   }
 
+  test("dry-run with no kafka connector jar falls back to the synthetic source") {
+    // this environment has no kafka connector jar, so the default
+    // (--source kafka) dry-run must hit the DATA_SOURCE_NOT_FOUND fallback
+    // and hand back the kafka-shaped synthetic stream, not crash.
+    val df = Main.resolveDryRunSource(spark, Main.Config(dryRun = true))
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType"))
+  }
+
+  test("synthetic source passes the streaming checker and runs end-to-end") {
+    // regression: an offset from monotonically_increasing_id() makes
+    // start() throw (batch-only expression in a streaming plan); the
+    // rate-source tick must survive through the full v1 topology.
+    val q = Main.v1Pipeline(Main.kafkaShapedSynthetic(spark, rowsPerSecond = 50))
+      .writeStream.format("memory").queryName("main_synth_v1")
+      .outputMode("append").trigger(Trigger.Once())
+      .option("checkpointLocation", Files.createTempDirectory("main_synth").toString)
+      .start()
+    q.awaitTermination() // would throw if the plan were rejected
+  }
+
   test("arg parsing: variant defaults (offsets, rapid count) and overrides") {
     val v1 = Main.parseArgs(Array("--variant", "v1", "--dry-run"))
     assert(v1.effectiveOffsets == "latest" && v1.effectiveRapidCount == 3 && v1.dryRun)
