@@ -62,13 +62,13 @@ object TrainingPipeline {
   /** Tokens-per-chunk budget for [[queries]]' pack_chunks. */
   val ChunkBudget = 1000L
 
-  /** Oracle-checked surface: the per-doc decision vector plus the
-    * operators a training-data run needs after dedup — deterministic
-    * splits, token-budget chunking, benchmark decontamination, and
-    * embedding quantization. Hash-matching training_decisions against
-    * DuckDB pins the whole funnel — quality expression, exact-hash
-    * canonicalization, and the near-dup connected-components fixpoint —
-    * in one query.
+  /** Oracle-checked surface (every entry here has a matching
+    * [[oracleSql]] row): the per-doc decision vector plus the operators a
+    * training-data run needs after dedup — deterministic splits,
+    * token-budget chunking, benchmark decontamination, and embedding
+    * quantization. Hash-matching training_decisions against DuckDB pins
+    * the whole funnel — quality expression, exact-hash canonicalization,
+    * and the near-dup connected-components fixpoint — in one query.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_decisions" -> ((s, d) =>
@@ -175,7 +175,57 @@ object TrainingPipeline {
          |  (q.quality_score >= 0.5 AND ex.exact_canonical
          |    AND lab.cluster_id = d.doc_id) AS keep
          |FROM documents d
-         |JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN lab USING (doc_id)""".stripMargin
+         |JOIN q USING (doc_id) JOIN ex USING (doc_id) JOIN lab USING (doc_id)""".stripMargin,
+
+    "split_assign" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 80 THEN 'train'
+        |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    // the oracle is the NAIVE single-partition running sum the distributed
+    // two-stage prefix sum must reproduce exactly
+    "pack_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT token_start
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, token_start, token_start // $ChunkBudget AS chunk_id FROM c""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH ${Dedup.shingleCte},
+         |shx AS (SELECT doc_id, unnest(sh) s FROM shg),
+         |ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 20 = 0),
+         |hits AS (SELECT shx.doc_id, count(*) n_shared FROM shx JOIN ev USING (s)
+         |         WHERE shx.doc_id % 20 <> 0 GROUP BY shx.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT n_shared,
+         |  coalesce(h.n_shared, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // list_reduce(list_prepend(init, xs), f) is DuckDB's sequential left
+    // fold — float summation order matches Spark's aggregate() exactly
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |  list_reduce(list_prepend(0.0::DOUBLE, emb), (a, x) -> greatest(a, abs(x))) mx FROM e),
+        |sc AS (SELECT vec_id, emb, mx, mx / 127.0 scale FROM m)
+        |SELECT vec_id, round(scale, 9) scale,
+        |  CASE WHEN mx = 0 THEN 0::BIGINT ELSE
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(emb, x ->
+        |      greatest(-127.0::DOUBLE, least(127.0::DOUBLE, floor(x / scale + 0.5)))::BIGINT)),
+        |      (a, x) -> a + x)
+        |  END q_sum,
+        |  CASE WHEN mx = 0 THEN 0.0::DOUBLE ELSE
+        |    round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(emb, x ->
+        |      abs(x - greatest(-127.0::DOUBLE, least(127.0::DOUBLE, floor(x / scale + 0.5))) * scale))),
+        |      (a, x) -> a + x) / len(emb), 6)
+        |  END recon_mae
+        |FROM sc""".stripMargin
   )
 
   /** `sbt "runMain graft.operators.TrainingPipeline <sfDir> <outDir> [minQuality]"` */
