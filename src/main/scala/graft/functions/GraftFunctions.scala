@@ -235,6 +235,71 @@ case class SimHash48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Top-k IVF cell assignment: cosine against every centroid, cells ranked
+  * (cos DESC, cell_id DESC) — exactly the oracle's
+  * `row_number() OVER (ORDER BY cos DESC, cell_id DESC)` — returning the
+  * first k cell ids. One compact loop per row replaces an inlined
+  * 8×64-double-literal expression tree whose analysis/codegen cost
+  * dominated the query's wall time, and the centroid matrix rides inside
+  * the referenced instance instead of the plan. Cosine arithmetic is the
+  * same sequential fold as [[DotDouble]] / DuckDB `list_dot_product`, and
+  * double comparison mirrors Spark's ordering (java.lang.Double.compare),
+  * so results stay bit-identical to the previous formulation.
+  */
+case class IvfTopCells(child: Expression, cents: Array[Array[Double]], k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("ivf_cells(array<double>), k>=1")
+  }
+
+  private lazy val norms: Array[Double] = cents.map { c =>
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cells(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    var selfAcc = 0.0
+    var i = 0
+    while (i < v.length) { selfAcc += v(i) * v(i); i += 1 }
+    val selfNorm = math.sqrt(selfAcc)
+    val cos = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val m = math.min(v.length, cent.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += v(j) * cent(j); j += 1 }
+      cos(c) = acc / (selfNorm * norms(c))
+      c += 1
+    }
+    val order = Array.range(0, cents.length).sortWith { (a, b) =>
+      val cmp = java.lang.Double.compare(cos(a), cos(b))
+      cmp > 0 || (cmp == 0 && a > b)
+    }
+    new GenericArrayData(order.take(math.min(k, order.length)).map(x => x: Any))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    cells(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ivfTopCells", this, classOf[IvfTopCells].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.cells($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfTopCells =
+    copy(child = newChild)
+}
+
 /** Session registration for expr()/SQL use of the custom expressions.
   * Idempotent per session: re-invoking is a cheap no-op (round 1 registered
   * inside every query constructor and spammed the logs with
@@ -259,5 +324,23 @@ object GraftFunctions {
         exprs => DotDouble(exprs(0), exprs(1)),
         "scala_udf")
     }
+  }
+
+  /** Register an [[IvfTopCells]] bound to a specific centroid matrix and
+    * return its session function name. The name carries a content hash of
+    * (centroids, k), so different scale factors / trained indexes coexist
+    * in one session and re-registration is an idempotent no-op.
+    */
+  def registerIvf(spark: SparkSession, cents: Array[Array[Double]], k: Int): String = {
+    var h = 17L + k
+    for (c <- cents; x <- c) h = h * 31 + java.lang.Double.doubleToLongBits(x)
+    val name = s"ivf_cells_${(h & 0x7fffffffL).toString}"
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(
+        name,
+        exprs => IvfTopCells(exprs.head, cents, k),
+        "scala_udf")
+    name
   }
 }

@@ -124,28 +124,41 @@ object Dedup {
     val sym = e.select(col("d1").as("u"), col("d2").as("v"))
       .union(e.select(col("d2").as("u"), col("d1").as("v")))
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    // Only edge-touched nodes iterate. Isolated nodes — the overwhelming
+    // majority of a lightly-duplicated corpus — are their own component by
+    // definition and join back after the fixpoint, so every per-round
+    // shuffle carries |touched| rows, not |corpus|.
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      val tRound = System.nanoTime()
       // edge relaxation: each node takes the min label among itself and
-      // its neighbors
-      val viaEdges = sym.join(labels, col("v") === col("node"))
-        .select(col("u").as("node"), col("label"))
-      val relaxed = labels.union(viaEdges)
-        .groupBy("node").agg(min("label").as("label"))
+      // its neighbors. The pre-relaxation label rides along as `prev`, so
+      // the convergence check is a filter on this frame — no extra join.
+      val nbrMin = sym.join(labels, col("v") === col("node"))
+        .groupBy("u").agg(min("label").as("nbr"))
+      val relaxed = labels.join(nbrMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(true) // both consumers below read it; un-checkpointed
+                               // self-join branches each recompute the subtree
       // pointer jumping: label <- label(label); labels always point at
       // reachable nodes, so the fixpoint (component min) is unchanged but
       // chains collapse exponentially
       val jump = relaxed.select(col("node").as("label"), col("label").as("label2"))
       val next = relaxed.join(jump, Seq("label"))
-        .select(col("node"), col("label2").as("label"))
+        .select(col("node"), col("label2").as("label"), col("prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("node", "label")
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(f"[cc] round changed=$changed wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
-    labels
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -160,34 +160,18 @@ object Similarity {
         .orderBy(col("h"), col("vec_id")).limit(8)
         .select("emb").collect()
         .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
-      def arrLit(v: Array[Double]) = v.map(x => s"${x}D").mkString("array(", ",", ")")
-      // Norms precomputed with the same sequential fold dot_double /
-      // list_dot_product use, so both engines see identical doubles.
-      def norm(v: Array[Double]) = {
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i) * v(i); i += 1 }
-        math.sqrt(acc)
-      }
-      val cellsSql = cents.map { case (id, v) =>
-        s"named_struct('cos', dot_double(emb, ${arrLit(v)}) / (sqrt(dot_double(emb, emb)) * ${norm(v)}D), 'cell_id', $id)"
-      }.mkString("array(", ",", ")")
-      // The corpus assignment subtree is consumed exactly once; the query
-      // side re-derives its own (tiny) assignment from a scan whose IN
-      // filter is pushed to parquet — so the full scan + 8-dot assignment
-      // runs ONCE, not twice (round-1 bench bug: an unpersisted `assigned`
-      // fed both sides and executed twice).
-      val corpus = e
-        .withColumn("cells", expr(cellsSql))
-        .withColumn("best", expr("array_max(cells)"))
-        .select(col("vec_id"), col("emb").as("ce"), col("best.cell_id").as("cell_id"))
+      // Assignment via the compact IvfTopCells evaluator: one loop per row
+      // (centroids live in the expression instance, not as 8×64 literals —
+      // the inlined-literal tree's analysis/codegen cost dominated this
+      // query's wall time at small SF). The corpus takes its best cell; the
+      // query side (tiny, IN-filter pushed to parquet) probes nprobe=2
+      // cells — the full scan + assignment still runs exactly once.
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents.map(_._2), 2)
+      val corpus = e.select(col("vec_id"), col("emb").as("ce"),
+        expr(s"element_at($fn(emb), 1)").as("cell_id"))
       val q = e.filter(isQueryId(col("vec_id")))
-        .withColumn("cells", expr(cellsSql))
-        .withColumn("best", expr("array_max(cells)"))
         .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-          explode(expr(
-            """array(best.cell_id,
-              |  array_max(filter(cells, x ->
-              |    x.cos < best.cos or (x.cos = best.cos and x.cell_id < best.cell_id))).cell_id)""".stripMargin)).as("cell_id"))
+          explode(expr(s"$fn(emb)")).as("cell_id"))
       topk(corpus.join(broadcast(q), Seq("cell_id"))
         .filter(col("query_id") =!= col("vec_id"))
         .select("query_id", "qe", "vec_id", "ce"), 5)
