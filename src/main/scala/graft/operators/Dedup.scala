@@ -147,7 +147,9 @@ object Dedup {
                                // self-join branches each recompute the subtree
       // pointer jumping: label <- label(label); labels always point at
       // reachable nodes, so the fixpoint (component min) is unchanged but
-      // chains collapse exponentially
+      // chains collapse exponentially. (A second hop per round was
+      // measured to NOT reduce rounds here: convergence is bounded by
+      // relaxation distance through the edges, not label-chain length.)
       val jump = relaxed.select(col("node").as("label"), col("label").as("label2"))
       val next = relaxed.join(jump, Seq("label"))
         .select(col("node"), col("label2").as("label"), col("prev"))
