@@ -35,6 +35,8 @@ object Bench {
     "q_scalar_subquery",
     "text_quality",
     "text_fingerprint",
+    "text_pii_scrub",
+    "sample_manifest",
     "multimodal_features"
   )
 

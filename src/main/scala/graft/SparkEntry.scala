@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.TxGen
-import graft.operators.{Analytics, AnalyticsExt, Dedup, FraudQueries, FraudRules, Multimodal, Similarity, TableOps, TextOps, TrainingPipeline}
+import graft.operators.{Analytics, AnalyticsExt, Dedup, FraudQueries, FraudRules, Multimodal, SamplingOps, Similarity, TableOps, TextOps, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FraudQueries.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      TableOps.queries ++ TrainingPipeline.queries
+      TableOps.queries ++ TrainingPipeline.queries ++ SamplingOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +38,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     FraudQueries.oracleSql ++ Analytics.oracleSql ++ AnalyticsExt.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql ++ Multimodal.oracleSql ++
-      TableOps.oracleSql ++ TrainingPipeline.oracleSql
+      TableOps.oracleSql ++ TrainingPipeline.oracleSql ++ SamplingOps.oracleSql
 }

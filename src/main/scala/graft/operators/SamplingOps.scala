@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Corpus-mixture operators for training-data assembly (north_star): the
+  * temperature-scaled language re-weighting used to up-sample rare
+  * languages in multilingual pretraining mixes, and the deterministic
+  * per-document sampling manifest that realizes those weights.
+  *
+  * Scale shape: language cardinality is a bounded dimension, so every
+  * normalization is a cross join against a broadcast one-row aggregate —
+  * no partition-less windows, no driver collect. The per-doc manifest is
+  * a broadcast hash join of the corpus scan against the (tiny) rate table
+  * plus pure scalar hash arithmetic: one pass, one pipeline, stable under
+  * reruns, appends, and repartitioning (the same salted-md5 backbone as
+  * split_assign).
+  */
+object SamplingOps {
+
+  /** Mixture temperature: w_l ∝ p_l^Alpha (α = 0.3 is the standard
+    * multilingual up-sampling exponent).
+    */
+  val Alpha = 0.3
+
+  /** Fraction of the corpus the sampling manifest targets overall. */
+  val KeepFraction = 0.5
+
+  /** (lang, n_docs, n_total, p, weight) with weight rounded at 6 — the
+    * rounded value is the published contract, so downstream consumers
+    * (sample_manifest, the oracle) agree bit-for-bit.
+    */
+  private def mixture(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = byLang.agg(sum("n_docs").as("n_total"))
+    val withP = byLang.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_docs") / col("n_total"))
+      .withColumn("w_raw", pow(col("p"), Alpha))
+    val z = withP.agg(sum("w_raw").as("z"))
+    withP.crossJoin(broadcast(z))
+      .withColumn("weight", round(col("w_raw") / col("z"), 6))
+      .select("lang", "n_docs", "n_total", "p", "weight")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mixture" -> ((s, d) => {
+      mixture(s, d).select(
+        col("lang"), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        col("weight"),
+        round(col("weight") / col("p"), 4).as("upsample"))
+    }),
+    "sample_manifest" -> ((s, d) => {
+      // per-lang acceptance rate realizing the mixture weights at
+      // KeepFraction of the corpus, then a deterministic salted-hash
+      // accept/reject per document
+      val rates = mixture(s, d)
+        .withColumn("rate", round(
+          least(lit(1.0), col("weight") * KeepFraction * col("n_total") / col("n_docs")), 6))
+        .select("lang", "rate")
+      Tables.documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(concat('sample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10000"))
+        .withColumn("keep", col("bucket") < col("rate") * 10000)
+        .select("doc_id", "lang", "bucket", "rate", "keep")
+    })
+  )
+
+  private val mixtureCte =
+    s"""bl AS (SELECT lang, count(*) n_docs FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_docs)::BIGINT n_total FROM bl),
+       |wp AS (SELECT lang, n_docs, n_total, n_docs / n_total::DOUBLE p,
+       |         pow(n_docs / n_total::DOUBLE, $Alpha) w_raw
+       |       FROM bl CROSS JOIN tot),
+       |z AS (SELECT sum(w_raw) z FROM wp),
+       |mix AS (SELECT lang, n_docs, n_total, p, round(w_raw / z, 6) weight
+       |        FROM wp CROSS JOIN z)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "corpus_mixture" ->
+      s"""WITH $mixtureCte
+         |SELECT lang, n_docs, round(p, 6) p, weight,
+         |  round(weight / p, 4) upsample
+         |FROM mix""".stripMargin,
+    "sample_manifest" ->
+      s"""WITH $mixtureCte,
+         |r AS (SELECT lang, round(least(1.0, weight * $KeepFraction * n_total / n_docs), 6) rate
+         |      FROM mix),
+         |b AS (SELECT doc_id, lang,
+         |        ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.lang, b.bucket, r.rate, b.bucket < r.rate * 10000 AS keep
+         |FROM b JOIN r USING (lang)""".stripMargin
+  )
+}

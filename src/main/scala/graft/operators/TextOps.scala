@@ -130,8 +130,53 @@ object TextOps {
           round(avg("n_chars"), 4).as("avg_chars"),
           round(avg("n_words"), 4).as("avg_words"),
           countDistinct(col("source")).as("n_sources"))
+    }),
+    "text_repetition" -> ((s, d) => {
+      // repetition/boilerplate signal: duplicate-token mass and the share
+      // of the single most common token. explode + two-level partial
+      // aggregation (map-side combined) — the 100 TB shape; no per-doc
+      // collections ever materialize.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"), col("n_words"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_ratio"),
+          round(col("top_count") / col("n_words"), 4).as("top_share"))
+    }),
+    "text_pii_scrub" -> ((s, d) => {
+      // PII detect + redact. The corpus is synthetic word-salad with no
+      // real PII, so the query plants deterministic doc_id-derived
+      // emails/phones/IPs first — the detection regexes then have known
+      // ground truth while staying honestly exercised (counts vary per
+      // doc). Single scan, scalar regex work, zero shuffle.
+      Tables.documents(s, d)
+        .withColumn("pii_text", concat(
+          col("text"),
+          expr("repeat(concat(' user', cast(doc_id as string), '@mail.example'), cast(doc_id % 3 as int))"),
+          expr("repeat(concat(' 555-', lpad(cast(doc_id % 10000 as string), 4, '0')), cast(doc_id % 2 as int))"),
+          concat(lit(" 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(EmailPat), lit(0))).cast("int").as("n_emails"),
+          size(regexp_extract_all(col("pii_text"), lit(PhonePat), lit(0))).cast("int").as("n_phones"),
+          size(regexp_extract_all(col("pii_text"), lit(IpPat), lit(0))).cast("int").as("n_ips"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), lit(EmailPat), lit("<EMAIL>")),
+              lit(PhonePat), lit("<PHONE>")),
+            lit(IpPat), lit("<IP>")).as("scrubbed"))
     })
   )
+
+  /** PII patterns restricted to syntax both Java regex and RE2 (DuckDB)
+    * interpret identically — no lookarounds, no backrefs.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+  private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   private[operators] val wsCte = "t AS (SELECT *, string_split(text, ' ') ws FROM documents)"
 
@@ -211,6 +256,34 @@ object TextOps {
       """SELECT lang, count(*) n_docs, round(avg(n_chars), 4) avg_chars,
         |  round(avg(len(string_split(text, ' '))), 4) avg_words,
         |  count(DISTINCT source) n_sources
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY doc_id, w),
+        |a AS (SELECT doc_id, sum(c)::BIGINT n_words, count(*) n_distinct, max(c) top_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_distinct,
+        |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
+        |  round(top_count / n_words::DOUBLE, 4) top_share
+        |FROM a""".stripMargin,
+    "text_pii_scrub" -> {
+      // DuckDB string literals take no escape sequences, so \b stays \b;
+      // the 'g' flag matches Spark's replace-all default
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b555-[0-9]{4}\\b"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || repeat(' user' || doc_id::VARCHAR || '@mail.example', (doc_id % 3)::INT)
+         |       || repeat(' 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0'), (doc_id % 2)::INT)
+         |       || ' 10.' || (doc_id % 256)::VARCHAR || '.0.1' AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$email')) AS INT) n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$phone')) AS INT) n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '$ip')) AS INT) n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') scrubbed
+         |FROM p""".stripMargin
+    }
   )
 }

@@ -62,6 +62,10 @@ object TrainingPipeline {
   /** Tokens-per-chunk budget for [[queries]]' pack_chunks. */
   val ChunkBudget = 1000L
 
+  /** Context-window size / stride (tokens) for [[queries]]' pack_windows. */
+  val WinSize = 128L
+  val WinStride = 96L
+
   /** Oracle-checked surface (every entry here has a matching
     * [[oracleSql]] row): the per-doc decision vector plus the operators a
     * training-data run needs after dedup — deterministic splits,
@@ -140,6 +144,21 @@ object TrainingPipeline {
         .withColumn("contaminated", col("n_shared") >= 1)
     }),
 
+    // Sliding context windows with stride (overlap = WinSize − WinStride):
+    // the chunking layout for fixed-context training where boundaries must
+    // not lose cross-chunk context. Pure per-row explode of an arithmetic
+    // sequence — zero shuffle, trivially 100 TB-parallel.
+    "pack_windows" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(expr(s"sequence(0L, n_tokens - 1, ${WinStride}L)")).as("tok_start"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"tok_start div $WinStride").as("win_idx"),
+          col("tok_start"),
+          least(col("tok_start") + WinSize, col("n_tokens")).as("tok_end"))
+    }),
+
     // Symmetric int8 quantization per embedding (scale = max|x| / 127) +
     // reconstruction error — the compression step before shipping vectors
     // to an ANN index. Per-row map, no shuffle. Explicit left folds
@@ -185,6 +204,13 @@ object TrainingPipeline {
         |  CASE WHEN split_bucket < 80 THEN 'train'
         |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "pack_windows" ->
+      s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tokens FROM documents),
+         |w AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens, $WinStride)) tok_start FROM toks)
+         |SELECT doc_id, n_tokens, tok_start // $WinStride win_idx, tok_start,
+         |  least(tok_start + $WinSize, n_tokens) tok_end
+         |FROM w""".stripMargin,
 
     // the oracle is the NAIVE single-partition running sum the distributed
     // two-stage prefix sum must reproduce exactly

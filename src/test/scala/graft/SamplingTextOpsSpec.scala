@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SamplingOps, TextOps, TrainingPipeline}
+
+/** Invariant checks for the corpus-mixture / repetition / PII / window
+  * operators (exact values are pinned by the DuckDB oracle gate; these
+  * assert the semantic properties the oracle cannot express).
+  */
+class SamplingTextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("corpus_mixture: weights sum to 1 and up-sample rare languages") {
+    val rows = SamplingOps.queries("corpus_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4)
+    // temperature < 1 compresses the distribution: the rarest language
+    // gets the largest up-sampling factor, the most common the smallest
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    assert(byN.head.getAs[Double]("upsample") >= byN.last.getAs[Double]("upsample"))
+  }
+
+  test("sample_manifest: deterministic and rate-consistent per language") {
+    val m1 = SamplingOps.queries("sample_manifest")(spark, sf)
+    val m2 = SamplingOps.queries("sample_manifest")(spark, sf)
+    // stable across runs: same keep set
+    assert(m1.filter(col("keep")).agg(sum("doc_id")).head.getLong(0) ==
+      m2.filter(col("keep")).agg(sum("doc_id")).head.getLong(0))
+    // every rate is a valid probability
+    val rates = m1.select("rate").distinct().collect().map(_.getDouble(0))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+  }
+
+  test("text_repetition: ratios bounded and consistent with distinct counts") {
+    val rows = TextOps.queries("text_repetition")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_ratio")
+      val top = r.getAs[Double]("top_share")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("text_pii_scrub: planted PII is found and fully redacted") {
+    val rows = TextOps.queries("text_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_emails") == (id % 3).toInt)
+      assert(r.getAs[Int]("n_phones") == (id % 2).toInt)
+      assert(r.getAs[Int]("n_ips") == 1)
+      val scrubbed = r.getAs[String]("scrubbed")
+      assert(!scrubbed.contains("@mail.example") && !scrubbed.contains(" 555-"))
+    }
+  }
+
+  test("pack_windows: windows tile every document with the configured stride") {
+    val rows = TrainingPipeline.queries("pack_windows")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.getAs[Long]("tok_start"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      assert(sorted.head.getAs[Long]("tok_start") == 0L)
+      assert(sorted.last.getAs[Long]("tok_end") == n)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") - a.getAs[Long]("tok_start") ==
+            TrainingPipeline.WinStride)
+          // consecutive windows overlap (no token gap)
+          assert(b.getAs[Long]("tok_start") < a.getAs[Long]("tok_end"))
+        case _ => ()
+      }
+    }
+  }
+}
