@@ -40,6 +40,14 @@ object Similarity {
     * a corpus-proportional `vec_id % 50 == 0` predicate.
     */
   private[operators] val QueryIds: IndexedSeq[Int] = (0 until 50).map(_ * 50)
+
+  /** embedding_kmeans hyperparameters: K clusters, fixed Lloyd iteration
+    * count, and the 2^20 quantization scale that makes centroid means
+    * integer-summed (order-independent) in both engines.
+    */
+  val KmeansK = 4
+  val KmeansIters = 3
+  val KmeansQuant = 1048576.0
   private val queryIdsSql: String = QueryIds.mkString(", ")
   private def isQueryId(c: org.apache.spark.sql.Column) = c.isin(QueryIds: _*)
 
@@ -176,6 +184,47 @@ object Similarity {
         .filter(col("query_id") =!= col("vec_id"))
         .select("query_id", "qe", "vec_id", "ce"), 5)
     }),
+    "embedding_kmeans" -> ((s, d) => {
+      // Lloyd's k-means (K=4, 3 fixed iterations, cosine assignment) — the
+      // TRAINED coarse quantizer complementing the training-free LSH/IVF
+      // hash paths, and still bit-exact across engines: element-wise
+      // centroid means are computed over 2^-20-quantized values, so the
+      // per-dimension sums are integers (order-independent), where raw
+      // double summation order would diverge between Spark's partial
+      // aggregation and DuckDB. Each iteration is one assignment pass
+      // (IvfTopCells loop, no shuffle) + a (K × dims)-row aggregate — the
+      // collect is the bounded model-update step, 256 rows, never data.
+      // An emptied cluster keeps its previous centroid (defined in both
+      // engines via LEFT JOIN + coalesce).
+      val e = withEmb(s, d)
+      var cents: Array[Array[Double]] = e
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+        .orderBy(col("h"), col("vec_id")).limit(KmeansK)
+        .select("emb").collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to KmeansIters) {
+        val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+        val sums = e
+          .select(expr(s"element_at($fn(emb), 1)").as("cell"),
+            posexplode(col("emb")).as(Seq("pos", "x")))
+          .withColumn("q", round(col("x") * KmeansQuant).cast("long"))
+          .groupBy("cell", "pos")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster -> previous centroid
+        sums.foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+            (r.getAs[Long]("sq").toDouble / r.getAs[Long]("n")) / KmeansQuant
+        }
+        cents = next
+      }
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      val w = Window.partitionBy(col("cluster_id"))
+      e.select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .select("vec_id", "cluster_id", "cluster_size")
+    }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact - no oracle (sketch internals differ across
       // engines); rows-only check + deterministic output.
@@ -270,6 +319,36 @@ object Similarity {
          |  round(avg(sqrt(list_dot_product(emb, emb))), 4) avg_norm,
          |  round(min(sqrt(list_dot_product(emb, emb))), 4) min_norm,
          |  round(max(sqrt(list_dot_product(emb, emb))), 4) max_norm
-         |FROM e GROUP BY label""".stripMargin
+         |FROM e GROUP BY label""".stripMargin,
+    "embedding_kmeans" -> {
+      // the same 3 unrolled Lloyd iterations: cosine assignment (ranked
+      // cos DESC, cell DESC like IvfTopCells), integer-quantized
+      // element-wise means, empty cluster keeps its previous centroid
+      def assign(name: String, cents: String) =
+        s"""$name AS (SELECT vec_id, emb, cell FROM (
+           |  SELECT e.vec_id, e.emb, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |      list_dot_product(e.emb, c.cv) /
+           |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+           |      c.cell DESC) r
+           |  FROM e CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+      val iters = (1 to KmeansIters).map { i =>
+        val prev = s"c${i - 1}"
+        s"""${assign(s"a$i", prev)},
+           |s$i AS (SELECT cell, i, sum(CAST(round(emb[i] * $KmeansQuant) AS BIGINT)) sq, count(*) n
+           |        FROM a$i, unnest(range(1, 65)) t(i) GROUP BY cell, i),
+           |n$i AS (SELECT cell, list(sq::DOUBLE / n / $KmeansQuant ORDER BY i) cv FROM s$i GROUP BY cell),
+           |c$i AS (SELECT p.cell, coalesce(n$i.cv, p.cv) cv FROM $prev p LEFT JOIN n$i USING (cell))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $embCte,
+         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell, emb cv
+         |       FROM h ORDER BY h, vec_id LIMIT $KmeansK),
+         |$iters,
+         |${assign("af", s"c$KmeansIters")}
+         |SELECT vec_id, cell AS cluster_id,
+         |  count(*) OVER (PARTITION BY cell) cluster_size
+         |FROM af""".stripMargin
+    }
   )
 }

@@ -87,6 +87,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expTop1)
   }
 
+  test("kmeans: total coverage, bounded clusters, deterministic, locally optimal") {
+    val rows = Similarity.queries("embedding_kmeans")(spark, sf).collect()
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length == corpus) // every vector assigned exactly once
+    val clusters = rows.map(_.getAs[Int]("cluster_id")).toSet
+    assert(clusters.nonEmpty && clusters.size <= Similarity.KmeansK)
+    // sizes are consistent with the actual partition
+    rows.groupBy(_.getAs[Int]("cluster_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("cluster_size")).toSet == Set(g.length.toLong))
+    }
+    // deterministic: a second full run yields the identical assignment
+    val again = Similarity.queries("embedding_kmeans")(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ==
+      again.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+  }
+
   test("LSH ANN reaches useful recall vs brute force") {
     def topSets(name: String): Map[Long, Set[Long]] =
       Similarity.queries(name)(spark, sf)
