@@ -147,6 +147,27 @@ object TextOps {
           round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_ratio"),
           round(col("top_count") / col("n_words"), 4).as("top_share"))
     }),
+    "text_unigram_logprob" -> ((s, d) => {
+      // CCNet-style unigram LM quality score: mean negative log-prob of a
+      // doc's tokens under the corpus unigram distribution (high = rare/
+      // noisy text, low = stereotypical). Vocab and per-doc sums are both
+      // partial aggregations; the corpus total rides in as a broadcast
+      // scalar. Per-token log-probs are quantized to 1e-6 BEFORE summing,
+      // so each doc's sum is an integer — deterministic under any
+      // aggregation order, where raw double sums would drift between
+      // Spark's partial aggregation and the oracle.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      toks.join(vocab, "token")
+        .crossJoin(broadcast(total))
+        .withColumn("q", round(log(col("cnt") / col("total")) * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("q").as("sum_q"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_q"),
+          round(-col("sum_q") / lit(1e6) / col("n_tokens"), 4).as("avg_neg_logprob"))
+    }),
     "text_pii_scrub" -> ((s, d) => {
       // PII detect + redact. The corpus is synthetic word-salad with no
       // real PII, so the query plants deterministic doc_id-derived
@@ -265,6 +286,16 @@ object TextOps {
         |SELECT doc_id, n_words, n_distinct,
         |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
         |  round(top_count / n_words::DOUBLE, 4) top_share
+        |FROM a""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+        |vocab AS (SELECT token, count(*) cnt FROM toks GROUP BY token),
+        |tot AS (SELECT sum(cnt)::BIGINT total FROM vocab),
+        |q AS (SELECT doc_id, CAST(round(ln(cnt / total) * 1e6) AS BIGINT) q
+        |      FROM toks JOIN vocab USING (token) CROSS JOIN tot),
+        |a AS (SELECT doc_id, count(*) n_tokens, sum(q)::BIGINT sum_q FROM q GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_q,
+        |  round(-sum_q / 1e6 / n_tokens, 4) avg_neg_logprob
         |FROM a""".stripMargin,
     "text_pii_scrub" -> {
       // DuckDB string literals take no escape sequences, so \b stays \b;

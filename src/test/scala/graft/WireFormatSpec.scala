@@ -52,7 +52,15 @@ class WireFormatSpec extends AnyFunSuite {
   test("foreachBatch fan-out routes main/alerts/audit like the v2 side outputs") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val buf = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.Row]]()
+    // concurrent map (polled from the test thread while the streaming
+    // thread writes), and empty micro-batches are ignored: fMGWS with a
+    // processing-time timeout keeps firing empty batches after the data
+    // batch, and letting one overwrite a captured result is a race
+    val buf = scala.collection.concurrent.TrieMap[String, Seq[org.apache.spark.sql.Row]]()
+    def capture(key: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.collect().toSeq
+      if (rows.nonEmpty) buf(key) = rows
+    }
     val ms = MemoryStream[Transaction]
     ms.addData(Seq(
       tx("c1", "2024-01-01T00:00:00Z", 10.0, "NY", "a"),   // LEGIT
@@ -60,9 +68,9 @@ class WireFormatSpec extends AnyFunSuite {
       tx("c2", "2024-01-01T00:00:00Z", 300.0, "NY", "c"))) // 40 FRAUD
     val q = FraudStream.fanOut(
       FraudStream.score(ms.toDS(), FraudConstants.RapidTxCountV1),
-      writeMain = df => buf("main") = df.collect().toSeq,
-      writeAlerts = df => buf("alerts") = df.collect().toSeq,
-      writeAudit = df => buf("audit") = df.collect().toSeq,
+      writeMain = capture("main"),
+      writeAlerts = capture("alerts"),
+      writeAudit = capture("audit"),
       checkpointDir = Files.createTempDirectory("fanout").toString)
     try {
       var waited = 0
