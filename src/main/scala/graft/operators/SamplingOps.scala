@@ -33,7 +33,11 @@ object SamplingOps {
     * (sample_manifest, the oracle) agree bit-for-bit.
     */
   private def mixture(s: SparkSession, d: String): DataFrame = {
+    // materialize the (|langs|)-row aggregate once: every downstream
+    // branch (total, z, the weight projection) otherwise re-runs the full
+    // corpus scan — Spark does not reuse exchanges across self-branches
     val byLang = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     val tot = byLang.agg(sum("n_docs").as("n_total"))
     val withP = byLang.crossJoin(broadcast(tot))
       .withColumn("p", col("n_docs") / col("n_total"))

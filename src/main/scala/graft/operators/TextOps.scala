@@ -158,7 +158,11 @@ object TextOps {
       // Spark's partial aggregation and the oracle.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      // materialize the vocab once: the scalar-total branch would
+      // otherwise rescan + re-explode the whole corpus (no cross-branch
+      // exchange reuse), and the vocab is bounded by distinct tokens
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val total = vocab.agg(sum("cnt").as("total"))
       toks.join(vocab, "token")
         .crossJoin(broadcast(total))
