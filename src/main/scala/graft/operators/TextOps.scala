@@ -41,6 +41,23 @@ object TextOps {
     */
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Adds `ws`, `n_words`, `n_distinct`, `stop_hits`, `quality_score` to
+    * any frame with a `text` column — the shared quality gate used by the
+    * batch `text_quality` query, [[TrainingPipeline]], and the streaming
+    * ingest ([[graft.streaming.Ingest]]). Pure scalar column work, safe in
+    * both batch and streaming plans.
+    */
+  def withQuality(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("int"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("int"))
+      .withColumn("stop_hits", expr(hitExpr(stops.flatMap(_._2))))
+      .withColumn("quality_score",
+        round(lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("stop_hits") / col("n_words").cast("double")) +
+          lit(0.3) * (col("n_distinct") / col("n_words").cast("double")), 4))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, d) => {
       Tables.documents(s, d)
@@ -53,20 +70,12 @@ object TextOps {
         )
     }),
     "text_quality" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_words", size(col("ws")).cast("int"))
-        .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("int"))
-        .withColumn("stop_hits", expr(hitExpr(stops.flatMap(_._2))))
+      withQuality(Tables.documents(s, d))
         .withColumn("avg_word_len",
           round(expr("aggregate(ws, cast(0 as bigint), (a, w) -> a + length(w))") /
             col("n_words").cast("double"), 4))
         .withColumn("stopword_ratio", round(col("stop_hits") / col("n_words").cast("double"), 4))
         .withColumn("distinct_ratio", round(col("n_distinct") / col("n_words").cast("double"), 4))
-        .withColumn("quality_score",
-          round(lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
-            lit(0.3) * (lit(1.0) - col("stop_hits") / col("n_words").cast("double")) +
-            lit(0.3) * (col("n_distinct") / col("n_words").cast("double")), 4))
         .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
           "distinct_ratio", "quality_score")
     }),

@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
 object Writers {
 
   def writeShards(df: DataFrame, outDir: String, partitionCols: Seq[String],
-      sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L): Unit = {
+      sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     val routed = df
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     routed.write
-      .mode("overwrite")
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
