@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.SparkSession
+
+import graft.model.FraudConstants
+import graft.streaming.FraudStream
+
+/** Streaming throughput micro-benchmark: N generated transactions ride the
+  * full v1 wire path — JSON value → 13-field parse → watermark → keyed
+  * flatMapGroupsWithState scoring — through MemoryStream; the wall time of
+  * the timed pass yields events/second. A warmup pass first absorbs the
+  * one-time session costs (streaming codegen, state-store init), so the
+  * number approximates steady-state micro-batch throughput.
+  *
+  * The key space is the reference's own 8 cards (BASELINE.md), which is
+  * also the stateful stage's inherent parallelism bound — the reference
+  * claims "millions of events per second" with no harness; this prints a
+  * measured single-node number for the equivalent pipeline.
+  *
+  * `sbt "runMain graft.StreamBench [nEvents]"`.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // deterministic corpus, rendered to the kafka value wire format up
+    // front so the timed section measures parse + stateful scoring only
+    val tx = graft.gen.TxGen.dataset(spark, n).toDF()
+    val json = tx
+      .select(to_json(struct(tx.columns.map(col): _*)).as("value"))
+      .collect().map(_.getString(0)).toSeq
+
+    def run(name: String, rows: Seq[String]): (Double, Long) = {
+      val in = MemoryStream[String]
+      in.addData(rows)
+      val t0 = System.nanoTime()
+      val q = FraudStream.score(
+        FraudStream.parse(in.toDF()), FraudConstants.RapidTxCountV1)
+        .groupBy().count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.Once())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      q.awaitTermination()
+      ((System.nanoTime() - t0) / 1e9, spark.table(name).collect().head.getLong(0))
+    }
+
+    run("sb_warm", json.take(math.min(20000, n))) // absorb one-time costs
+    val (secs, scored) = run("sb_timed", json)
+    require(scored == n, s"scored $scored of $n")
+    println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":8}""")
+    spark.stop()
+  }
+}
