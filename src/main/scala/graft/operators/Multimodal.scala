@@ -22,9 +22,10 @@ import graft.sources.Tables
   *    partition (the JVM analogue of `mapInPandas` batches) so a real
   *    codec could amortize init per-partition, not per-row.
   *
-  * No DuckDB oracle (binary feature extraction is not SQL-expressible);
-  * the driver records a rows-only check and MultimodalSpec pins the
-  * deterministic output.
+  * A production codec would not be SQL-expressible, but the stub is — so
+  * every query here carries a full DuckDB oracle pinning the pipeline
+  * around the codec seam (see [[oracleSql]]); TextMultimodalSpec pins the
+  * codec itself.
   */
 object Multimodal {
 
@@ -104,15 +105,114 @@ object Multimodal {
       }
   }
 
+  /** Stub resize: the metadata is rewritten and the payload re-encoded
+    * (here: deterministically truncated to the new dims' byte budget — a
+    * real build swaps the body for an image scaler without touching the
+    * signature or plumbing).
+    */
+  def resize(blobs: Dataset[MediaBlob], w: Int, h: Int): Dataset[MediaBlob] = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .repartition(col("media_id"))
+      .mapPartitions { iter =>
+        iter.map { b =>
+          val outLen = math.min(b.content.length, w * h / 64)
+          b.copy(content = java.util.Arrays.copyOf(b.content, outLen),
+            meta_width = w, meta_height = h)
+        }
+      }
+  }
+
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      t_ms: Long,
+      frame_fp: Int
+  )
+
+  /** Frame sampling: one output row per `stepMs` of video duration, each
+    * carrying a fingerprint "decoded" from the payload (stub: the byte at
+    * a frame-dependent offset). The row-explosion shape — filter on the
+    * prunable `kind` metadata column BEFORE touching payload bytes, then
+    * flatMap per partition — is exactly how a real frame extractor would
+    * run; only the decode body is fake.
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], stepMs: Long = 5000L): Dataset[MediaFrame] = {
+    import blobs.sparkSession.implicits._
+    blobs
+      .filter(col("kind") === "video")
+      .repartition(col("media_id"))
+      .mapPartitions { iter =>
+        iter.flatMap { b =>
+          (0L until b.meta_duration_ms by stepMs).zipWithIndex.iterator.map {
+            case (t, idx) =>
+              MediaFrame(b.media_id, idx, t,
+                b.content(((idx * 997) % b.content.length).toInt) & 0xff)
+          }
+        }
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> ((s, d) => {
       extractFeatures(synthesize(s, d))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(col("feature_norm"), 4).as("feature_norm"))
+    }),
+    "multimodal_resize" -> ((s, d) => {
+      resize(synthesize(s, d), 224, 224)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("meta_width"),
+          col("meta_height"), length(col("content")).cast("int").as("out_bytes"))
+    }),
+    "multimodal_frames" -> ((s, d) => {
+      sampleFrames(synthesize(s, d)).toDF()
+        .select("media_id", "frame_idx", "t_ms", "frame_fp")
     })
   )
 
-  /** Not SQL-expressible (binary decode) → no oracle entries. */
-  def oracleSql: Map[String, String] = Map.empty
+  /** The production codec is not SQL-expressible, but the deterministic
+    * STUB is (the corpus is pure ASCII, so `ascii(substr(text, i, 1))`
+    * reads payload byte i-1) — which lets the oracle pin the ENTIRE
+    * pipeline around the codec seam: synthesis, partitioning, batch
+    * iteration, row explosion, output schema. Double summation uses
+    * explicitly-ordered folds; zero terms interleave exactly (x + 0.0 is
+    * an identity in IEEE), matching the codec's sequential accumulation.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""WITH m AS (SELECT doc_id media_id,
+         |    (['image','audio','video'])[(doc_id % 3 + 1)::INT] kind,
+         |    text, length(text)::INT n_bytes FROM documents),
+         |f AS (SELECT media_id, kind, n_bytes,
+         |    list_transform(range(0, ${FakeCodec.FeatureDim}), j ->
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, n_bytes + 1), i ->
+         |          CASE WHEN (i - 1) % ${FakeCodec.FeatureDim} = j
+         |               THEN ascii(substr(text, i::INT, 1)) / 255.0
+         |               ELSE 0.0::DOUBLE END)),
+         |        (a, x) -> a + x) / greatest(1, n_bytes // ${FakeCodec.FeatureDim})) feat
+         |  FROM m)
+         |SELECT media_id, kind, n_bytes,
+         |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(feat, x -> x * x)), (a, b) -> a + b)), 4) feature_norm
+         |FROM f""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id media_id,
+        |  (['image','audio','video'])[(doc_id % 3 + 1)::INT] kind,
+        |  224 meta_width, 224 meta_height,
+        |  least(length(text), 224 * 224 // 64)::INT out_bytes
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id media_id,
+        |    (['image','audio','video'])[(doc_id % 3 + 1)::INT] kind,
+        |    text, length(text)::INT n_bytes, n_chars * 100 dur
+        |  FROM documents),
+        |fr AS (SELECT media_id, t // 5000 frame_idx, t t_ms, n_bytes, text
+        |       FROM m, unnest(range(0, dur, 5000)) u(t) WHERE kind = 'video')
+        |SELECT media_id, frame_idx::INT frame_idx, t_ms,
+        |  ascii(substr(text, ((frame_idx * 997) % n_bytes + 1)::INT, 1)) frame_fp
+        |FROM fr""".stripMargin
+  )
 }
