@@ -247,6 +247,49 @@ object Analytics {
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
     }),
+    // --- cohort retention -------------------------------------------------
+    "q_cohort_retention" -> ((s, d) => {
+      // users bucketed by first-event week; distinct actives per
+      // (cohort, week offset). Week ids are pure ms arithmetic (no date
+      // functions → no tz/dtype traps), and both aggregations are
+      // map-side-combined groupBys on user_id.
+      val e = Tables.eventsNormalized(s, d).select(col("user_id"), col("ts_ms"))
+      val firstWeek = e.groupBy("user_id").agg(min("ts_ms").as("first_ms"))
+        .withColumn("cohort_week", expr("first_ms div 604800000"))
+        .select("user_id", "cohort_week")
+      e.withColumn("week", expr("ts_ms div 604800000"))
+        .select("user_id", "week").distinct()
+        .join(firstWeek, "user_id")
+        .withColumn("week_offset", col("week") - col("cohort_week"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+    // --- funnel conversion --------------------------------------------------
+    "q_funnel_steps" -> ((s, d) => {
+      // ordered signup → view → purchase funnel: each stage is a
+      // min-timestamp aggregate joined back so the next stage only counts
+      // events strictly after the previous stage's completion. Three
+      // user_id-keyed shuffles, all partial-aggregated; the final one-row
+      // summary composes broadcast scalar cross joins.
+      val e = Tables.eventsNormalized(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_ms").as("ms"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ms").as("t_signup"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "view" && col("ms") > col("t_signup"))
+        .groupBy("user_id").agg(min("ms").as("t_view"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ms") > col("t_view"))
+        .groupBy("user_id").agg(min("ms").as("t_purchase"))
+      e.agg(countDistinct("user_id").as("n_users"))
+        .crossJoin(broadcast(s1.agg(count(lit(1)).as("n_signup"))))
+        .crossJoin(broadcast(s2.agg(count(lit(1)).as("n_signup_view"))))
+        .crossJoin(broadcast(s3.agg(count(lit(1)).as("n_full_funnel"))))
+        .select(col("n_users"), col("n_signup"), col("n_signup_view"),
+          col("n_full_funnel"),
+          round(col("n_signup_view") / col("n_signup"), 4).as("view_rate"),
+          round(col("n_full_funnel") / col("n_signup_view"), 4).as("purchase_rate"))
+    }),
     // --- correlated-subquery pattern -------------------------------------
     "q_small_quantity_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -412,6 +455,28 @@ object Analytics {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) ms FROM events),
+        |fw AS (SELECT user_id, min(ms) // 604800000 cohort_week FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, ms // 604800000 wk FROM e)
+        |SELECT cohort_week, wk - cohort_week week_offset,
+        |  count(DISTINCT user_id) n_users
+        |FROM act JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) ms FROM events),
+        |s1 AS (SELECT user_id, min(ms) t_signup FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(ms) t_view FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ms > t_signup GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(ms) t_purchase FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ms > t_view GROUP BY e.user_id)
+        |SELECT (SELECT count(DISTINCT user_id) FROM e)::BIGINT n_users,
+        |  (SELECT count(*) FROM s1)::BIGINT n_signup,
+        |  (SELECT count(*) FROM s2)::BIGINT n_signup_view,
+        |  (SELECT count(*) FROM s3)::BIGINT n_full_funnel,
+        |  round((SELECT count(*) FROM s2) / (SELECT count(*) FROM s1)::DOUBLE, 4) view_rate,
+        |  round((SELECT count(*) FROM s3) / (SELECT count(*) FROM s2)::DOUBLE, 4) purchase_rate""".stripMargin,
     "q_small_quantity_revenue" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem l
