@@ -127,9 +127,12 @@ object Dedup {
     // Only edge-touched nodes iterate. Isolated nodes — the overwhelming
     // majority of a lightly-duplicated corpus — are their own component by
     // definition and join back after the fixpoint, so every per-round
-    // shuffle carries |touched| rows, not |corpus|.
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // shuffle carries |touched| rows, not |corpus|. The initial labels are
+    // seeded with the first relaxation (min of self and direct neighbors),
+    // folding what would be a whole round's relax+jump+count into the same
+    // aggregation that enumerates the touched nodes.
+    var labels = sym.groupBy("u").agg(min("v").as("nbr_min"))
+      .select(col("u").as("node"), least(col("u"), col("nbr_min")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
