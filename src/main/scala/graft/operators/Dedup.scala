@@ -200,7 +200,12 @@ object Dedup {
       // it is left to the caller.
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      // materialize the exploded postings ONCE: both self-join sides would
+      // otherwise re-run the shingle expression over the whole corpus. An
+      // inverted index IS a materialized structure — narrow (id, count,
+      // shingle) rows, not document payloads.
       val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        .localCheckpoint(true)
       val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
       val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
       a.join(b, Seq("s"))
