@@ -56,6 +56,21 @@ object SamplingOps {
         col("weight"),
         round(col("weight") / col("p"), 4).as("upsample"))
     }),
+    "curriculum_manifest" -> ((s, d) => {
+      // curriculum sampling: acceptance grows linearly with the document's
+      // quality band ("train on cleaner data more often"). The band is a
+      // fixed value bucket of the oracle-checked quality score — pure
+      // scalar column work, zero shuffle (an ntile/percent_rank decile
+      // would force a partition-less global sort), and the accept/reject
+      // is the same stable salted-hash backbone as the other manifests.
+      TextOps.withQuality(Tables.documents(s, d))
+        .withColumn("band", least(lit(9), floor(col("quality_score") * 10)).cast("int"))
+        .withColumn("rate", round((col("band") + 1) / lit(10.0), 2))
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(concat('curriculum:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10000"))
+        .withColumn("keep", col("bucket") < col("rate") * 10000)
+        .select("doc_id", "quality_score", "band", "rate", "bucket", "keep")
+    }),
     "sample_manifest" -> ((s, d) => {
       // per-lang acceptance rate realizing the mixture weights at
       // KeepFraction of the corpus, then a deterministic salted-hash
@@ -84,6 +99,16 @@ object SamplingOps {
        |        FROM wp CROSS JOIN z)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "curriculum_manifest" ->
+      s"""WITH ${TextOps.wsCte}, ${TextOps.qualityCte},
+         |m AS (SELECT doc_id, quality_score,
+         |        least(9, floor(quality_score * 10))::INT band,
+         |        ('0x' || substr(md5('curriculum:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 bucket
+         |      FROM q),
+         |r AS (SELECT *, round((band + 1) / 10.0::DOUBLE, 2) rate FROM m)
+         |SELECT doc_id, quality_score, band, rate, bucket,
+         |  bucket < rate * 10000 AS keep
+         |FROM r""".stripMargin,
     "corpus_mixture" ->
       s"""WITH $mixtureCte
          |SELECT lang, n_docs, round(p, 6) p, weight,
