@@ -140,6 +140,20 @@ object TextOps {
           round(avg("n_words"), 4).as("avg_words"),
           countDistinct(col("source")).as("n_sources"))
     }),
+    "corpus_stats" -> ((s, d) => {
+      // the one-row "dataset card" summary a corpus release ships with:
+      // volume, language spread, token mass, mean quality, exact-dup rate.
+      // Single scan + one global aggregate (partial-combined).
+      TextOps.withQuality(Tables.documents(s, d))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_words").cast("long")).as("total_tokens"),
+          round(avg("quality_score"), 4).as("avg_quality"),
+          round(lit(1.0) - countDistinct(md5(col("text"))) / count(lit(1)), 4)
+            .as("exact_dup_rate"))
+    }),
     "text_repetition" -> ((s, d) => {
       // repetition/boilerplate signal: duplicate-token mass and the share
       // of the single most common token. explode + two-level partial
@@ -291,6 +305,15 @@ object TextOps {
         |  round(avg(len(string_split(text, ' '))), 4) avg_words,
         |  count(DISTINCT source) n_sources
         |FROM documents GROUP BY lang""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH $wsCte, ${qualityCte}
+         |SELECT count(*) n_docs,
+         |  count(DISTINCT t.lang) n_langs,
+         |  count(DISTINCT t.source) n_sources,
+         |  sum(len(t.ws))::BIGINT total_tokens,
+         |  round(avg(q.quality_score), 4) avg_quality,
+         |  round(1.0 - count(DISTINCT md5(t.text)) / count(*), 4) exact_dup_rate
+         |FROM t JOIN q USING (doc_id)""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
         |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY doc_id, w),
