@@ -332,15 +332,20 @@ object GraftFunctions {
     * in one session and re-registration is an idempotent no-op.
     */
   def registerIvf(spark: SparkSession, cents: Array[Array[Double]], k: Int): String = {
-    var h = 17L + k
-    for (c <- cents; x <- c) h = h * 31 + java.lang.Double.doubleToLongBits(x)
-    val name = s"ivf_cells_${(h & 0x7fffffffL).toString}"
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(
-        name,
-        exprs => IvfTopCells(exprs.head, cents, k),
-        "scala_udf")
+    // Full-width md5 of the (k, centroids) bytes: a 31-bit rolling hash
+    // could collide two different centroid matrices and silently evaluate
+    // queries with the wrong index. Registration is cheap, so always
+    // createOrReplace — no exists-check to get stale under a collision.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    md.update(buf.putLong(0, k.toLong).array())
+    for (c <- cents; x <- c)
+      md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+    val name = "ivf_cells_" + md.digest().map("%02x".format(_)).mkString
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => IvfTopCells(exprs.head, cents, k),
+      "scala_udf")
     name
   }
 }

@@ -144,7 +144,12 @@ object Multimodal {
       .repartition(col("media_id"))
       .mapPartitions { iter =>
         iter.flatMap { b =>
-          (0L until b.meta_duration_ms by stepMs).zipWithIndex.iterator.map {
+          // Guard the degenerate blob (nonzero duration, empty payload):
+          // the modulo below would divide by zero. Unreachable with the
+          // synthetic corpus (empty text ⇒ zero duration) but a real
+          // corpus can carry truncated payloads with intact metadata.
+          if (b.content.isEmpty) Iterator.empty
+          else (0L until b.meta_duration_ms by stepMs).zipWithIndex.iterator.map {
             case (t, idx) =>
               MediaFrame(b.media_id, idx, t,
                 b.content(((idx * 997) % b.content.length).toInt) & 0xff)

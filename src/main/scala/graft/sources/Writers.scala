@@ -50,10 +50,11 @@ object Writers {
     // upstream computation (joins, scoring) into ≤ numPartitions tasks,
     // trading all upstream parallelism for one saved shuffle. One shuffle
     // of the final rows is the right price for a bounded connection fan-in.
-    val bounded =
-      if (df.rdd.getNumPartitions > numPartitions) df.repartition(numPartitions)
-      else df
-    bounded.write
+    // Unconditional: inspecting df.rdd.getNumPartitions to skip the shuffle
+    // would itself materialize every upstream stage under AQE, and the
+    // write re-executes them (no exchange reuse across actions) — upstream
+    // would run twice per call, including per micro-batch via streamToJdbc.
+    df.repartition(numPartitions).write
       .mode(mode)
       .jdbc(url, table, properties)
   }

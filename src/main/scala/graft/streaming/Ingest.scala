@@ -45,9 +45,14 @@ object Ingest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          Writers.writeShards(batch, outDir, partitionCols = Seq("lang"),
-            sortCols = Seq("doc_id"), mode = SaveMode.Append)
+        // No isEmpty pre-check: that is a second action on the micro-batch
+        // plan (the deduped batch would execute twice), and an empty Append
+        // write is harmless. Delivery is AT-LEAST-ONCE: a micro-batch retry
+        // after a partial Append leaves duplicate rows in the shards —
+        // downstream consumers dedup on text_hash (which this stream
+        // carries precisely so replays are reconcilable).
+        Writers.writeShards(batch, outDir, partitionCols = Seq("lang"),
+          sortCols = Seq("doc_id"), mode = SaveMode.Append)
       }
       .start()
 }
