@@ -25,9 +25,12 @@ object Bench {
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_sorted_neighborhood",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_embedding_lsh",
+    "decontam_bloom",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

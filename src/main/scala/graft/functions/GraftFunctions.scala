@@ -300,6 +300,66 @@ case class IvfTopCells(child: Expression, cents: Array[Array[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: split a d-dim vector into
+  * `codebooks.length` contiguous subvectors and emit, per subspace m, the
+  * index of the L2-nearest codeword among `codebooks(m)` (tie → smaller
+  * index). One pass per row with the codebooks riding in the expression
+  * instance (same plan-size rationale as [[IvfTopCells]]); the squared-L2
+  * fold is the sequential i=0..len order, so DuckDB's
+  * `list_sum(list_transform(...))` reproduces the doubles bit-for-bit.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if codebooks.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("pq_encode(array<double>)")
+  }
+
+  def codes(input: ArrayData): ArrayData = {
+    val v = input.toDoubleArray()
+    val m = codebooks.length
+    val sub = v.length / m
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = java.lang.Double.POSITIVE_INFINITY
+      var k = 0
+      while (k < cb.length) {
+        val cw = cb(k)
+        var acc = 0.0
+        var i = 0
+        while (i < sub && i < cw.length) {
+          val diff = v(s * sub + i) - cw(i)
+          acc += diff * diff
+          i += 1
+        }
+        if (java.lang.Double.compare(acc, bestD) < 0) { bestD = acc; best = k }
+        k += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    codes(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.codes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** Session registration for expr()/SQL use of the custom expressions.
   * Idempotent per session: re-invoking is a cheap no-op (round 1 registered
   * inside every query constructor and spammed the logs with
@@ -345,6 +405,66 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
       exprs => IvfTopCells(exprs.head, cents, k),
+      "scala_udf")
+    name
+  }
+
+  /** Register a [[PqEncode]] bound to specific codebooks and return its
+    * session function name (content-addressed md5 digest, like
+    * [[registerIvf]]).
+    */
+  def registerPq(spark: SparkSession,
+      codebooks: Array[Array[Array[Double]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    for (cb <- codebooks; cw <- cb; x <- cw)
+      md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+    val name = "pq_encode_" + md.digest().map("%02x".format(_)).mkString
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => PqEncode(exprs.head, codebooks),
+      "scala_udf")
+    name
+  }
+
+  /** Distributed Bloom-filter build over `xxhash64(keyCol)` of `df`,
+    * reusing Spark's own runtime-filter machinery
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * — the aggregate InjectRuntimeFilter plants under joins): partial
+    * filters build map-side per partition and OR together, so the build is
+    * one pass with a bytes-sized reduce — the small side never collects as
+    * rows. Returns the serialized filter (sizeof ≈ numBits/8).
+    */
+  def buildBloom(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val s = df.sparkSession
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => BloomFilterAggregate(exprs.head, Literal(expectedItems),
+        Literal(numBits), 0, 0).toAggregateExpression(),
+      "scala_udf")
+    df.selectExpr(s"graft_bloom_agg(xxhash64($keyCol)) AS bf")
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Register a probe for a serialized Bloom filter and return its session
+    * function name (content-addressed like [[registerIvf]]). The probe is
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * over `xxhash64(key)` — a codegen'd bit-test, the same expression
+    * Spark's row-level runtime filtering injects, so a
+    * `filter(probe(xxhash64(k)))` before a join is exactly the
+    * big-side pre-filter pattern: false positives pass through and the
+    * exact join downstream removes them; output is provably unchanged.
+    */
+  def registerBloomProbe(spark: SparkSession, bloomBytes: Array[Byte]): String = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val name = "bloom_probe_" + md.digest(bloomBytes).map("%02x".format(_)).mkString
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => BloomFilterMightContain(Literal(bloomBytes, BinaryType), exprs.head),
       "scala_udf")
     name
   }

@@ -62,8 +62,15 @@ object Dedup {
     * survives 100 TB, unlike nested array lambdas which Catalyst's project
     * collapsing would re-evaluate per seed.
     */
-  private def minhashSigs(docs: DataFrame): DataFrame = {
-    val exploded = withShingles(docs)
+  private def minhashSigs(docs: DataFrame): DataFrame =
+    minhashSigsFromShingles(withShingles(docs))
+
+  /** Same, from an already-shingled (doc_id, sh) frame — lets
+    * dedup_minhash_pairs materialize the shingle pass once and feed both
+    * the signature build and the exact-Jaccard confirm.
+    */
+  private def minhashSigsFromShingles(shingled: DataFrame): DataFrame = {
+    val exploded = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h",
         expr(s"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $MinhashP"))
@@ -85,6 +92,19 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("simhash48(text)").as("simhash"))
   }
+
+  /** 7 pigeonhole bands of ≤ 7 bits from a 48-bit simhash: hamming ≤ 6
+    * cannot touch all 7 bands, so every qualifying pair collides on ≥ 1
+    * (band_id, band_bits) key — the exact-candidate guarantee behind
+    * dedup_simhash_pairs and dedup_incremental. Static posexplode, no
+    * interpreted lambda.
+    */
+  private def banded7(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 7).map(b =>
+        expr(s"shiftright(simhash, ${b * 7}) & 127")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_bits")
 
   /** All-pairs cosine — sf ≤ 0.1 CORRECTNESS BASELINE ONLY (O(n²) by
     * construction: exact global top-k over every pair). Deliberately kept
@@ -227,8 +247,13 @@ object Dedup {
       // then exact-Jaccard confirm at ≥ 0.8.
       // bands carry only (doc_id, band) — the shingle payload joins back in
       // AFTER the candidate set is known, so the wide columns never ride
-      // through the LSH shuffle.
-      val bands = minhashSigs(Tables.documents(s, d)).select(
+      // through the LSH shuffle. The shingle pass materializes ONCE
+      // (localCheckpoint) and feeds both the signature build and the
+      // exact-Jaccard confirm — un-checkpointed, each consumer re-ran the
+      // WordShingles expression over the whole corpus.
+      val sh = withShingles(Tables.documents(s, d))
+        .select("doc_id", "sh").localCheckpoint(true)
+      val bands = minhashSigsFromShingles(sh).select(
         col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b as band_id,
@@ -241,7 +266,6 @@ object Dedup {
         .filter(col("d1") < col("d2"))
         .select("d1", "d2")
         .distinct()
-      val sh = withShingles(Tables.documents(s, d)).select("doc_id", "sh")
       cand
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -259,13 +283,7 @@ object Dedup {
       // Explode 7 (band_id, band_bits) keys per doc (a static array, no
       // interpreted lambda), equi-join, distinct, then re-check the true
       // hamming distance — provably the same output as the all-pairs join.
-      val sh = simhash(Tables.documents(s, d))
-      val banded = sh
-        .select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 7).map(b =>
-            expr(s"shiftright(simhash, ${b * 7}) & 127")): _*)))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_bits")
+      val banded = banded7(simhash(Tables.documents(s, d)))
       val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
         col("band_id"), col("band_bits"))
       val b = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
@@ -283,6 +301,65 @@ object Dedup {
         .orderBy(col("cosine").desc, col("id1"), col("id2"))
         .select("id1", "id2", "cosine")
         .limit(30)
+    }),
+    "dedup_sorted_neighborhood" -> ((s, d) => {
+      // Sorted-neighborhood method (SNM), the sort-based dedup family
+      // complementing the join-based LSH/pigeonhole paths: order docs by
+      // (simhash, doc_id) inside 24-bit prefix blocks, compare each doc
+      // against its next 3 neighbors via lead() — one sort, zero joins,
+      // candidate volume exactly 3n. The block key keeps the window
+      // PARTITIONED (an unpartitioned global-order window collapses to a
+      // single task in Spark — the opposite of a 100 TB plan); blocked SNM
+      // trades boundary recall for that parallelism, which is the
+      // documented semantics of the operator (pairs straddling a prefix
+      // boundary are the LSH paths' job).
+      val sh = simhash(Tables.documents(s, d))
+        .withColumn("block", expr("shiftright(simhash, 24)"))
+      val w = Window.partitionBy(col("block")).orderBy(col("simhash"), col("doc_id"))
+      val leads = sh.select(
+        Seq(col("doc_id").as("a"), col("simhash").as("x")) ++
+          (1 to 3).flatMap(j => Seq(
+            lead(col("doc_id"), j).over(w).as(s"nd$j"),
+            lead(col("simhash"), j).over(w).as(s"ns$j"))): _*)
+      leads
+        .select(col("a"), col("x"),
+          explode(array((1 to 3).map(j =>
+            struct(col(s"nd$j").as("b"), col(s"ns$j").as("y"))): _*)).as("nb"))
+        .select(col("a"), col("x"), col("nb.b").as("b"), col("nb.y").as("y"))
+        .filter(col("b").isNotNull)
+        .withColumn("hamming", expr("cast(bit_count(x ^ y) as int)"))
+        .filter(col("hamming") <= 6)
+        .select(least(col("a"), col("b")).as("d1"),
+          greatest(col("a"), col("b")).as("d2"), col("hamming"))
+    }),
+    "dedup_incremental" -> ((s, d) => {
+      // Ingest-time dedup of a DELTA against an existing BASE corpus — the
+      // batch shape of "does this new document duplicate anything we
+      // already hold?". The base side is banded once (at 100 TB this is
+      // the persisted index you maintain across ingests); candidates come
+      // from the same 7-band pigeonhole equi-join as dedup_simhash_pairs,
+      // so the join fans out with |delta|, never |base|², and the verdict
+      // (dup count, closest hamming, novelty) aggregates per delta doc.
+      val sh = simhash(Tables.documents(s, d)).localCheckpoint(true)
+      val base = banded7(sh.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
+          col("band_id"), col("band_bits"))
+      val delta = banded7(sh.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
+          col("band_id"), col("band_bits"))
+      val hits = delta.join(base, Seq("band_id", "band_bits"))
+        .select("delta_id", "base_id", "ds", "bs")
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(ds ^ bs) as int)"))
+        .filter(col("hamming") <= 6)
+        .groupBy("delta_id")
+        .agg(count(lit(1)).as("n_dups"), min("hamming").as("min_hamming"))
+      sh.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(hits, col("doc_id") === col("delta_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("min_hamming"), lit(-1)).as("min_hamming"),
+          col("n_dups").isNull.as("is_novel"))
     })
   )
 
@@ -373,6 +450,31 @@ object Dedup {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming
          |FROM sh48 a JOIN sh48 b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $simhashCte,
+         |nb AS (SELECT doc_id a, simhash x,
+         |    lead(doc_id, 1) OVER w nd1, lead(simhash, 1) OVER w ns1,
+         |    lead(doc_id, 2) OVER w nd2, lead(simhash, 2) OVER w ns2,
+         |    lead(doc_id, 3) OVER w nd3, lead(simhash, 3) OVER w ns3
+         |  FROM sh48
+         |  WINDOW w AS (PARTITION BY simhash >> 24 ORDER BY simhash, doc_id)),
+         |p AS (
+         |  SELECT a, x, nd1 b, ns1 y FROM nb WHERE nd1 IS NOT NULL
+         |  UNION ALL SELECT a, x, nd2, ns2 FROM nb WHERE nd2 IS NOT NULL
+         |  UNION ALL SELECT a, x, nd3, ns3 FROM nb WHERE nd3 IS NOT NULL)
+         |SELECT least(a, b) d1, greatest(a, b) d2,
+         |  CAST(bit_count(xor(x, y)) AS INT) hamming
+         |FROM p WHERE bit_count(xor(x, y)) <= 6""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $simhashCte,
+         |pr AS (SELECT d.doc_id did, bit_count(xor(d.simhash, b.simhash)) h
+         |       FROM sh48 d JOIN sh48 b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |       WHERE bit_count(xor(d.simhash, b.simhash)) <= 6),
+         |agg AS (SELECT did, count(*) n_dups, min(h) mh FROM pr GROUP BY did)
+         |SELECT s.doc_id, coalesce(a.n_dups, 0)::BIGINT n_dups,
+         |  coalesce(a.mh, -1)::INT min_hamming, a.n_dups IS NULL AS is_novel
+         |FROM sh48 s LEFT JOIN agg a ON s.doc_id = a.did
+         |WHERE s.doc_id % 10 = 0""".stripMargin,
     "dedup_embedding_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings),
         |p AS (SELECT a.vec_id id1, b.vec_id id2,

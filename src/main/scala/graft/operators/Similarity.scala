@@ -184,6 +184,65 @@ object Similarity {
         .filter(col("query_id") =!= col("vec_id"))
         .select("query_id", "qe", "vec_id", "ce"), 5)
     }),
+    "ann_pq_topk" -> ((s, d) => {
+      // Product quantization + asymmetric distance (ADC) — the
+      // memory-bound ANN index family complementing LSH (hash) and IVF
+      // (partition): the corpus compresses to M=8 codebook indexes per
+      // vector (8 bytes instead of 64 doubles), queries precompute a
+      // 32-entry LUT of subspace distances, and scoring a candidate is 8
+      // array lookups + adds — no original vectors touched at query time.
+      // Codewords come from the same deterministic hash-ordered 4-vector
+      // sample as the IVF/k-means init (the bounded train step;
+      // embedding_kmeans demonstrates real Lloyd training). Encode is one
+      // corpus pass via the PqEncode evaluator; LUTs are driver-computed
+      // from the 50 collected query vectors (model-sized, O(K)) and
+      // broadcast; every double on both paths is the same sequential
+      // fold, so the approximate output is still hash-checked bit-for-bit.
+      val e = withEmb(s, d)
+      val sample: Array[Array[Double]] = e
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+        .orderBy(col("h"), col("vec_id")).limit(4)
+        .select("emb").collect()
+        .map(_.getSeq[Double](0).toArray)
+      val M = 8
+      val sub = 8
+      val codebooks: Array[Array[Array[Double]]] =
+        Array.tabulate(M)(m => sample.map(v => v.slice(m * sub, (m + 1) * sub)))
+      val fn = graft.functions.GraftFunctions.registerPq(s, codebooks)
+      val corpus = e.select(col("vec_id"), expr(s"$fn(emb)").as("codes"))
+      val qrows = e.filter(isQueryId(col("vec_id"))).select("vec_id", "emb")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val luts = qrows.map { case (id, q) =>
+        val lut = new Array[Double](M * 4)
+        for (m <- 0 until M; k <- 0 until 4) {
+          var acc = 0.0
+          var i = 0
+          while (i < sub) {
+            val diff = q(m * sub + i) - codebooks(m)(k)(i)
+            acc += diff * diff
+            i += 1
+          }
+          lut(m * 4 + k) = acc
+        }
+        (id, lut.toSeq)
+      }.toSeq
+      import s.implicits._
+      val qdf = luts.toDF("query_id", "lut")
+      // ADC: 8 static lookups + left-to-right adds (same order as the
+      // oracle's sequential list_sum) — plain codegen'd built-ins
+      val adist = (0 until M)
+        .map(m => s"element_at(lut, ${m * 4} + element_at(codes, ${m + 1}) + 1)")
+        .mkString(" + ")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+      corpus.join(broadcast(qdf), col("query_id") =!= col("vec_id"))
+        .withColumn("approx_dist", expr(adist))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("approx_dist"), 4).as("approx_dist"))
+    }),
     "embedding_kmeans" -> ((s, d) => {
       // Lloyd's k-means (K=4, 3 fixed iterations, cosine assignment) — the
       // TRAINED coarse quantizer complementing the training-free LSH/IVF
@@ -312,6 +371,27 @@ object Similarity {
          |      FROM q JOIN corpus c USING (cell_id) WHERE c.vec_id <> q.query_id)
          |SELECT query_id, rank, vec_id, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH $embCte,
+         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+         |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
+         |        FROM h ORDER BY h, vec_id LIMIT 4),
+         |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),
+         |dists AS (SELECT e.vec_id, cb.m, cb.k,
+         |    list_sum(list_transform(range(0, 8), i ->
+         |      (e.emb[cb.m*8+i+1] - cb.cv[i+1]) * (e.emb[cb.m*8+i+1] - cb.cv[i+1]))) dist
+         |  FROM e CROSS JOIN cb),
+         |rk AS (SELECT vec_id, m, k, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) r FROM dists),
+         |codes AS (SELECT vec_id, list(k ORDER BY m) codes FROM rk WHERE r = 1 GROUP BY vec_id),
+         |lutl AS (SELECT vec_id query_id, list(dist ORDER BY m, k) lut
+         |         FROM dists WHERE vec_id IN ($queryIdsSql) GROUP BY vec_id),
+         |p AS (SELECT l.query_id, c.vec_id,
+         |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
+         |      FROM codes c CROSS JOIN lutl l WHERE c.vec_id <> l.query_id)
+         |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
     "embedding_stats" ->
       s"""WITH $embCte

@@ -144,6 +144,41 @@ object TrainingPipeline {
         .withColumn("contaminated", col("n_shared") >= 1)
     }),
 
+    // Bloom-filter decontamination — the 100 TB shape of decontam_overlap:
+    // shingles become 60-bit portable fingerprints (8-byte join keys
+    // instead of strings), the eval side folds into a ~256 KB Bloom filter
+    // via Spark's own BloomFilterAggregate (map-side partial filters OR'd
+    // together — the eval set never collects as rows), and the corpus side
+    // is pre-filtered by the codegen'd BloomFilterMightContain bit-test
+    // BEFORE anything shuffles. Only the ~overlap fraction (plus the fpp
+    // tail) of corpus postings reaches the exact-confirm equi-join, which
+    // removes false positives — the Bloom stage provably cannot change the
+    // output, so the oracle is the plain exact join.
+    "decontam_bloom" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val fps = Dedup.withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("fp", expr(
+          "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+        .select("doc_id", "fp")
+      // small side materialized once: it feeds the filter build AND the
+      // exact confirm join
+      val evalFps = fps.filter(col("doc_id") % 20 === 0)
+        .select("fp").distinct().localCheckpoint(true)
+      val bloom = graft.functions.GraftFunctions.buildBloom(
+        evalFps, "fp", expectedItems = 100000L, numBits = 1L << 21)
+      val probe = graft.functions.GraftFunctions.registerBloomProbe(s, bloom)
+      val hits = fps.filter(col("doc_id") % 20 =!= 0)
+        .filter(expr(s"$probe(xxhash64(fp))"))
+        .join(evalFps, "fp")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) >= 1).as("contaminated"))
+    }),
+
     // Sliding context windows with stride (overlap = WinSize − WinStride):
     // the chunking layout for fixed-context training where boundaries must
     // not lose cross-chunk context. Pure per-row explode of an arithmetic
@@ -230,6 +265,20 @@ object TrainingPipeline {
          |         WHERE shx.doc_id % 20 <> 0 GROUP BY shx.doc_id)
          |SELECT d.doc_id, coalesce(h.n_shared, 0)::BIGINT n_shared,
          |  coalesce(h.n_shared, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 20 <> 0""".stripMargin,
+
+    // the Bloom stage is output-invariant, so the oracle is the plain
+    // exact fingerprint join
+    "decontam_bloom" ->
+      s"""WITH ${Dedup.shingleCte},
+         |shx AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT fp
+         |        FROM (SELECT doc_id, unnest(sh) s FROM shg)),
+         |ev AS (SELECT DISTINCT fp FROM shx WHERE doc_id % 20 = 0),
+         |hits AS (SELECT shx.doc_id, count(*) n_hits FROM shx JOIN ev USING (fp)
+         |         WHERE shx.doc_id % 20 <> 0 GROUP BY shx.doc_id)
+         |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT n_hits,
+         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 20 <> 0""".stripMargin,
 

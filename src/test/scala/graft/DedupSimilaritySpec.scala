@@ -62,6 +62,69 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-neighborhood pairs are a sound subset of the exact simhash pairs") {
+    val exact = Dedup.queries("dedup_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val snm = Dedup.queries("dedup_sorted_neighborhood")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(snm.nonEmpty)
+    // soundness: every SNM pair is a true hamming<=6 pair with the same distance
+    snm.foreach { case (p, h) =>
+      assert(exact.get(p).contains(h), s"SNM pair $p (hamming $h) not in exact set")
+    }
+    // the window only sees 3 sort-neighbors per doc inside a prefix block,
+    // so recall is partial by design — but it must find SOMETHING real
+    assert(snm.size <= exact.size)
+  }
+
+  test("incremental dedup verdicts match pair counts derived from the exact pair set") {
+    val exact = Dedup.queries("dedup_simhash_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // expected per-delta stats from the full pair set restricted to delta-base
+    val expected = exact
+      .flatMap { case (d1, d2, h) =>
+        Seq((d1, d2, h), (d2, d1, h)) // both orientations
+      }
+      .filter { case (a, b, _) => a % 10 == 0 && b % 10 != 0 }
+      .groupBy(_._1)
+      .map { case (id, g) => id -> (g.length.toLong, g.map(_._3).min) }
+    val got = Dedup.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getBoolean(3))).toMap
+    got.foreach { case (id, (n, mh, novel)) =>
+      expected.get(id) match {
+        case Some((en, emh)) =>
+          assert(n == en && mh == emh && !novel, s"delta $id: got ($n,$mh,$novel), want ($en,$emh,false)")
+        case None =>
+          assert(n == 0L && mh == -1 && novel, s"delta $id should be novel, got ($n,$mh,$novel)")
+      }
+    }
+  }
+
+  test("bloom-prefiltered decontam output is identical to the exact overlap join") {
+    import graft.operators.TrainingPipeline
+    val bloom = TrainingPipeline.queries("decontam_bloom")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    // re-derive the exact semantics without the bloom stage: n_hits from
+    // the plain fingerprint join
+    graft.functions.GraftFunctions.register(spark)
+    val fps = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("sh", org.apache.spark.sql.functions.expr("word_shingles(text)"))
+      .filter("sh is not null")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("sh")).as("s"))
+      .withColumn("fp", org.apache.spark.sql.functions.expr(
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+    val ev = fps.filter("doc_id % 20 = 0").select("fp").distinct()
+    val hits = fps.filter("doc_id % 20 != 0").join(ev, "fp")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bloom.foreach { case (id, n, contaminated) =>
+      assert(n == hits.getOrElse(id, 0L), s"doc $id: bloom path n_hits=$n, exact=${hits.getOrElse(id, 0L)}")
+      assert(contaminated == (n >= 1))
+    }
+  }
+
   test("exact dedup marks exactly one canonical doc per hash group") {
     val df = Dedup.queries("dedup_exact")(spark, sf)
     val byHash = df.groupBy("text_hash")
@@ -101,6 +164,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val again = Similarity.queries("embedding_kmeans")(spark, sf).collect()
     assert(rows.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ==
       again.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+  }
+
+  test("PQ ADC: structure, determinism, and exact match vs a local reference") {
+    val rows = Similarity.queries("ann_pq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // structure: 5 ranked rows per query, distance non-decreasing in rank
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 5), s"query $q ranks ${g.map(_._2).toSeq}")
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b }, s"query $q not sorted")
+    }
+    // local reference (plain Scala, no Spark expressions): same codebook
+    // sample, encode, and ADC — top-1 for query 0 must agree exactly
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val sample = emb.keys.toSeq
+      .sortBy(id => (graft.functions.PortableHash.md5Int8(id.toString), id))
+      .take(4).map(emb)
+    def sqd(q: Array[Double], c: Array[Double], off: Int): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < 8) { val d = q(off + i) - c(off + i); acc += d * d; i += 1 }
+      acc
+    }
+    def encode(v: Array[Double]): Array[Int] =
+      Array.tabulate(8) { m =>
+        (0 until 4).minBy(k => (sqd(v, sample(k), m * 8), k))
+      }
+    val q0 = emb(0L)
+    val expTop1 = emb.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val codes = encode(v)
+      val adist = (0 until 8).map(m => sqd(q0, sample(codes(m)), m * 8)).sum
+      (id, adist)
+    }.minBy { case (id, a) => (a, id) }._1
+    val gotTop1 = rows.filter(r => r._1 == 0L && r._2 == 1).head._3
+    assert(gotTop1 == expTop1)
+    // deterministic across full re-runs (fresh codebook collect + encode)
+    val again = Similarity.queries("ann_pq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
   test("LSH ANN reaches useful recall vs brute force") {
