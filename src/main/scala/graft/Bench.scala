@@ -34,6 +34,8 @@ object Bench {
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
     "q_range_join_binned",
     "q_scalar_subquery",
     "text_quality",

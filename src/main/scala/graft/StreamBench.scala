@@ -20,8 +20,20 @@ import graft.streaming.FraudStream
   * claims "millions of events per second" with no harness; this prints a
   * measured single-node number for the equivalent pipeline.
   *
+  * A second number covers the [[graft.streaming.Ingest]] training-data
+  * path (quality gate → watermarked exact dedup → per-batchId idempotent
+  * shard commit) over documents replayed from the testdata corpus.
+  *
   * `sbt "runMain graft.StreamBench [nEvents]"`.
   */
+final case class IngestEvent(
+    doc_id: Long,
+    text: String,
+    lang: String,
+    source: String,
+    event_time: java.sql.Timestamp
+)
+
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
@@ -77,6 +89,37 @@ object StreamBench {
     val (secs, scored) = run("sb_timed", json)
     require(scored == n, s"scored $scored of $n")
     println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":${8 * math.max(1, wide)}}""")
+
+    // ---- Ingest path: quality gate → watermarked exact dedup → per-batch
+    // idempotent shard commit, over documents replayed from the testdata
+    // corpus (replicas get distinct ids + perturbed text so the dedup
+    // state sees genuine singletons, as a crawl stream would).
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val nDocs = math.min(n, 100000)
+    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source").collect()
+    val t0ms = 1704067200000L // 2024-01-01T00:00:00Z; 1 ms apart
+    val docRows = (0 until nDocs).map { i =>
+      val r = baseDocs(i % baseDocs.length)
+      IngestEvent(i.toLong, r.getString(1) + " r" + (i / baseDocs.length),
+        r.getString(2), r.getString(3), new java.sql.Timestamp(t0ms + i))
+    }
+
+    def runIngest(rows: Seq[IngestEvent]): Double = {
+      val in = MemoryStream[IngestEvent]
+      in.addData(rows)
+      val out = java.nio.file.Files.createTempDirectory("sb_ingest_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_ingest_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Ingest.ingest(
+        in.toDF().repartition(spark.sparkContext.defaultParallelism), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    runIngest(docRows.take(math.min(10000, nDocs)))
+    val ingestSecs = runIngest(docRows)
+    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f}""")
     spark.stop()
   }
 }

@@ -417,8 +417,18 @@ object GraftFunctions {
       codebooks: Array[Array[Array[Double]]]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
-    for (cb <- codebooks; cw <- cb; x <- cw)
-      md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+    // The digest folds the SHAPE (M, per-codebook K, per-codeword dims) as
+    // well as the values: two codebooks with identical flattened contents
+    // but different geometry must not collide to one function name.
+    md.update(buf.putLong(0, codebooks.length.toLong).array())
+    for (cb <- codebooks) {
+      md.update(buf.putLong(0, cb.length.toLong).array())
+      for (cw <- cb) {
+        md.update(buf.putLong(0, cw.length.toLong).array())
+        for (x <- cw)
+          md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+      }
+    }
     val name = "pq_encode_" + md.digest().map("%02x".format(_)).mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
@@ -440,13 +450,22 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val s = df.sparkSession
+    // Content-addressed like registerIvf/registerPq — the parameters ARE
+    // the content (two longs), so they go straight into the name and two
+    // interleaved builds with different configs can't rebind each other.
+    val name = s"graft_bloom_agg_${expectedItems}_$numBits"
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
+      name,
       exprs => BloomFilterAggregate(exprs.head, Literal(expectedItems),
         Literal(numBits), 0, 0).toAggregateExpression(),
       "scala_udf")
-    df.selectExpr(s"graft_bloom_agg(xxhash64($keyCol)) AS bf")
+    val bytes = df.selectExpr(s"$name(xxhash64($keyCol)) AS bf")
       .head().getAs[Array[Byte]](0)
+    // an empty build side aggregates to NULL; failing here beats an NPE in
+    // registerBloomProbe's md5 digest
+    require(bytes != null,
+      s"buildBloom: build side has no rows (key $keyCol) — cannot build a Bloom filter")
+    bytes
   }
 
   /** Register a probe for a serialized Bloom filter and return its session

@@ -112,12 +112,28 @@ object Dedup {
     * [[Similarity]] `dedup_embedding_lsh` (hyperplane-LSH buckets → exact
     * re-rank).
     */
+  /** Hard fence for the all-pairs baseline: beyond this row count the
+    * O(n²) plan is a scale accident waiting to happen (a comment fence
+    * alone doesn't stop a caller pointing it at a big corpus). sf0.1 is
+    * ~25 k vectors; anything past 100 k must use the LSH twin.
+    */
+  private[graft] val EmbTopkMaxRows = 100000L
+
+  private[graft] def requireAllPairsSafe(n: Long): Unit =
+    require(n <= EmbTopkMaxRows,
+      s"dedup_embedding_topk is the O(n^2) all-pairs CORRECTNESS BASELINE, fenced to" +
+        s" <= $EmbTopkMaxRows vectors (input has $n); use dedup_embedding_lsh" +
+        " (hyperplane-LSH buckets -> exact re-rank) at scale")
+
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // float→double widening is exact, and Cast on arrays is codegen'd —
     // unlike a transform() lambda, which Spark always interprets.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // runtime fence, not just a doc comment: one cheap metadata-backed
+    // count before committing to the quadratic join
+    requireAllPairsSafe(Tables.embeddings(s, d).count())
     val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"))
     val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"))
     a.join(b, col("id1") < col("id2"))

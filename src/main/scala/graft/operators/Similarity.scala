@@ -94,17 +94,91 @@ object Similarity {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
 
+  /** Deterministic hash-ordered sample of n embedding vectors — the
+    * bounded "train step" shared by the IVF centroids (n=8), the PQ
+    * codewords (n=4), and the k-means init (n=K). Collect is O(n) model
+    * size, never data.
+    */
+  private def hashSample(e: DataFrame, n: Int): Array[Array[Double]] =
+    e.withColumn("h", expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+      .orderBy(col("h"), col("vec_id")).limit(n)
+      .select("emb").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** PQ geometry: M=8 subspaces × 8 dims, 4 codewords per subspace (from
+    * the 4-vector hash sample).
+    */
+  private val PqM = 8
+  private val PqSub = 8
+
+  private def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(PqM)(m => sample.map(v => v.slice(m * PqSub, (m + 1) * PqSub)))
+
+  /** Driver-computed ADC lookup tables for the 50 query vectors: per
+    * (subspace m, codeword k) the squared L2 distance between the query's
+    * m-th slice and the codeword. O(K) model-sized collect; the sequential
+    * `acc += diff*diff` fold matches the oracle's list_sum order exactly.
+    */
+  private def pqLuts(e: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Double])] = {
+    val qrows = e.filter(isQueryId(col("vec_id"))).select("vec_id", "emb")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    qrows.map { case (id, q) =>
+      val lut = new Array[Double](PqM * 4)
+      for (m <- 0 until PqM; k <- 0 until 4) {
+        var acc = 0.0
+        var i = 0
+        while (i < PqSub) {
+          val diff = q(m * PqSub + i) - codebooks(m)(k)(i)
+          acc += diff * diff
+          i += 1
+        }
+        lut(m * 4 + k) = acc
+      }
+      (id, lut.toSeq)
+    }.toSeq
+  }
+
+  /** ADC score: 8 static LUT lookups + left-to-right adds (same order as
+    * the oracle's sequential list_sum) — plain codegen'd built-ins.
+    */
+  private val adcExpr: String = (0 until PqM)
+    .map(m => s"element_at(lut, ${m * 4} + element_at(codes, ${m + 1}) + 1)")
+    .mkString(" + ")
+
   private def cosineCols(df: DataFrame): DataFrame =
     df.withColumn("cosine", round(expr("dot_double(qe, ce)") /
       (sqrt(expr("dot_double(qe, qe)")) * sqrt(expr("dot_double(ce, ce)"))), 4))
 
-  private def topk(pairs: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    cosineCols(pairs)
-      .withColumn("rank", row_number().over(w).cast("int"))
+  /** Salted two-stage per-query top-k. A single
+    * `row_number() OVER (PARTITION BY query_id)` funnels EVERY candidate
+    * row into ≤ |queries| = 50 reducer partitions — invisible at sf0.1,
+    * but a hard 50-task cap on the final stage of a 1000-executor cluster
+    * (and for brute-force/PQ the candidate set is corpus × 50). Stage 1
+    * ranks within (query_id, pmod(xxhash64(vec_id), 64)) salt groups —
+    * 64× the reducer parallelism, each group keeping only its local
+    * top-k — so stage 2 re-ranks ≤ 64·k ≈ 320 rows per query. Output is
+    * provably identical: the ordering (orderCols, then vec_id — unique) is
+    * total, and any row in the global top-k is also in its salt group's
+    * top-k, so stage 1 never drops a winner.
+    */
+  private def twoStageTopK(df: DataFrame, k: Int,
+      orderCols: org.apache.spark.sql.Column*): DataFrame = {
+    val order = orderCols :+ col("vec_id")
+    val w1 = Window.partitionBy(col("query_id"), col("salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    df.withColumn("salt", pmod(xxhash64(col("vec_id")), lit(64)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("int"))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+      .drop("salt", "r1")
   }
+
+  private def topk(pairs: DataFrame, k: Int): DataFrame =
+    twoStageTopK(cosineCols(pairs), k, col("cosine").desc)
+      .select("query_id", "rank", "vec_id", "cosine")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> ((s, d) => {
@@ -162,19 +236,14 @@ object Similarity {
       // (8 dots/row, no shuffle), queries probe nprobe=2 cells, exact
       // cosine re-rank inside the probed cells only.
       val e = withEmb(s, d)
-      val cents: Array[(Int, Array[Double])] = e
-        .withColumn("h", expr(
-          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
-        .orderBy(col("h"), col("vec_id")).limit(8)
-        .select("emb").collect()
-        .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+      val cents = hashSample(e, 8)
       // Assignment via the compact IvfTopCells evaluator: one loop per row
       // (centroids live in the expression instance, not as 8×64 literals —
       // the inlined-literal tree's analysis/codegen cost dominated this
       // query's wall time at small SF). The corpus takes its best cell; the
       // query side (tiny, IN-filter pushed to parquet) probes nprobe=2
       // cells — the full scan + assignment still runs exactly once.
-      val fn = graft.functions.GraftFunctions.registerIvf(s, cents.map(_._2), 2)
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 2)
       val corpus = e.select(col("vec_id"), col("emb").as("ce"),
         expr(s"element_at($fn(emb), 1)").as("cell_id"))
       val q = e.filter(isQueryId(col("vec_id")))
@@ -199,47 +268,47 @@ object Similarity {
       // broadcast; every double on both paths is the same sequential
       // fold, so the approximate output is still hash-checked bit-for-bit.
       val e = withEmb(s, d)
-      val sample: Array[Array[Double]] = e
-        .withColumn("h", expr(
-          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
-        .orderBy(col("h"), col("vec_id")).limit(4)
-        .select("emb").collect()
-        .map(_.getSeq[Double](0).toArray)
-      val M = 8
-      val sub = 8
-      val codebooks: Array[Array[Array[Double]]] =
-        Array.tabulate(M)(m => sample.map(v => v.slice(m * sub, (m + 1) * sub)))
+      val codebooks = pqCodebooks(hashSample(e, 4))
       val fn = graft.functions.GraftFunctions.registerPq(s, codebooks)
       val corpus = e.select(col("vec_id"), expr(s"$fn(emb)").as("codes"))
-      val qrows = e.filter(isQueryId(col("vec_id"))).select("vec_id", "emb")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val luts = qrows.map { case (id, q) =>
-        val lut = new Array[Double](M * 4)
-        for (m <- 0 until M; k <- 0 until 4) {
-          var acc = 0.0
-          var i = 0
-          while (i < sub) {
-            val diff = q(m * sub + i) - codebooks(m)(k)(i)
-            acc += diff * diff
-            i += 1
-          }
-          lut(m * 4 + k) = acc
-        }
-        (id, lut.toSeq)
-      }.toSeq
       import s.implicits._
-      val qdf = luts.toDF("query_id", "lut")
-      // ADC: 8 static lookups + left-to-right adds (same order as the
-      // oracle's sequential list_sum) — plain codegen'd built-ins
-      val adist = (0 until M)
-        .map(m => s"element_at(lut, ${m * 4} + element_at(codes, ${m + 1}) + 1)")
-        .mkString(" + ")
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_dist"), col("vec_id"))
-      corpus.join(broadcast(qdf), col("query_id") =!= col("vec_id"))
-        .withColumn("approx_dist", expr(adist))
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 5)
+      val qdf = pqLuts(e, codebooks).toDF("query_id", "lut")
+      val scored = corpus.join(broadcast(qdf), col("query_id") =!= col("vec_id"))
+        .withColumn("approx_dist", expr(adcExpr))
+      twoStageTopK(scored, 5, col("approx_dist"))
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("approx_dist"), 4).as("approx_dist"))
+    }),
+    "ann_ivfpq_topk" -> ((s, d) => {
+      // IVF × PQ composition — the actual 100 TB ANN serving shape: the
+      // corpus is touched by exactly ONE pass that emits (resident cell,
+      // 8-byte PQ codes); original vectors never flow downstream. Queries
+      // probe nprobe=2 cells (via the SAME IvfTopCells expression, so
+      // probe arithmetic is bit-identical to ann_ivf_topk) and ADC-score
+      // only the codes resident in probed cells — candidate volume is
+      // 2/8 of the corpus per query instead of all of it (ann_pq_topk),
+      // and scoring never touches vectors (ann_ivf_topk re-ranks with
+      // exact cosines). Each corpus vector lives in exactly one cell and
+      // the 2 probed cells are distinct, so no (query, vec) pair
+      // duplicates — no distinct needed.
+      val e = withEmb(s, d)
+      val ivfFn = graft.functions.GraftFunctions.registerIvf(s, hashSample(e, 8), 2)
+      val codebooks = pqCodebooks(hashSample(e, 4))
+      val pqFn = graft.functions.GraftFunctions.registerPq(s, codebooks)
+      val corpus = e.select(col("vec_id"),
+        expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
+        expr(s"$pqFn(emb)").as("codes"))
+      // query side: probed cells from a tiny IN-pushed scan × driver LUTs —
+      // both O(K), joined before broadcasting against the corpus
+      val qcells = e.filter(isQueryId(col("vec_id")))
+        .select(col("vec_id").as("query_id"), explode(expr(s"$ivfFn(emb)")).as("cell_id"))
+      import s.implicits._
+      val qdf = pqLuts(e, codebooks).toDF("query_id", "lut")
+      val scored = corpus
+        .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("approx_dist", expr(adcExpr))
+      twoStageTopK(scored, 5, col("approx_dist"))
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("approx_dist"), 4).as("approx_dist"))
     }),
@@ -256,12 +325,7 @@ object Similarity {
       // An emptied cluster keeps its previous centroid (defined in both
       // engines via LEFT JOIN + coalesce).
       val e = withEmb(s, d)
-      var cents: Array[Array[Double]] = e
-        .withColumn("h", expr(
-          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
-        .orderBy(col("h"), col("vec_id")).limit(KmeansK)
-        .select("emb").collect()
-        .map(_.getSeq[Double](0).toArray)
+      var cents: Array[Array[Double]] = hashSample(e, KmeansK)
       for (_ <- 1 to KmeansIters) {
         val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
         val sums = e
@@ -390,6 +454,39 @@ object Similarity {
          |p AS (SELECT l.query_id, c.vec_id,
          |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
          |      FROM codes c CROSS JOIN lutl l WHERE c.vec_id <> l.query_id)
+         |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
+         |  FROM p) WHERE rank <= 5""".stripMargin,
+    "ann_ivfpq_topk" ->
+      s"""WITH $embCte,
+         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
+         |         FROM h ORDER BY h, vec_id LIMIT 8),
+         |cs AS (SELECT e.vec_id, c.cell_id,
+         |         list_dot_product(e.emb, c.cv) /
+         |           (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) cos
+         |       FROM e CROSS JOIN cent c),
+         |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
+         |cells AS (SELECT vec_id, cell_id FROM crk WHERE r = 1),
+         |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($queryIdsSql)),
+         |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
+         |        FROM h ORDER BY h, vec_id LIMIT 4),
+         |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),
+         |dists AS (SELECT e.vec_id, cb.m, cb.k,
+         |    list_sum(list_transform(range(0, 8), i ->
+         |      (e.emb[cb.m*8+i+1] - cb.cv[i+1]) * (e.emb[cb.m*8+i+1] - cb.cv[i+1]))) dist
+         |  FROM e CROSS JOIN cb),
+         |drk AS (SELECT vec_id, m, k, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) r FROM dists),
+         |codes AS (SELECT vec_id, list(k ORDER BY m) codes FROM drk WHERE r = 1 GROUP BY vec_id),
+         |lutl AS (SELECT vec_id query_id, list(dist ORDER BY m, k) lut
+         |         FROM dists WHERE vec_id IN ($queryIdsSql) GROUP BY vec_id),
+         |p AS (SELECT q.query_id, cl.vec_id,
+         |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
+         |      FROM qc q JOIN cells cl USING (cell_id)
+         |           JOIN codes c ON c.vec_id = cl.vec_id
+         |           JOIN lutl l ON l.query_id = q.query_id
+         |      WHERE cl.vec_id <> q.query_id)
          |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,

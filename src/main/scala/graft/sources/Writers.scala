@@ -25,13 +25,15 @@ object Writers {
 
   def writeShards(df: DataFrame, outDir: String, partitionCols: Seq[String],
       sortCols: Seq[String], maxRecordsPerFile: Long = 1000000L,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty): Unit = {
     val routed = df
       .repartition(partitionCols.map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
     routed.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(options)
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
   }

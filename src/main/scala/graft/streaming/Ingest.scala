@@ -21,8 +21,28 @@ import graft.sources.Writers
   * watermark horizon are suppressed); the shard write re-uses
   * [[Writers.writeShards]] so each micro-batch appends a bounded number of
   * files per partition directory instead of one sliver per task.
+  *
+  * Delivery: EXACTLY-ONCE for the shard set. Each micro-batch commits
+  * under its own `batch_id=<id>` hive partition via dynamic partition
+  * OVERWRITE, so a retry after a partial write replaces exactly the
+  * partitions of that batch instead of appending duplicates (micro-batch
+  * replay from the checkpoint is deterministic, so the retry carries the
+  * same rows). Readers scan the root and still prune on `lang`
+  * (top-level partition); `batch_id` doubles as commit lineage.
   */
 object Ingest {
+
+  /** Idempotent per-batch shard commit: lang-partitioned like the batch
+    * writer, sub-partitioned by batch id, dynamic-overwrite so replaying a
+    * batch id is a no-op-equivalent rewrite. Package-visible so the spec
+    * can replay a batch directly.
+    */
+  private[graft] def commitBatch(batch: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    Writers.writeShards(batch.withColumn("batch_id", lit(batchId)),
+      outDir, partitionCols = Seq("lang", "batch_id"),
+      sortCols = Seq("doc_id"), mode = SaveMode.Overwrite,
+      options = Map("partitionOverwriteMode" -> "dynamic"))
 
   /** Start the ingest query.
     *
@@ -44,15 +64,13 @@ object Ingest {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // No isEmpty pre-check: that is a second action on the micro-batch
-        // plan (the deduped batch would execute twice), and an empty Append
-        // write is harmless. Delivery is AT-LEAST-ONCE: a micro-batch retry
-        // after a partial Append leaves duplicate rows in the shards —
-        // downstream consumers dedup on text_hash (which this stream
-        // carries precisely so replays are reconcilable).
-        Writers.writeShards(batch, outDir, partitionCols = Seq("lang"),
-          sortCols = Seq("doc_id"), mode = SaveMode.Append)
+        // plan (the deduped batch would execute twice), and an empty
+        // dynamic-overwrite write touches no partitions. Retry safety comes
+        // from the batch_id partition, not from downstream dedup — see the
+        // object doc.
+        commitBatch(batch, outDir, batchId)
       }
       .start()
 }

@@ -24,6 +24,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
   }
 
+  test("dedup_embedding_topk fence trips beyond the all-pairs row budget") {
+    // at the fence: fine; one past it: fail fast instead of running O(n²)
+    Dedup.requireAllPairsSafe(Dedup.EmbTopkMaxRows)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.requireAllPairsSafe(Dedup.EmbTopkMaxRows + 1)
+    }
+    assert(ex.getMessage.contains("dedup_embedding_lsh"))
+    // the registered query still runs under the fence
+    assert(Dedup.queries("dedup_embedding_topk")(spark, sf).count() == 30)
+  }
+
+  test("ANN top-k is two-stage: salt-group rank feeds the per-query rank") {
+    val df = Similarity.queries("ann_bruteforce_topk")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2, s"expected 2 window stages, got ${windows.size}")
+    // stage 1 partitions on (query_id, salt) — reducer parallelism is
+    // 64 × |queries|, not |queries|; stage 2 re-ranks per query over ≤ 64·k
+    assert(windows.exists(_.partitionSpec.size == 2))
+    assert(windows.exists(_.partitionSpec.size == 1))
+  }
+
   test("simhash hamming pairs cover the planted near-dups") {
     val planted = pairs("dedup_minhash_pairs")
     val simhash = pairs("dedup_simhash_pairs")
@@ -42,6 +65,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components under power-law skew: giant component stays correct, rounds bounded") {
+    // Skew probe (VERDICT_r04 §8): the relaxation join keys on node ids
+    // (uniform), but the pointer-jumping join keys on `label` — a giant
+    // near-dup component concentrates ONE label value, so all its rows
+    // land in one shuffle partition of that join. Probe: a power-law edge
+    // set — one 30k-spoke star (the giant component) + 2000 two-node
+    // chains — against a same-size uniform graph of 16k chains.
+    import spark.implicits._
+    val spokes = 30000
+    val hub = (1 to spokes).map(i => (0L, i.toLong))
+    val chains = (0 until 2000).map(c => (200000L + 2 * c, 200001L + 2 * c))
+    val skewEdges = (hub ++ chains).toDF("d1", "d2")
+    val skewNodes = ((0 to spokes).map(_.toLong) ++
+      (0 until 4000).map(i => 200000L + i)).toDF("node")
+    val uniformEdges = (0 until 16000).map(c => (2L * c, 2L * c + 1)).toDF("d1", "d2")
+    val uniformNodes = (0L until 32000L).toDF("node")
+
+    def timed(nodes: org.apache.spark.sql.DataFrame,
+        edges: org.apache.spark.sql.DataFrame): (Double, Array[(Long, Long)]) = {
+      val t0 = System.nanoTime()
+      val out = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    val (skewSecs, skewLabels) = timed(skewNodes, skewEdges)
+    val (uniSecs, uniLabels) = timed(uniformNodes, uniformEdges)
+    // correctness: every star member labels 0; every chain labels its even end
+    val m = skewLabels.toMap
+    assert((0 to spokes).forall(i => m(i.toLong) == 0L))
+    assert((0 until 2000).forall(c => m(200001L + 2 * c) == 200000L + 2 * c))
+    assert(uniLabels.forall { case (n, l) => l == n - (n % 2) })
+    // measurement on record (local[*] at this scale): the star converges in
+    // the seeded first relaxation + 1 confirm round, same as the uniform
+    // graph — the single-label pointer-jump probe is a hash-lookup fan-out,
+    // not extra rounds. The residual 100 TB risk is shuffle-partition size
+    // of the label-keyed jump join, mitigated there by AQE skew splitting
+    // (the join is a plain equi-join, AQE-eligible); at probe scale the
+    // skewed graph must not be catastrophically slower than uniform.
+    info(f"skewed star: $skewSecs%.2fs, uniform chains: $uniSecs%.2fs")
+    assert(skewSecs < uniSecs * 5 + 10,
+      f"giant-component round dominates: $skewSecs%.2fs vs uniform $uniSecs%.2fs")
   }
 
   test("dedup_components clusters the planted near-dups around min doc_id") {

@@ -36,4 +36,30 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("registerPq content-address folds codebook shape, not just values") {
+    val s = TestSpark.spark
+    // same flattened doubles, different geometry: 1 codebook × 2 codewords
+    // vs 2 codebooks × 1 codeword — must NOT collide to one function name
+    val a = Array(Array(Array(1.0), Array(2.0)))
+    val b = Array(Array(Array(1.0)), Array(Array(2.0)))
+    assert(graft.functions.GraftFunctions.registerPq(s, a) !=
+      graft.functions.GraftFunctions.registerPq(s, b))
+  }
+
+  test("buildBloom: content-addressed per config, clear error on empty build side") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("k")
+    val bloom = graft.functions.GraftFunctions.buildBloom(df, "k", 100L, 1024L)
+    assert(bloom.nonEmpty)
+    // a second config in the same session binds its own function name —
+    // the two builds cannot rebind each other
+    val bloom2 = graft.functions.GraftFunctions.buildBloom(df, "k", 200L, 2048L)
+    assert(bloom2.length != bloom.length || !bloom2.sameElements(bloom))
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.GraftFunctions.buildBloom(df.filter("k < 0"), "k", 100L, 1024L)
+    }
+    assert(ex.getMessage.contains("no rows"))
+  }
 }

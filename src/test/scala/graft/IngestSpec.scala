@@ -44,9 +44,44 @@ class IngestSpec extends AnyFunSuite {
     assert(ids.intersect(Set(1L, 2L)).size == 1)
     assert(!ids.contains(3L))
     assert(ids.contains(4L))
-    // hive partitioning by lang is prunable
+    // hive partitioning by lang is prunable (top-level), sub-partitioned
+    // by the committing micro-batch id
     assert(new java.io.File(s"$out/lang=en").exists())
     assert(new java.io.File(s"$out/lang=es").exists())
+    assert(new java.io.File(s"$out/lang=en").listFiles()
+      .exists(_.getName.startsWith("batch_id=")))
     assert(got.filter("lang = 'es'").count() == 1)
+  }
+
+  test("batch commit is idempotent: replaying a batch id leaves the shard set unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("ingest_replay").toString
+    val b0 = Seq(
+      (1L, "alpha doc", "en", "s1"),
+      (2L, "beta doc", "es", "s1")).toDF("doc_id", "text", "lang", "source")
+    graft.streaming.Ingest.commitBatch(b0, out, 0L)
+    def shardFiles(): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).map(_.getName).filter(_.endsWith(".parquet")).sorted
+    }
+    val afterFirst = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    val files = shardFiles()
+
+    // micro-batch retry: SAME batch id, same (checkpoint-replayed) rows —
+    // dynamic overwrite replaces the batch's partitions instead of
+    // appending duplicates
+    graft.streaming.Ingest.commitBatch(b0, out, 0L)
+    val afterReplay = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(afterReplay == afterFirst)
+    assert(shardFiles().size == files.size)
+
+    // a NEW batch id appends alongside, touching no prior partitions
+    val b1 = Seq((3L, "gamma doc", "en", "s2")).toDF("doc_id", "text", "lang", "source")
+    graft.streaming.Ingest.commitBatch(b1, out, 1L)
+    val all = spark.read.parquet(out)
+    assert(all.count() == 3)
+    assert(all.filter("batch_id = 0").count() == 2)
+    assert(all.filter("batch_id = 1").count() == 1)
   }
 }
