@@ -399,8 +399,16 @@ object GraftFunctions {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     md.update(buf.putLong(0, k.toLong).array())
-    for (c <- cents; x <- c)
-      md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+    // The digest folds the SHAPE (centroid count, per-centroid dims) as
+    // well as the values, like registerPq: two matrices with identical
+    // flattened doubles but different row splits must not collide to one
+    // function name (they would silently share one IvfTopCells binding).
+    md.update(buf.putLong(0, cents.length.toLong).array())
+    for (c <- cents) {
+      md.update(buf.putLong(0, c.length.toLong).array())
+      for (x <- c)
+        md.update(buf.putLong(0, java.lang.Double.doubleToLongBits(x)).array())
+    }
     val name = "ivf_cells_" + md.digest().map("%02x".format(_)).mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,

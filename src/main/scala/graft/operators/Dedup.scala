@@ -125,15 +125,23 @@ object Dedup {
         s" <= $EmbTopkMaxRows vectors (input has $n); use dedup_embedding_lsh" +
         " (hyperplane-LSH buckets -> exact re-rank) at scale")
 
+  /** Row counts behind the all-pairs fence, one count job per dataset dir
+    * per JVM — repeat invocations (Verify runs the query right after the
+    * bench) skip the extra Spark job entirely.
+    */
+  private val fenceCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // float→double widening is exact, and Cast on arrays is codegen'd —
     // unlike a transform() lambda, which Spark always interprets.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    // runtime fence, not just a doc comment: one cheap metadata-backed
-    // count before committing to the quadratic join
-    requireAllPairsSafe(Tables.embeddings(s, d).count())
+    // runtime fence, not just a doc comment: one count on the frame
+    // already in hand (column-pruned to zero columns → parquet footer
+    // row counts), cached per dir so the fence costs one job ever
+    requireAllPairsSafe(fenceCounts.getOrElseUpdate(d, e.count()))
     val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"))
     val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"))
     a.join(b, col("id1") < col("id2"))

@@ -106,6 +106,53 @@ object Similarity {
       .select("emb").collect()
       .map(_.getSeq[Double](0).toArray)
 
+  /** Trained-index artifacts shared by the ANN family: the 8-vector
+    * hash-ordered sample (IVF centroids; its 4-prefix is the PQ codeword
+    * sample AND the k-means init — the hash order is total, so a prefix
+    * of the 8-sample IS the 4-sample) and the 50 collected query vectors
+    * (for driver-side ADC LUTs). Everything downstream — registerIvf /
+    * registerPq digests, LUT doubles — derives from these values, so
+    * reuse is byte-identical to per-query retraining.
+    */
+  private[operators] final case class AnnIndex(
+      sample8: Array[Array[Double]],
+      queryVecs: Seq[(Long, Array[Double])]) {
+    def centroids: Array[Array[Double]] = sample8
+    lazy val codebooks: Array[Array[Array[Double]]] = pqCodebooks(sample8.take(4))
+  }
+
+  /** Index cache keyed by dataset dir: a real 100 TB deployment trains an
+    * ANN index once and serves many queries from it; before this seam each
+    * of ann_ivf/ann_pq/ann_ivfpq re-ran the sample pass (4 corpus passes
+    * per session, VERDICT r5 §3). One JVM-wide build per dir; the cache
+    * holds O(model) doubles (8×64 + 50×64), never data. Keyed by the dir
+    * path — a dir whose CONTENT changes in-place (tests overwriting a temp
+    * dir) must [[clearAnnIndexCache]] first.
+    */
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, AnnIndex]
+
+  /** Train-step builds per dataset dir — the spec's single-scan-reuse
+    * probe (expected: 1 per dir however many ANN queries run).
+    */
+  private[graft] val annTrainBuilds =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def clearAnnIndexCache(): Unit = {
+    annIndexCache.clear()
+    annTrainBuilds.clear()
+  }
+
+  private def annIndex(e: DataFrame, d: String): AnnIndex =
+    annIndexCache.getOrElseUpdate(d, {
+      annTrainBuilds.put(d, annTrainBuilds.getOrElse(d, 0L) + 1L)
+      val sample8 = hashSample(e, 8)
+      // query-vector fetch: IN-pushed parquet scan, O(K) rows collected
+      val qrows = e.filter(isQueryId(col("vec_id"))).select("vec_id", "emb")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      AnnIndex(sample8, qrows)
+    })
+
   /** PQ geometry: M=8 subspaces × 8 dims, 4 codewords per subspace (from
     * the 4-vector hash sample).
     */
@@ -120,10 +167,8 @@ object Similarity {
     * m-th slice and the codeword. O(K) model-sized collect; the sequential
     * `acc += diff*diff` fold matches the oracle's list_sum order exactly.
     */
-  private def pqLuts(e: DataFrame,
+  private def pqLuts(qrows: Seq[(Long, Array[Double])],
       codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Double])] = {
-    val qrows = e.filter(isQueryId(col("vec_id"))).select("vec_id", "emb")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     qrows.map { case (id, q) =>
       val lut = new Array[Double](PqM * 4)
       for (m <- 0 until PqM; k <- 0 until 4) {
@@ -137,7 +182,7 @@ object Similarity {
         lut(m * 4 + k) = acc
       }
       (id, lut.toSeq)
-    }.toSeq
+    }
   }
 
   /** ADC score: 8 static LUT lookups + left-to-right adds (same order as
@@ -236,7 +281,7 @@ object Similarity {
       // (8 dots/row, no shuffle), queries probe nprobe=2 cells, exact
       // cosine re-rank inside the probed cells only.
       val e = withEmb(s, d)
-      val cents = hashSample(e, 8)
+      val cents = annIndex(e, d).centroids
       // Assignment via the compact IvfTopCells evaluator: one loop per row
       // (centroids live in the expression instance, not as 8×64 literals —
       // the inlined-literal tree's analysis/codegen cost dominated this
@@ -268,11 +313,11 @@ object Similarity {
       // broadcast; every double on both paths is the same sequential
       // fold, so the approximate output is still hash-checked bit-for-bit.
       val e = withEmb(s, d)
-      val codebooks = pqCodebooks(hashSample(e, 4))
-      val fn = graft.functions.GraftFunctions.registerPq(s, codebooks)
+      val idx = annIndex(e, d)
+      val fn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
       val corpus = e.select(col("vec_id"), expr(s"$fn(emb)").as("codes"))
       import s.implicits._
-      val qdf = pqLuts(e, codebooks).toDF("query_id", "lut")
+      val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
       val scored = corpus.join(broadcast(qdf), col("query_id") =!= col("vec_id"))
         .withColumn("approx_dist", expr(adcExpr))
       twoStageTopK(scored, 5, col("approx_dist"))
@@ -292,9 +337,9 @@ object Similarity {
       // the 2 probed cells are distinct, so no (query, vec) pair
       // duplicates — no distinct needed.
       val e = withEmb(s, d)
-      val ivfFn = graft.functions.GraftFunctions.registerIvf(s, hashSample(e, 8), 2)
-      val codebooks = pqCodebooks(hashSample(e, 4))
-      val pqFn = graft.functions.GraftFunctions.registerPq(s, codebooks)
+      val idx = annIndex(e, d)
+      val ivfFn = graft.functions.GraftFunctions.registerIvf(s, idx.centroids, 2)
+      val pqFn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
       val corpus = e.select(col("vec_id"),
         expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
         expr(s"$pqFn(emb)").as("codes"))
@@ -303,7 +348,7 @@ object Similarity {
       val qcells = e.filter(isQueryId(col("vec_id")))
         .select(col("vec_id").as("query_id"), explode(expr(s"$ivfFn(emb)")).as("cell_id"))
       import s.implicits._
-      val qdf = pqLuts(e, codebooks).toDF("query_id", "lut")
+      val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
       val scored = corpus
         .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
         .filter(col("query_id") =!= col("vec_id"))
@@ -325,7 +370,10 @@ object Similarity {
       // An emptied cluster keeps its previous centroid (defined in both
       // engines via LEFT JOIN + coalesce).
       val e = withEmb(s, d)
-      var cents: Array[Array[Double]] = hashSample(e, KmeansK)
+      // k-means init = KmeansK-prefix of the shared 8-sample (the hash
+      // order is total, so the prefix IS hashSample(e, KmeansK)); the
+      // Lloyd loop never mutates these arrays (next is built from clones)
+      var cents: Array[Array[Double]] = annIndex(e, d).centroids.take(KmeansK)
       for (_ <- 1 to KmeansIters) {
         val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
         val sums = e
@@ -347,6 +395,30 @@ object Similarity {
       e.select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .select("vec_id", "cluster_id", "cluster_size")
+    }),
+    "ann_recall" -> ((s, d) => {
+      // Recall@5 of each approximate index vs the bruteforce ground truth —
+      // the first number a real ANN user asks of an index. All five result
+      // sets are deterministic (and individually oracle-matched), so even
+      // this quality metric is hash-checked. Sharing: all four approximate
+      // pipelines reuse the one cached AnnIndex train step, and the ground
+      // truth is 250 rows — the join is a broadcast, the aggregate is 4
+      // rows. Denominator = the full 50×5 ground-truth set, so a method
+      // returning < 5 hits for some query is penalized, not normalized
+      // away.
+      val bf = queries("ann_bruteforce_topk")(s, d).select("query_id", "vec_id")
+      Seq("lsh" -> "ann_lsh_topk", "ivf" -> "ann_ivf_topk",
+        "pq" -> "ann_pq_topk", "ivfpq" -> "ann_ivfpq_topk")
+        .map { case (m, q) =>
+          queries(q)(s, d).select(lit(m).as("method"), col("query_id"), col("vec_id"))
+        }
+        .reduce(_ union _)
+        .join(broadcast(bf), Seq("query_id", "vec_id"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("recall_at_5",
+          round(col("hits") / lit(QueryIds.length * 5.0), 4))
+        .select("method", "hits", "recall_at_5")
     }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact - no oracle (sketch internals differ across
@@ -379,7 +451,33 @@ object Similarity {
        |         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) sig
        |FROM e)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** ann_recall's oracle composes the (already individually hash-matched)
+    * per-method oracle statements as nested CTEs — DuckDB scopes each
+    * nested WITH to its own subquery, so the shared inner names (e, h, …)
+    * don't clash.
+    */
+  private lazy val annRecallSql: String = {
+    def sub(n: String) = s"(${baseOracleSql(n)})"
+    s"""WITH bf AS ${sub("ann_bruteforce_topk")},
+       |m_lsh AS ${sub("ann_lsh_topk")},
+       |m_ivf AS ${sub("ann_ivf_topk")},
+       |m_pq AS ${sub("ann_pq_topk")},
+       |m_ivfpq AS ${sub("ann_ivfpq_topk")},
+       |u AS (
+       |  SELECT 'lsh' method, query_id, vec_id FROM m_lsh
+       |  UNION ALL SELECT 'ivf', query_id, vec_id FROM m_ivf
+       |  UNION ALL SELECT 'pq', query_id, vec_id FROM m_pq
+       |  UNION ALL SELECT 'ivfpq', query_id, vec_id FROM m_ivfpq)
+       |SELECT method, count(*) hits,
+       |  round(count(*) / ${QueryIds.length * 5}.0::DOUBLE, 4) recall_at_5
+       |FROM u JOIN bf USING (query_id, vec_id)
+       |GROUP BY method""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("ann_recall" -> annRecallSql)
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "ann_bruteforce_topk" ->
       s"""WITH $embCte,
          |p AS (SELECT q.vec_id query_id, c.vec_id,

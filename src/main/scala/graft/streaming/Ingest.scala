@@ -29,6 +29,17 @@ import graft.sources.Writers
   * replay from the checkpoint is deterministic, so the retry carries the
   * same rows). Readers scan the root and still prune on `lang`
   * (top-level partition); `batch_id` doubles as commit lineage.
+  *
+  * Caveat — exactly-once is up to intra-batch duplicate CHOICE:
+  * `dropDuplicatesWithinWatermark` keeps the first-SEEN row per
+  * `text_hash` within a batch, and "first seen" depends on partition
+  * evaluation order. If the upstream carries true duplicates within one
+  * micro-batch AND is nondeterministically partitioned (e.g. a
+  * round-robin `repartition` before the sink), a replay can keep a
+  * different survivor; if that changes the batch's `lang` set, a stale
+  * `lang=<x>/batch_id=<n>` dir from the failed attempt survives the
+  * dynamic overwrite. With deterministic upstream partitioning (the
+  * normal Kafka-partition → task mapping) the claim is exact.
   */
 object Ingest {
 

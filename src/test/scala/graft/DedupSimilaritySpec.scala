@@ -47,6 +47,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.size == 1))
   }
 
+  test("ANN index trains ONCE per dataset dir across ivf/pq/ivfpq/kmeans") {
+    // the r5 design note: a real 100 TB deployment builds the index once
+    // and serves from it — 4 queries must share 1 train-step corpus pass
+    Similarity.clearAnnIndexCache()
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "embedding_kmeans")
+      .foreach(q => Similarity.queries(q)(spark, sf).count())
+    assert(Similarity.annTrainBuilds.get(sf).contains(1L),
+      s"train builds per dir: ${Similarity.annTrainBuilds.toMap}")
+  }
+
+  test("ann_recall: one row per method, recall in (0,1], deterministic") {
+    val rows = Similarity.queries("ann_recall")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(_._1) == Set("lsh", "ivf", "pq", "ivfpq"))
+    rows.foreach { case (m, hits, rec) =>
+      assert(hits > 0 && hits <= 250, s"$m hits=$hits")
+      assert(rec > 0.0 && rec <= 1.0, s"$m recall=$rec")
+      assert(rec == math.rint(hits / 250.0 * 10000) / 10000, s"$m $hits $rec")
+    }
+    val again = Similarity.queries("ann_recall")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == rows)
+  }
+
   test("simhash hamming pairs cover the planted near-dups") {
     val planted = pairs("dedup_minhash_pairs")
     val simhash = pairs("dedup_simhash_pairs")
@@ -105,9 +129,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // of the label-keyed jump join, mitigated there by AQE skew splitting
     // (the join is a plain equi-join, AQE-eligible); at probe scale the
     // skewed graph must not be catastrophically slower than uniform.
-    info(f"skewed star: $skewSecs%.2fs, uniform chains: $uniSecs%.2fs")
-    assert(skewSecs < uniSecs * 5 + 10,
-      f"giant-component round dominates: $skewSecs%.2fs vs uniform $uniSecs%.2fs")
+    // Timing is REPORTED, not asserted (ADVICE r5): a wall-clock ratio
+    // between two local Spark jobs flakes under CI load / JIT variance;
+    // the correctness asserts above are the gate, the number below is the
+    // on-record probe measurement.
+    info(f"skewed star: $skewSecs%.2fs, uniform chains: $uniSecs%.2fs" +
+      f" (ratio ${skewSecs / math.max(uniSecs, 1e-9)}%.2f)")
   }
 
   test("dedup_components clusters the planted near-dups around min doc_id") {
