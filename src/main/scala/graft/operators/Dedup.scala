@@ -119,6 +119,14 @@ object Dedup {
     */
   private[graft] val EmbTopkMaxRows = 100000L
 
+  /** Document-frequency cap for dedup_ngram_jaccard_capped: shingles in
+    * more than this many documents leave the shingle universe. 5 is sized
+    * so the sf0.01 oracle corpus actually exercises the drop path (29
+    * shingles over the cap there); a production corpus tunes it to its own
+    * boilerplate threshold — the semantics don't change, only the literal.
+    */
+  private[graft] val JaccardDfCap = 5
+
   private[graft] def requireAllPairsSafe(n: Long): Unit =
     require(n <= EmbTopkMaxRows,
       s"dedup_embedding_topk is the O(n^2) all-pairs CORRECTNESS BASELINE, fenced to" +
@@ -241,7 +249,7 @@ object Dedup {
       // Σ_s cnt(s)² (duplicate density), not n². Skewed ultra-common
       // shingles are the residual risk at 100 TB; the standard mitigation
       // (drop shingles above a document-frequency cap) changes output, so
-      // it is left to the caller.
+      // it lives in the dedup_ngram_jaccard_capped twin below.
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
       // materialize the exploded postings ONCE: both self-join sides would
@@ -249,6 +257,37 @@ object Dedup {
       // inverted index IS a materialized structure — narrow (id, count,
       // shingle) rows, not document payloads.
       val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        .localCheckpoint(true)
+      val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
+      val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
+      a.join(b, Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") > 0.1)
+        .select("d1", "d2", "jaccard")
+    }),
+    "dedup_ngram_jaccard_capped" -> ((s, d) => {
+      // The 100 TB skew mitigation from dedup_ngram_jaccard's doc comment,
+      // promoted to a first-class tested operator: shingles appearing in
+      // more than JaccardDfCap documents are dropped from the shingle
+      // UNIVERSE (index AND denominators), so per-shingle candidate volume
+      // is bounded by cap² and boilerplate shingles shared by thousands of
+      // docs can't detonate the self-join. Jaccard stays a true Jaccard
+      // over the capped universe. DF is a map-side-combined aggregate +
+      // equi-join back (NOT a window over the shingle key, which would
+      // funnel each ultra-common shingle's postings into one task — the
+      // exact skew being mitigated); the join is AQE-skew-eligible.
+      val ex0 = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val kept = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= JaccardDfCap).select("s")
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ex = ex0.join(kept, Seq("s"))
+        .withColumn("n_sh", count(lit(1)).over(byDoc))
+        .select("doc_id", "n_sh", "s")
         .localCheckpoint(true)
       val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
       val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
@@ -446,6 +485,17 @@ object Dedup {
          |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) jaccard
          |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
          |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) > 0.1""".stripMargin,
+    "dedup_ngram_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         |ex0 AS (SELECT doc_id, unnest(sh) s FROM shg),
+         |kept AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= $JaccardDfCap),
+         |ex AS (SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id) n_sh
+         |       FROM ex0 JOIN kept USING (s)),
+         |p AS (SELECT a.doc_id d1, b.doc_id d2, a.n_sh n1, b.n_sh n2, count(*) inter
+         |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT d1, d2, round(inter::DOUBLE / (n1 + n2 - inter), 4) jaccard
+         |FROM p WHERE round(inter::DOUBLE / (n1 + n2 - inter), 4) > 0.1""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $shingleCte, $sigCte
          |SELECT doc_id, array_to_string(sig, ',') AS minhash_sig FROM sig""".stripMargin,

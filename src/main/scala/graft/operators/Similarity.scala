@@ -464,7 +464,7 @@ object Similarity {
        |m_pq AS ${sub("ann_pq_topk")},
        |m_ivfpq AS ${sub("ann_ivfpq_topk")},
        |u AS (
-       |  SELECT 'lsh' method, query_id, vec_id FROM m_lsh
+       |  SELECT 'lsh' AS method, query_id, vec_id FROM m_lsh
        |  UNION ALL SELECT 'ivf', query_id, vec_id FROM m_ivf
        |  UNION ALL SELECT 'pq', query_id, vec_id FROM m_pq
        |  UNION ALL SELECT 'ivfpq', query_id, vec_id FROM m_ivfpq)

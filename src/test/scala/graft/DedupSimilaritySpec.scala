@@ -47,6 +47,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(windows.exists(_.partitionSpec.size == 1))
   }
 
+  test("dedup_ngram_jaccard_capped matches a driver-local reference over the capped shingle universe") {
+    // independent oracle: shingle, cap, and score entirely in local Scala
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 3) None
+      else Some(id -> ws.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val dfreq = sh.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val keep = dfreq.filter(_._2 <= Dedup.JaccardDfCap).keySet
+    val capped = sh.view.mapValues(_.intersect(keep)).filter(_._2.nonEmpty).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = capped.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      inter = capped(i).intersect(capped(j)).size if inter > 0
+      jac = r4(inter.toDouble / (capped(i).size + capped(j).size - inter)) if jac > 0.1
+    } yield (i, j, jac)).toSet
+    val got = Dedup.queries("dedup_ngram_jaccard_capped")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected}, missed=${expected -- got}")
+  }
+
   test("ANN index trains ONCE per dataset dir across ivf/pq/ivfpq/kmeans") {
     // the r5 design note: a real 100 TB deployment builds the index once
     // and serves from it — 4 queries must share 1 train-step corpus pass
