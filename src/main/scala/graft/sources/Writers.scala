@@ -38,6 +38,129 @@ object Writers {
       .parquet(outDir)
   }
 
+  /** One lang-partition compaction outcome. `generation` is the negative
+    * batch_id the compacted files were published under (0 = no-op).
+    */
+  final case class CompactionStats(lang: String, dirsCompacted: Int,
+      filesBefore: Int, filesAfter: Int, generation: Long)
+
+  /** Name of the per-generation manifest listing the source dirs a
+    * compaction replaced. Underscore-prefixed → invisible to Spark's
+    * partition discovery, like _SUCCESS.
+    */
+  private val ManifestFile = "_graft_compaction_sources"
+
+  /** Compact one lang partition of an [[graft.streaming.Ingest]] shard
+    * layout: the accumulated `batch_id=*` dirs (one per committed
+    * micro-batch — a long-running stream accretes thousands, each with
+    * few small files) are rewritten into ONE new generation dir of
+    * bounded-size files, and the old dirs are retired.
+    *
+    * Protocol (write-new → swap → delete):
+    *  1. recover: any previous generation whose manifest still lists
+    *     existing source dirs is a crashed swap — delete those sources
+    *     first (completing it) so their rows can never be read twice;
+    *  2. the HIGHEST non-negative batch id is left untouched: a
+    *     restarting stream may replay exactly that micro-batch (dynamic
+    *     overwrite of its dir), and compacting it away would turn the
+    *     replay into an append of duplicates — it joins the next
+    *     compaction once a newer batch exists;
+    *  3. every other `batch_id` dir (including prior generations) is read
+    *     in one pass, repartitioned to ceil(bytes / targetFileBytes)
+    *     writers, and written to a dot-prefixed temp dir (invisible to
+    *     readers) together with the manifest;
+    *  4. ONE atomic rename publishes the temp dir as `batch_id=<gen>`
+    *     (gen = −1, −2, … so generations can never collide with real
+    *     micro-batch ids and the long-typed partition column parses
+    *     unchanged); the replaced dirs are then deleted.
+    *
+    * A reader concurrently listing the root between steps 4 and the final
+    * deletes can observe rows twice (never lose any); a crash in that
+    * window is healed by step 1 on the next run. `lang` pruning is
+    * untouched — compaction only ever rewrites below one lang dir.
+    */
+  def compactShards(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      lang: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      maxRecordsPerFile: Long = 1000000L,
+      sortCols: Seq[String] = Seq("doc_id")): CompactionStats =
+    compactShardsInternal(spark, outDir, lang, targetFileBytes,
+      maxRecordsPerFile, sortCols, crashBeforeDelete = false)
+
+  /** `crashBeforeDelete` stops after the publishing rename, leaving the
+    * source dirs in place — the spec's simulated crash inside the swap
+    * window; the next regular call must heal it.
+    */
+  private[graft] def compactShardsInternal(
+      spark: org.apache.spark.sql.SparkSession, outDir: String, lang: String,
+      targetFileBytes: Long, maxRecordsPerFile: Long, sortCols: Seq[String],
+      crashBeforeDelete: Boolean): CompactionStats = {
+    import org.apache.hadoop.fs.Path
+    val langPath = new Path(outDir, s"lang=$lang")
+    val fs = langPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(langPath), s"no such partition dir: $langPath")
+
+    def batchDirs = fs.listStatus(langPath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    def idOf(p: Path): Long = p.getName.stripPrefix("batch_id=").toLong
+    def parquetFiles(p: Path): Array[Path] =
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+
+    // 1. heal a crashed swap: a generation's manifest lists the dirs it
+    // replaced; any still on disk hold rows ALSO present in the
+    // generation — finish their deletion before reading anything
+    for (g <- batchDirs if idOf(g) < 0) {
+      val mf = new Path(g, ManifestFile)
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val listed = try scala.io.Source.fromInputStream(in).getLines().toList
+                     finally in.close()
+        listed.map(new Path(langPath, _)).filter(fs.exists)
+          .foreach(p => fs.delete(p, true))
+        fs.delete(mf, false)
+      }
+    }
+
+    val dirs = batchDirs
+    val hot = dirs.filter(idOf(_) >= 0).sortBy(idOf).lastOption
+    val included = dirs.filterNot(p => hot.exists(_.getName == p.getName))
+    val filesBefore = dirs.map(parquetFiles(_).length).sum
+    // nothing to merge: no candidates, or just one dir that IS already a
+    // compacted generation (re-rolling it forever would churn bytes)
+    if (included.isEmpty || (included.length == 1 && idOf(included.head) < 0))
+      return CompactionStats(lang, 0, filesBefore, filesBefore, 0L)
+
+    val gen = (included.map(idOf).filter(_ < 0) :+ 0L).min - 1
+    val bytes = included.map(fs.getContentSummary(_).getLength).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    // 3. one pass over the included dirs; basePath keeps lang/batch_id as
+    // partition columns (dropped → data files stay partition-free)
+    val df0 = spark.read.option("basePath", outDir)
+      .parquet(included.map(_.toString): _*)
+      .drop("lang", "batch_id")
+      .repartition(nOut)
+    val df = if (sortCols.nonEmpty && sortCols.forall(df0.columns.contains))
+      df0.sortWithinPartitions(sortCols.map(col): _*) else df0
+    val tmp = new Path(outDir, s".compact_tmp_lang=$lang")
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(tmp.toString)
+    val mfOut = fs.create(new Path(tmp, ManifestFile), true)
+    try mfOut.write(included.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally mfOut.close()
+
+    // 4. publish atomically, then retire the replaced dirs
+    val genDir = new Path(langPath, s"batch_id=$gen")
+    require(fs.rename(tmp, genDir), s"publish rename failed: $tmp -> $genDir")
+    if (!crashBeforeDelete) {
+      included.foreach(p => fs.delete(p, true))
+      fs.delete(new Path(genDir, ManifestFile), false)
+    }
+    val filesAfter = batchDirs.map(parquetFiles(_).length).sum
+    CompactionStats(lang, included.length, filesBefore, filesAfter, gen)
+  }
+
   /** Batch JDBC sink — the reference ships flink-connector-jdbc +
     * postgresql driver jars as a latent capability (DockerFile:17,
     * custom_lib/; SURVEY.md §2 X2). Spark's built-in JDBC relation writes

@@ -84,4 +84,92 @@ class IngestSpec extends AnyFunSuite {
     assert(all.filter("batch_id = 0").count() == 2)
     assert(all.filter("batch_id = 1").count() == 1)
   }
+
+  private def parquetFilesUnder(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+  }
+
+  private def batchOf(i: Int) = {
+    import TestSpark.spark.implicits._
+    Seq(
+      (i * 10L, s"alpha doc $i body", "en", "s1"),
+      (i * 10L + 1, s"beta doc $i body", "en", "s2"),
+      (i * 10L + 2, s"gamma doc $i body", "es", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("compactShards: 20 micro-batches collapse to one generation — same rows, fewer files, pruning kept") {
+    val out = Files.createTempDirectory("ingest_compact").toString
+    (0 until 20).foreach(i => Ingest.commitBatch(batchOf(i), out, i.toLong))
+    def rows() = spark.read.parquet(out)
+      .select("doc_id", "text", "lang", "source")
+      .collect().map(_.toString).sorted.toSeq
+    val before = rows()
+    val filesBefore = parquetFilesUnder(out).size
+
+    val statsEn = graft.sources.Writers.compactShards(spark, out, "en")
+    val statsEs = graft.sources.Writers.compactShards(spark, out, "es")
+    // the hot (highest) batch dir stays out of the merge; everything else
+    // (19 dirs per lang) folds into one generation dir
+    assert(statsEn.dirsCompacted == 19 && statsEs.dirsCompacted == 19)
+    assert(statsEn.generation == -1L)
+    assert(rows() == before, "compaction must not change the row set")
+    val filesAfter = parquetFilesUnder(out).size
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+    assert(new java.io.File(s"$out/lang=en/batch_id=-1").isDirectory)
+    assert(new java.io.File(s"$out/lang=en/batch_id=19").isDirectory)
+
+    // lang pruning survives: the physical scan's partition pruning (not
+    // inputFiles, which reports the unpruned relation) selects only this
+    // lang's dirs
+    val pruned = spark.read.parquet(out).filter("lang = 'es'")
+    assert(pruned.count() == 20)
+    val scanned = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray
+          .map(_.filePath.toPath.toString).toSeq
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=es")), scanned)
+
+    // the protected hot batch replays idempotently post-compaction
+    Ingest.commitBatch(batchOf(19), out, 19L)
+    assert(rows() == before)
+
+    // a second compaction with no new batches is a no-op (the lone
+    // generation is not re-rolled; the hot dir stays protected)
+    val noop = graft.sources.Writers.compactShards(spark, out, "en")
+    assert(noop.dirsCompacted == 0)
+
+    // after one MORE batch, the old hot dir becomes compactable and folds
+    // together with generation -1 into generation -2
+    Ingest.commitBatch(batchOf(20), out, 20L)
+    val again = graft.sources.Writers.compactShards(spark, out, "en")
+    assert(again.dirsCompacted == 2 && again.generation == -2L)
+    assert(spark.read.parquet(out).filter("lang = 'en'").count() == 42)
+  }
+
+  test("compactShards heals a crash inside the swap window (no duplicate rows)") {
+    val out = Files.createTempDirectory("ingest_crash").toString
+    (0 until 5).foreach(i => Ingest.commitBatch(batchOf(i), out, i.toLong))
+    def enRows() = spark.read.parquet(out).filter("lang = 'en'")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = enRows()
+
+    // crash simulation: generation -1 is published but the replaced dirs
+    // were never deleted — rows exist TWICE on disk, manifest still present
+    graft.sources.Writers.compactShardsInternal(spark, out, "en",
+      targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
+      sortCols = Seq("doc_id"), crashBeforeDelete = true)
+    assert(new java.io.File(s"$out/lang=en/batch_id=-1").isDirectory)
+    assert(new java.io.File(s"$out/lang=en/batch_id=0").isDirectory)
+    assert(enRows() != before, "crash window should expose duplicates")
+
+    // next regular run heals: replaced dirs deleted first, then a normal
+    // compaction — the row set is exactly the original again
+    graft.sources.Writers.compactShards(spark, out, "en")
+    assert(enRows() == before)
+    assert(!new java.io.File(s"$out/lang=en/batch_id=0").exists)
+  }
 }
