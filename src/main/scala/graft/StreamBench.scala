@@ -105,7 +105,12 @@ object StreamBench {
         r.getString(2), r.getString(3), new java.sql.Timestamp(t0ms + i))
     }
 
-    def runIngest(rows: Seq[IngestEvent]): Double = {
+    /** Wall seconds + state-store telemetry (peak rows / peak bytes across
+      * the run's StreamingQueryProgress events) for the watermarked-dedup
+      * operator — the number that says how state grows under a replayed
+      * corpus, the scaling axis of this stage at 100 TB.
+      */
+    def runIngest(rows: Seq[IngestEvent]): (Double, Long, Long) = {
       val in = MemoryStream[IngestEvent]
       in.addData(rows)
       val out = java.nio.file.Files.createTempDirectory("sb_ingest_out").toString
@@ -113,13 +118,19 @@ object StreamBench {
       val t0 = System.nanoTime()
       val q = graft.streaming.Ingest.ingest(
         in.toDF().repartition(spark.sparkContext.defaultParallelism), out, ckpt)
-      try q.processAllAvailable() finally q.stop()
-      (System.nanoTime() - t0) / 1e9
+      val secs =
+        try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      // recentProgress is capped (default 100) but this run is few batches
+      val states = q.recentProgress.flatMap(_.stateOperators)
+      val peakRows = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
+      val peakBytes = if (states.isEmpty) 0L else states.map(_.memoryUsedBytes).max
+      (secs, peakRows, peakBytes)
     }
 
     runIngest(docRows.take(math.min(10000, nDocs)))
-    val ingestSecs = runIngest(docRows)
-    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f}""")
+    val (ingestSecs, stateRows, stateBytes) = runIngest(docRows)
+    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes}""")
     spark.stop()
   }
 }
