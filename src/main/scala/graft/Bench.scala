@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * text×2, multimodal) — the full 40+ query surface is exercised by
   * Verify; bench keeps a stable, interpretable basket. `count()` forces
   * full plan execution without collecting results to the driver.
+  *
+  * Measurement discipline (VERDICT r5: the committed r5 artifact was one
+  * contended run showing a 12× phantom regression): each query runs
+  * GRAFT_BENCH_RUNS times (default 3, round-robin over the basket so
+  * back-to-back runs of one query don't share a warm page cache the
+  * others lack), `queries` reports per-query MEDIANS, and `spread`
+  * records each query's [min,max] so a contended sample is visible in
+  * the artifact instead of silently becoming the number.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -28,6 +36,7 @@ object Bench {
     "dedup_sorted_neighborhood",
     "dedup_incremental",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_components",
     "dedup_embedding_lsh",
     "decontam_bloom",
@@ -36,6 +45,7 @@ object Bench {
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_recall",
     "q_range_join_binned",
     "q_scalar_subquery",
     "text_quality",
@@ -62,27 +72,43 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     val queries = SparkEntry.queries
     // dev: `runMain graft.Bench q1 q2` times just those queries
-    val basket = if (args.nonEmpty) args.toSeq else headline
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = basket.filter(queries.contains).map { name =>
+    val basket = (if (args.nonEmpty) args.toSeq else headline).filter(queries.contains)
+    val runs = math.max(1, sys.env.getOrElse("GRAFT_BENCH_RUNS", "3").toInt)
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (r <- 1 to runs; name <- basket) {
       val t0 = System.nanoTime()
       val ok =
         try { queries(name)(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e")
+            System.err.println(s"[bench] $name failed (run $r): $e")
             errors += name
             false
         }
-      // a failed query reports -1, never its partial wall time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // a failed run contributes no sample, never its partial wall time
+      if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = basket.map { name =>
+      name -> (if (samples(name).nonEmpty) median(samples(name)) else -1.0)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val spread = basket.filter(samples(_).nonEmpty)
+      .map { name =>
+        val s = samples(name)
+        "\"" + name + "\":[" + f"${s.min}%.3f" + "," + f"${s.max}%.3f" + "]"
+      }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
