@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf1-scale smoke (VERDICT r5 §8): the cheapest empirical check that no
+  * hidden cliff sits between sf0.1 and real scale. Deterministically
+  * expands the sf0.1 `documents`/`embeddings` tables ~10× (TxGen-style:
+  * every byte a pure function of ids — no Random, no time), then times
+  * the dedup/ANN/text headline once and prints one JSON line per query.
+  *
+  * Expansion semantics: replica r of a document rewrites ~half its words
+  * via a hash of (word, r), so replicas are NOT near-dups of their
+  * original (Jaccard « 0.1) while each replica internally preserves the
+  * planted near-dup pairs (the same rewrite hits both members of a pair).
+  * Duplicate DENSITY therefore stays at sf0.1 levels while the corpus
+  * grows 10× — pair volume scales ~linearly like a real crawl, not
+  * quadratically like naive replication. Embedding replicas add small
+  * deterministic per-component noise, preserving cluster geometry.
+  *
+  * `sbt "runMain graft.ScaleSmoke [outDir]"` (default `target/sf1`;
+  * generation skipped when the fixture already exists).
+  */
+object ScaleSmoke {
+
+  val headline: Seq[String] = Seq(
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_components",
+    "dedup_embedding_lsh",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_recall",
+    "text_quality",
+    "text_fingerprint",
+    "text_tfidf"
+  )
+
+  def generate(spark: SparkSession, base: String, outDir: String,
+      replicas: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+    val reps = spark.range(replicas).select(col("id").as("r"))
+
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r") * lit(nDocs)).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(expr(
+          """array_join(transform(split(text, ' '),
+            |  w -> CASE WHEN pmod(xxhash64(concat(w, ':', r)), 2) = 0
+            |            THEN w ELSE concat(w, '_', r) END), ' ')""".stripMargin))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r") * lit(nVecs)).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(expr(
+          """transform(embedding, (x, i) ->
+            |  cast(x + (pmod(xxhash64(vec_id * 64 + i + r * 131), 1000) - 500)
+            |           / 100000.0 as float))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.headOption.getOrElse("target/sf1")
+    val replicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val t0 = System.nanoTime()
+      generate(spark, base, outDir, replicas)
+      System.err.println(f"[scale] generated $outDir in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    val queries = SparkEntry.queries
+    headline.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        val rows = queries(name)(spark, outDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"rows":$rows}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"metric":"sf1_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          System.err.println(s"[scale] $name failed: $e")
+      }
+    }
+    spark.stop()
+  }
+}
