@@ -86,6 +86,21 @@ object Writers {
     compactShardsInternal(spark, outDir, lang, targetFileBytes,
       maxRecordsPerFile, sortCols, crashBeforeDelete = false)
 
+  /** Compact every `lang=*` partition under the shard root — the periodic
+    * maintenance call a long-running ingest deployment schedules between
+    * (not during) compaction-eligible windows.
+    */
+  def compactAllLangs(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Seq[CompactionStats] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("lang="))
+      .map(d => compactShards(spark, outDir, d.stripPrefix("lang="))).toSeq
+  }
+
   /** `crashBeforeDelete` stops after the publishing rename, leaving the
     * source dirs in place — the spec's simulated crash inside the swap
     * window; the next regular call must heal it.

@@ -167,8 +167,10 @@ class IngestSpec extends AnyFunSuite {
     assert(enRows() != before, "crash window should expose duplicates")
 
     // next regular run heals: replaced dirs deleted first, then a normal
-    // compaction — the row set is exactly the original again
-    graft.sources.Writers.compactShards(spark, out, "en")
+    // compaction — the row set is exactly the original again. Driven via
+    // the lang-discovering maintenance entry point.
+    val all = graft.sources.Writers.compactAllLangs(spark, out)
+    assert(all.map(_.lang).toSet == Set("en", "es"))
     assert(enRows() == before)
     assert(!new java.io.File(s"$out/lang=en/batch_id=0").exists)
   }
