@@ -37,6 +37,8 @@ object Bench {
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_substring",
     "dedup_components",
     "dedup_embedding_lsh",
     "decontam_bloom",
@@ -49,6 +51,7 @@ object Bench {
     "q_range_join_binned",
     "q_scalar_subquery",
     "text_quality",
+    "text_entropy",
     "text_fingerprint",
     "text_pii_scrub",
     "sample_manifest",

@@ -29,6 +29,8 @@ object ScaleSmoke {
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_substring",
     "dedup_components",
     "dedup_embedding_lsh",
     "ann_bruteforce_topk",
@@ -38,6 +40,7 @@ object ScaleSmoke {
     "ann_ivfpq_topk",
     "ann_recall",
     "text_quality",
+    "text_entropy",
     "text_fingerprint",
     "text_tfidf"
   )

@@ -127,6 +127,13 @@ object Dedup {
     */
   private[graft] val JaccardDfCap = 5
 
+  /** High-confidence threshold for dedup_ngram_jaccard_prefix — the
+    * regime where AllPairs prefix filtering actually prunes (prefix
+    * length n − ⌊t·n⌋ ≈ 40% of postings at 0.6; at the exploratory 0.1
+    * it would be 90% and prune nothing).
+    */
+  private[graft] val JaccardPrefixThreshold = 0.6
+
   private[graft] def requireAllPairsSafe(n: Long): Unit =
     require(n <= EmbTopkMaxRows,
       s"dedup_embedding_topk is the O(n^2) all-pairs CORRECTNESS BASELINE, fenced to" +
@@ -299,6 +306,94 @@ object Dedup {
           round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
         .filter(col("jaccard") > 0.1)
         .select("d1", "d2", "jaccard")
+    }),
+    "dedup_ngram_jaccard_prefix" -> ((s, d) => {
+      // AllPairs/PPJoin-style prefix filtering (Bayardo et al. WWW'07;
+      // symmetric prefix-prefix form per Vernica et al. SIGMOD'10) —
+      // EXACT high-confidence near-dup detection at jaccard > 0.6, the
+      // regime prefix filtering is built for: a qualifying pair needs
+      // inter ≥ floor(0.6·max(n1,n2)) + 1 shared shingles, so under any
+      // global total order the pair's globally-smallest shared shingle
+      // sits within each side's first n − floor(0.6·n) shingles (the
+      // other ≥ floor(0.6·n) intersection members all order after it).
+      // Only those ~40% of postings enter the inverted index — candidate
+      // volume ~16% of the full self-join on uniform data — and the
+      // canonical order is ASCENDING document frequency, so the dropped
+      // 60% are each doc's HIGHEST-df shingles, precisely the Σ df²
+      // quadratic keys, cutting far more than 60² % on boilerplate-heavy
+      // corpora with ZERO recall loss. (At the exploratory 0.1 threshold
+      // the prefix would be 90% of postings and prune nothing — that
+      // regime belongs to dedup_ngram_jaccard / _capped; measured 2.6×
+      // slower than the plain join at sf0.1 before this repositioning.)
+      // Candidates re-verify against the full shingle arrays
+      // (array_intersect on the checkpointed narrow frame), so no
+      // approximation ever reaches the output.
+      val t = JaccardPrefixThreshold
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+        .localCheckpoint(true) // feeds the postings build AND the verify join
+      val ex0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      // df via map-side-combined aggregate + join back (not a window over
+      // the skewed shingle key — same reasoning as the capped twin).
+      val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+      val byDocCanonical =
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      val prefix = ex0.join(df, Seq("s"))
+        .withColumn("rk", row_number().over(byDocCanonical))
+        .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
+        .select("doc_id", "s")
+      val cand = prefix.select(col("doc_id").as("d1"), col("s"))
+        .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2")
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")), Seq("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") > JaccardPrefixThreshold)
+        .select("d1", "d2", "jaccard")
+    }),
+    "dedup_substring" -> ((s, d) => {
+      // Exact substring-duplication detection (the signal behind
+      // "Deduplicating Training Data Makes Language Models Better",
+      // Lee et al. 2022 — there via suffix arrays; here via the
+      // map-reduce-friendly twin): hash EVERY 40-char window of every
+      // document, then keep only windows whose portable hash ≡ 0
+      // (mod 4). Selection is CONTENT-DEFINED, so two documents sharing
+      // a long verbatim span keep the same sampled windows regardless of
+      // where the span starts in either document — no alignment
+      // assumption, unlike stride sampling. Pairs sharing ≥ 1 sampled
+      // window surface with the count of shared windows (∝ shared span
+      // length / 4). Deterministic given content ⇒ fully oracle-checked.
+      // Scale: postings are (doc_id, window_hash) only; the self-join is
+      // equi-join shaped. Residual skew risk is boilerplate windows
+      // shared by thousands of docs — same residual (and same DF-cap
+      // mitigation path) as dedup_ngram_jaccard. Very long documents
+      // should be pre-chunked (pack_chunks) so the per-row window array
+      // stays bounded.
+      val wins = Tables.documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 39), i -> substring(text, i, 40))"
+        )).as("win"))
+        .withColumn("h",
+          expr("cast(conv(substring(md5(win), 1, 8), 16, 10) as bigint)"))
+        .filter(col("h") % 4 === 0)
+        .select("doc_id", "h")
+        .distinct()
+        // both self-join sides consume this: materialize the exploded
+        // window scan + md5 pass ONCE (narrow (doc_id, h) rows only)
+        .localCheckpoint(true)
+      wins.select(col("doc_id").as("d1"), col("h"))
+        .join(wins.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("shared_windows"))
     }),
     "dedup_minhash_sig" -> ((s, d) => {
       minhashSigs(Tables.documents(s, d))
@@ -496,6 +591,23 @@ object Dedup {
          |      GROUP BY 1, 2, 3, 4)
          |SELECT d1, d2, round(inter::DOUBLE / (n1 + n2 - inter), 4) jaccard
          |FROM p WHERE round(inter::DOUBLE / (n1 + n2 - inter), 4) > 0.1""".stripMargin,
+    // Prefix filtering is output-invariant: the oracle IS the n²
+    // formulation at the same threshold — any divergence is a
+    // prefix-filter bug.
+    "dedup_ngram_jaccard_prefix" ->
+      s"""WITH $shingleCte
+         |SELECT a.doc_id d1, b.doc_id d2,
+         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) jaccard
+         |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) > $JaccardPrefixThreshold""".stripMargin,
+    "dedup_substring" ->
+      """WITH gs AS (SELECT unnest(generate_series(1, (SELECT max(len(text))::BIGINT FROM documents))) AS g),
+        |w AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(text, g::INT, 40)), 1, 8))::BIGINT AS h
+        |      FROM documents CROSS JOIN gs
+        |      WHERE g <= len(text) - 39 AND ('0x' || substr(md5(substr(text, g::INT, 40)), 1, 8))::BIGINT % 4 = 0)
+        |SELECT a.doc_id d1, b.doc_id d2, count(*) AS shared_windows
+        |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $shingleCte, $sigCte
          |SELECT doc_id, array_to_string(sig, ',') AS minhash_sig FROM sig""".stripMargin,

@@ -170,6 +170,27 @@ object TextOps {
           round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_ratio"),
           round(col("top_count") / col("n_words"), 4).as("top_share"))
     }),
+    "text_entropy" -> ((s, d) => {
+      // Character-level Shannon entropy — the classic gibberish /
+      // boilerplate quality gate (low = repeated chars, high = random
+      // noise). entropy = log2(n) − (Σ cnt·log2 cnt)/n over per-doc char
+      // counts: explode + two-level partial aggregation, map-side
+      // combined, no per-doc collections. Per-char terms quantize to
+      // 1e-6 integers BEFORE summing (same determinism trick as
+      // text_unigram_logprob) so aggregation order can't drift vs the
+      // oracle. Spark's split keeps a trailing '' element (Java regex
+      // split semantics) that DuckDB's string_split drops — filtered.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+        .withColumn("q", round(col("cnt") * log2(col("cnt")) * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_chars"), sum("q").as("sum_q"))
+        .select(col("doc_id"), col("n_chars"),
+          round(log2(col("n_chars")) - col("sum_q") / lit(1e6) / col("n_chars"), 4)
+            .as("entropy"))
+    }),
     "text_unigram_logprob" -> ((s, d) => {
       // CCNet-style unigram LM quality score: mean negative log-prob of a
       // doc's tokens under the corpus unigram distribution (high = rare/
@@ -322,6 +343,13 @@ object TextOps {
         |SELECT doc_id, n_words, n_distinct,
         |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
         |  round(top_count / n_words::DOUBLE, 4) top_share
+        |FROM a""".stripMargin,
+    "text_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) c FROM documents),
+        |g AS (SELECT doc_id, c, count(*) cnt FROM c GROUP BY doc_id, c),
+        |q AS (SELECT doc_id, cnt, CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT) q FROM g),
+        |a AS (SELECT doc_id, sum(cnt)::BIGINT n_chars, sum(q)::BIGINT sum_q FROM q GROUP BY doc_id)
+        |SELECT doc_id, n_chars, round(log2(n_chars) - sum_q / 1e6 / n_chars, 4) entropy
         |FROM a""".stripMargin,
     "text_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),

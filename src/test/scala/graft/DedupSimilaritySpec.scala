@@ -337,4 +337,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.2, s"mean recall@5 = $mean")
   }
+
+  test("prefix-filtered ngram jaccard is EXACTLY the n^2 output at its threshold") {
+    // the whole point of the AllPairs prefix filter: candidate pruning
+    // with ZERO recall loss — any divergence here is a filter bug.
+    // Ground truth = the unfiltered inverted-index query (exact, already
+    // oracle-matched at 0.1) filtered to the prefix query's threshold.
+    def pairs(name: String): Set[(Long, Long, Double)] =
+      Dedup.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = pairs("dedup_ngram_jaccard").filter(_._3 > 0.6)
+    val pref = pairs("dedup_ngram_jaccard_prefix")
+    assert(truth.nonEmpty, "fixture should contain high-confidence near-dup pairs")
+    assert(pref == truth,
+      s"prefix filter changed output: missing=${truth.diff(pref).take(3)}" +
+        s" extra=${pref.diff(truth).take(3)}")
+  }
+
+  test("substring dedup finds planted verbatim spans, content-defined (alignment-free)") {
+    import spark.implicits._
+    val span = (1 to 40).map(i => s"sharedword$i").mkString(" ") // ~600 chars
+    val docs = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon", "en", "t", 0L),
+      // same span at a very different offset: content-defined sampling
+      // must still align the windows
+      (2L, s"zeta $span", "en", "t", 0L),
+      (3L, "totally unrelated text with nothing shared at all beyond forty characters of filler", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("substr").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.queries("dedup_substring")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out.contains((1L, 2L)), s"planted span pair not found: $out")
+    assert(out((1L, 2L)) >= 10, "long shared span should share many sampled windows")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      "unrelated doc must not pair")
+    // d1 < d2 canonical ordering
+    assert(out.keys.forall { case (a, b) => a < b })
+  }
+
+  test("text_entropy: zero for constant text, 1 bit for a 50/50 alphabet, bounded on the corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa", "en", "t", 0L),
+      (2L, "abababab", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ent = graft.operators.TextOps.queries("text_entropy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(ent(1L) == ((8L, 0.0)))
+    assert(ent(2L) == ((8L, 1.0)))
+    // corpus sanity: 0 <= H <= log2(n_chars)
+    val corpus = graft.operators.TextOps.queries("text_entropy")(spark, sf)
+      .collect()
+    assert(corpus.length == 500)
+    corpus.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0.0 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
 }
