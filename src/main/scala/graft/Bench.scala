@@ -42,6 +42,7 @@ object Bench {
     "dedup_components",
     "dedup_embedding_lsh",
     "decontam_bloom",
+    "decontam_neardup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -395,6 +395,55 @@ object Dedup {
         .groupBy("d1", "d2")
         .agg(count(lit(1)).as("shared_windows"))
     }),
+    "decontam_neardup" -> ((s, d) => {
+      // Near-duplicate train/eval decontamination: the exact-overlap gates
+      // (TrainingPipeline decontam_overlap/_bloom) catch verbatim leakage
+      // only; the standard stronger gate (GPT-3-style n-gram overlap,
+      // tightened to similarity) is MinHash-LSH between the TRAIN split
+      // and the EVAL split with an exact-Jaccard ≥ 0.8 confirm — same
+      // 4×4 banding as dedup_minhash_pairs, split by the same salted
+      // hash as split_assign, so the oracle composes those two proven
+      // CTEs. Scale shape: bands carry (doc_id, band) only; candidates
+      // fan out with |eval| × collision rate, never |train|²; per-eval
+      // verdicts (match count, max jaccard, is_clean) aggregate after an
+      // exact confirm on the checkpointed shingle arrays. Lives here (not
+      // TrainingPipeline) to reuse the private MinHash machinery.
+      val bucket = expr("cast(conv(substring(md5(concat('split:', " +
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+      val sh = withShingles(Tables.documents(s, d))
+        .select(col("doc_id"), col("sh"), bucket.as("bucket"))
+        .localCheckpoint(true)
+      val bands = minhashSigsFromShingles(sh.select("doc_id", "sh")).select(
+        col("doc_id"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b as band_id,
+            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
+        )).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+        .join(sh.select("doc_id", "bucket"), Seq("doc_id"))
+      val cand = bands.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_id"), col("band_id"), col("band_key"))
+        .join(bands.filter(col("bucket") >= 90)
+          .select(col("doc_id").as("test_id"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
+        .select("train_id", "test_id")
+        .distinct()
+      val confirmed = cand
+        .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh1")), Seq("train_id"))
+        .join(sh.select(col("doc_id").as("test_id"), col("sh").as("sh2")), Seq("test_id"))
+        .withColumn("jaccard",
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 4))
+        .filter(col("jaccard") >= 0.8)
+        .groupBy("test_id")
+        .agg(count(lit(1)).as("n_train_matches"), max("jaccard").as("max_jaccard"))
+      sh.filter(col("bucket") >= 90).select(col("doc_id"))
+        .join(confirmed, col("doc_id") === col("test_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+          coalesce(col("max_jaccard"), lit(-1.0)).as("max_jaccard"),
+          col("test_id").isNull.as("is_clean"))
+    }),
     "dedup_minhash_sig" -> ((s, d) => {
       minhashSigs(Tables.documents(s, d))
         .select(col("doc_id"),
@@ -608,6 +657,36 @@ object Dedup {
         |SELECT a.doc_id d1, b.doc_id d2, count(*) AS shared_windows
         |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+    "decontam_neardup" ->
+      s"""WITH $shingleCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+         |  FROM sig, unnest(range(0, 4)) t(b)
+         |),
+         |bk AS (SELECT doc_id,
+         |  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id train_id, b.doc_id test_id
+         |  FROM bands a JOIN bk ba ON a.doc_id = ba.doc_id AND ba.bucket < 80
+         |  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  JOIN bk bb ON b.doc_id = bb.doc_id AND bb.bucket >= 90
+         |),
+         |conf AS (
+         |  SELECT test_id, count(*) n_train_matches, max(j) max_jaccard FROM (
+         |    SELECT cand.test_id,
+         |      round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) j
+         |    FROM cand JOIN shg x ON cand.train_id = x.doc_id
+         |              JOIN shg y ON cand.test_id = y.doc_id) q
+         |  WHERE j >= 0.8 GROUP BY test_id
+         |)
+         |SELECT s.doc_id,
+         |  coalesce(conf.n_train_matches, 0)::BIGINT n_train_matches,
+         |  coalesce(conf.max_jaccard, -1.0) max_jaccard,
+         |  conf.test_id IS NULL is_clean
+         |FROM shg s JOIN bk ON s.doc_id = bk.doc_id AND bk.bucket >= 90
+         |LEFT JOIN conf ON conf.test_id = s.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $shingleCte, $sigCte
          |SELECT doc_id, array_to_string(sig, ',') AS minhash_sig FROM sig""".stripMargin,

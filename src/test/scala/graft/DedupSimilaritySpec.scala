@@ -376,6 +376,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  test("decontam_neardup: sound verdicts, full eval coverage, exact-dup completeness") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def bucket(id: Long): Long =
+      graft.functions.PortableHash.md5Int8(s"split:$id") % 100
+    graft.functions.GraftFunctions.register(spark)
+    // local ground truth: shingle sets per doc
+    val shingles = graft.sources.Tables.documents(spark, sf)
+      .withColumn("sh", expr("word_shingles(text)"))
+      .filter(col("sh").isNotNull)
+      .select("doc_id", "sh").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (shingles(a), shingles(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val out = Dedup.queries("decontam_neardup")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val testDocs = shingles.keySet.filter(bucket(_) >= 90)
+    val trainDocs = shingles.keySet.filter(bucket(_) < 80)
+    // one verdict per shingled eval doc, no more, no less
+    assert(out.keySet == testDocs)
+    out.foreach { case (id, (n, mx, clean)) =>
+      if (clean) assert(n == 0L && mx == -1.0)
+      else {
+        // soundness: every flagged eval doc really has a >= 0.8 train partner
+        val partners = trainDocs.filter(t => jac(id, t) >= 0.7999)
+        assert(partners.nonEmpty, s"doc $id flagged but no qualifying train partner")
+        assert(n <= partners.size)
+        assert(mx >= 0.8 - 1e-9)
+      }
+    }
+    // completeness floor: identical shingle sets produce identical minhash
+    // signatures, which collide in every band — LSH cannot miss them
+    val exactDups = for {
+      t <- testDocs; tr <- trainDocs if shingles(t) == shingles(tr)
+    } yield t
+    exactDups.foreach(t => assert(!out(t)._3, s"exact dup $t marked clean"))
+  }
+
   test("text_entropy: zero for constant text, 1 bit for a 50/50 alphabet, bounded on the corpus") {
     import spark.implicits._
     val docs = Seq(
