@@ -41,6 +41,7 @@ object Bench {
     "dedup_substring",
     "dedup_components",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_fine",
     "decontam_bloom",
     "decontam_neardup",
     "ann_bruteforce_topk",

@@ -33,6 +33,8 @@ object ScaleSmoke {
     "dedup_substring",
     "dedup_components",
     "dedup_embedding_lsh",
+    "dedup_embedding_lsh_fine",
+    "decontam_neardup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -99,7 +101,11 @@ object ScaleSmoke {
       System.err.println(f"[scale] generated $outDir in ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     val queries = SparkEntry.queries
-    headline.foreach { name =>
+    // dev: trailing args (after an optional outDir) time just those queries
+    val basket =
+      if (args.exists(queries.contains)) args.toSeq.filter(queries.contains)
+      else headline
+    basket.foreach { name =>
       val t0 = System.nanoTime()
       try {
         val rows = queries(name)(spark, outDir).count()

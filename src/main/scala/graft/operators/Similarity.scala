@@ -94,6 +94,21 @@ object Similarity {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
 
+  /** 2 × 8-bit LSH band keys from the same 16-bit signature — the
+    * clique-density scale lever behind dedup_embedding_lsh_fine: 256
+    * values per band instead of 16 cuts Σ bucket² candidate volume
+    * ~16×, while a true near-dup (cosine → 1) flips each of the 16
+    * hyperplane bits with probability θ/π → 0, so the chance BOTH 8-bit
+    * bands differ stays negligible exactly where the operator's recall
+    * matters.
+    */
+  private def banded2x8(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"),
+      posexplode(array((0 until 2).map(b =>
+        expr(s"shiftright(sig, ${b * 8}) & 255")): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_val")
+
   /** Deterministic hash-ordered sample of n embedding vectors — the
     * bounded "train step" shared by the IVF centroids (n=8), the PQ
     * codewords (n=4), and the k-means init (n=K). Collect is O(n) model
@@ -257,6 +272,35 @@ object Similarity {
       // through the candidate shuffle was a measured 8× slowdown).
       val e = withEmb(s, d)
       val banded = banded4(e.withColumn("sig", expr("hyperplane_sig16(emb)")))
+        .select("vec_id", "band_id", "band_val")
+      val cand = banded.select(col("vec_id").as("id1"), col("band_id"), col("band_val"))
+        .join(banded.select(col("vec_id").as("id2"), col("band_id"), col("band_val")),
+          Seq("band_id", "band_val"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("id1"), col("emb").as("qe")), Seq("id1"))
+        .join(e.select(col("vec_id").as("id2"), col("emb").as("ce")), Seq("id2"))
+        .withColumn("cosine", round(expr("dot_double(qe, ce)") /
+          (sqrt(expr("dot_double(qe, qe)")) * sqrt(expr("dot_double(ce, ce)"))), 4))
+        .orderBy(col("cosine").desc, col("id1"), col("id2"))
+        .select("id1", "id2", "cosine")
+        .limit(20)
+    }),
+    "dedup_embedding_lsh_fine" -> ((s, d) => {
+      // Clique-density variant of dedup_embedding_lsh: the sf1 smoke
+      // showed candidate volume tracking Σ bucket² once duplication goes
+      // clique-dense (10-replica families all colliding) — with 4-bit
+      // bands there are only 16 bucket values per band, so buckets are
+      // structurally huge at scale. Same 16-bit signature re-banded as
+      // 2 × 8 bits (see banded2x8): ~16× fewer candidates, near-dup
+      // recall preserved where it matters (both 8-bit bands differing
+      // requires ≥ 2 well-separated bit flips of a near-identical pair).
+      // Downstream shape identical: id-only candidate shuffle, exact
+      // cosine re-rank, deterministic top-20.
+      val e = withEmb(s, d)
+      val banded = banded2x8(e.withColumn("sig", expr("hyperplane_sig16(emb)")))
         .select("vec_id", "band_id", "band_val")
       val cand = banded.select(col("vec_id").as("id1"), col("band_id"), col("band_val"))
         .join(banded.select(col("vec_id").as("id2"), col("band_id"), col("band_val")),
@@ -506,6 +550,19 @@ object Similarity {
       s"""WITH $embCte, $sigCteSql,
          |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 4)) & 15 band_val
          |          FROM sg, unnest(range(0, 4)) t(b)),
+         |cand AS (SELECT DISTINCT a.vec_id id1, a.emb qe, b.vec_id id2, b.emb ce
+         |         FROM bands a JOIN bands b
+         |           ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |          AND a.vec_id < b.vec_id)
+         |SELECT id1, id2,
+         |  round(list_dot_product(qe, ce) /
+         |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
+         |FROM cand
+         |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+    "dedup_embedding_lsh_fine" ->
+      s"""WITH $embCte, $sigCteSql,
+         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 8)) & 255 band_val
+         |          FROM sg, unnest(range(0, 2)) t(b)),
          |cand AS (SELECT DISTINCT a.vec_id id1, a.emb qe, b.vec_id id2, b.emb ce
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_val = b.band_val

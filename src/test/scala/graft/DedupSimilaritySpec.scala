@@ -376,6 +376,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.keys.forall { case (a, b) => a < b })
   }
 
+  test("fine-banded embedding LSH finds planted near-dups (sf fixture has none at 0.99)") {
+    import spark.implicits._
+    // the sf0.001 embeddings are random (max pairwise cosine ≈ 0.48), so
+    // plant the regime the operator exists for: 10 pairs at cosine ≈ 1
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 50).map(i => (i.toLong, vec()))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lshfine").toString
+    (bases ++ dups).map { case (id, v) => (id, "x", v) }
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+    def top(name: String): Seq[(Long, Long, Double)] =
+      Similarity.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val coarse = top("dedup_embedding_lsh")
+    val fine = top("dedup_embedding_lsh_fine")
+    // every planted near-identical pair survives BOTH bandings and
+    // dominates the top-20 head
+    Seq("coarse" -> coarse, "fine" -> fine).foreach { case (label, out) =>
+      val found = out.filter(_._3 >= 0.99).map(p => (p._1, p._2)).toSet
+      assert(planted.subsetOf(found),
+        s"$label lost planted pairs: ${planted.diff(found)}")
+    }
+    // determinism of the fine path
+    assert(fine == top("dedup_embedding_lsh_fine"))
+  }
+
   test("decontam_neardup: sound verdicts, full eval coverage, exact-dup completeness") {
     import org.apache.spark.sql.functions.{col, expr}
     def bucket(id: Long): Long =
