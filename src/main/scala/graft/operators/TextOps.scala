@@ -344,8 +344,12 @@ object TextOps {
         |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
         |  round(top_count / n_words::DOUBLE, 4) top_share
         |FROM a""".stripMargin,
+    // the `c != ''` guard mirrors the Spark-side trailing-'' filter: on an
+    // empty document DuckDB's string_split('','') yields [''] where Spark
+    // yields nothing — both engines must drop the doc, not disagree on it
     "text_entropy" ->
-      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) c FROM documents),
+      """WITH c0 AS (SELECT doc_id, unnest(string_split(text, '')) c FROM documents),
+        |c AS (SELECT doc_id, c FROM c0 WHERE c != ''),
         |g AS (SELECT doc_id, c, count(*) cnt FROM c GROUP BY doc_id, c),
         |q AS (SELECT doc_id, cnt, CAST(round(cnt * log2(cnt) * 1e6) AS BIGINT) q FROM g),
         |a AS (SELECT doc_id, sum(cnt)::BIGINT n_chars, sum(q)::BIGINT sum_q FROM q GROUP BY doc_id)
