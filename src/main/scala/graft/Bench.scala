@@ -50,6 +50,7 @@ object Bench {
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_recall",
+    "q_approx_distinct_kmv",
     "q_range_join_binned",
     "q_scalar_subquery",
     "text_quality",

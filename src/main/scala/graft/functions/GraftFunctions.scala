@@ -378,6 +378,12 @@ object GraftFunctions {
         "simhash48",
         exprs => SimHash48(exprs.head),
         "scala_udf")
+      // KMV distinct sketch, k = 256 (analyzer wraps the bare
+      // AggregateFunction in an AggregateExpression, as for built-ins)
+      reg.createOrReplaceTempFunction(
+        "kmv_distinct",
+        exprs => KmvDistinct(exprs.head, 256),
+        "scala_udf")
       // last: its presence is the "already registered" marker above
       reg.createOrReplaceTempFunction(
         "dot_double",

@@ -473,6 +473,20 @@ object Similarity {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         countDistinct(col("l_suppkey")).as("exact_supps"))
     }),
+    "q_approx_distinct_kmv" -> ((s, d) => {
+      // The hash-green sibling of q_approx_distinct: a KMV (k-minimum-
+      // values) sketch via the custom [[graft.functions.KmvDistinct]]
+      // TypedImperativeAggregate. Unlike HLL registers, the k smallest
+      // portable md5 hashes have an exact DuckDB twin (ORDER BY hash
+      // LIMIT k), so the approximate answer itself is oracle-checked —
+      // the sketch family graduates from rows-only to hash-matched.
+      registerFns(s)
+      Tables.lineitem(s, d).agg(
+        expr("kmv_distinct(cast(l_partkey as string))").as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("kmv_distinct(cast(l_suppkey as string))").as("approx_supps"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+    }),
     "embedding_stats" -> ((s, d) => {
       withEmb(s, d)
         .withColumn("norm", sqrt(expr("dot_double(emb, emb)")))
@@ -522,6 +536,24 @@ object Similarity {
     baseOracleSql + ("ann_recall" -> annRecallSql)
 
   private lazy val baseOracleSql: Map[String, String] = Map(
+    // KMV estimator twin: the k smallest distinct portable hashes are
+    // fully expressible (ORDER BY hash LIMIT k) — same arithmetic, same
+    // rounding, hash-green unlike HLL.
+    "q_approx_distinct_kmv" ->
+      """WITH hp AS (SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT hv FROM lineitem),
+        |mp AS (SELECT hv FROM hp ORDER BY hv LIMIT 256),
+        |sp AS (SELECT count(*) n, max(hv) hk FROM mp),
+        |hs AS (SELECT DISTINCT ('0x' || substr(md5(l_suppkey::VARCHAR), 1, 8))::BIGINT hv FROM lineitem),
+        |ms AS (SELECT hv FROM hs ORDER BY hv LIMIT 256),
+        |ss AS (SELECT count(*) n, max(hv) hk FROM ms)
+        |SELECT
+        |  CASE WHEN sp.n < 256 THEN sp.n
+        |       ELSE CAST(round(255.0 * 4294967296.0 / sp.hk) AS BIGINT) END approx_parts,
+        |  (SELECT count(DISTINCT l_partkey) FROM lineitem) exact_parts,
+        |  CASE WHEN ss.n < 256 THEN ss.n
+        |       ELSE CAST(round(255.0 * 4294967296.0 / ss.hk) AS BIGINT) END approx_supps,
+        |  (SELECT count(DISTINCT l_suppkey) FROM lineitem) exact_supps
+        |FROM sp, ss""".stripMargin,
     "ann_bruteforce_topk" ->
       s"""WITH $embCte,
          |p AS (SELECT q.vec_id query_id, c.vec_id,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, countDistinct, expr}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the custom KMV TypedImperativeAggregate: exact below k,
+  * bounded-error estimation above k, and — the property that makes it
+  * oracle-expressible where HLL isn't — invariance to partitioning and
+  * merge order.
+  */
+class KmvSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def kmv(values: Seq[String], parts: Int): Long = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    values.toDF("v").repartition(parts)
+      .agg(expr("kmv_distinct(v)").as("est"))
+      .collect()(0).getLong(0)
+  }
+
+  test("exact path below k: counts distincts, ignores duplicates and partitioning") {
+    val vals = (1 to 100).map(i => s"val-$i")
+    val withDups = vals ++ vals ++ vals.take(37)
+    assert(kmv(withDups, 1) == 100L)
+    assert(kmv(withDups, 13) == 100L)
+  }
+
+  test("estimate path above k: partition-invariant and within KMV error bounds") {
+    val vals = (1 to 5000).flatMap(i => Seq(s"doc-$i", s"doc-$i")) // 10k rows, 5k distinct
+    val e1 = kmv(vals, 1)
+    val e8 = kmv(vals, 8)
+    val e64 = kmv(vals, 64)
+    // merge order must not matter — this is what lets DuckDB's global
+    // ORDER BY hash LIMIT k reproduce a distributed aggregation exactly
+    assert(e1 == e8 && e8 == e64, s"partitioning changed the sketch: $e1 $e8 $e64")
+    // k=256 → relative standard error ~1/sqrt(k) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.25, s"estimate $e1 too far from 5000")
+  }
+
+  test("nulls are ignored") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val est = Seq(Some("a"), None, Some("b"), None, Some("a"))
+      .toDF("v").agg(expr("kmv_distinct(v)")).collect()(0).getLong(0)
+    assert(est == 2L)
+  }
+
+  test("matches exact on the bench column (sanity vs countDistinct)") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .agg(expr("kmv_distinct(cast(l_suppkey as string))").as("approx"),
+        countDistinct(col("l_suppkey")).as("exact"))
+      .collect()(0)
+    // suppkey cardinality is far below k=256 → exact path
+    assert(row.getLong(0) == row.getLong(1))
+  }
+}
