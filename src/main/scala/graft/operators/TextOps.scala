@@ -170,6 +170,22 @@ object TextOps {
           round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_ratio"),
           round(col("top_count") / col("n_words"), 4).as("top_share"))
     }),
+    "text_distinct_shingles_by_lang" -> ((s, d) => {
+      // the KMV sketch in its real deployment shape: GROUPED approximate
+      // distinct (per-language shingle cardinality — the dataset-card
+      // "unique n-grams" number) with map-side partial aggregation and
+      // ≤ k longs per (group, partial) shuffled. Exact twin alongside
+      // for the error column; both oracle-checked (per-group ORDER BY
+      // hash LIMIT k in DuckDB).
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("sh", expr("word_shingles(text)"))
+        .filter(col("sh").isNotNull)
+        .select(col("lang"), explode(col("sh")).as("s"))
+        .groupBy("lang")
+        .agg(expr("kmv_distinct(s)").as("approx_shingles"),
+          countDistinct(col("s")).as("exact_shingles"))
+    }),
     "text_entropy" -> ((s, d) => {
       // Character-level Shannon entropy — the classic gibberish /
       // boilerplate quality gate (low = repeated chars, high = random
@@ -344,6 +360,18 @@ object TextOps {
         |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
         |  round(top_count / n_words::DOUBLE, 4) top_share
         |FROM a""".stripMargin,
+    "text_distinct_shingles_by_lang" ->
+      s"""WITH ${graft.operators.Dedup.shingleCte},
+         |ex AS (SELECT d.lang, unnest(s.sh) sh FROM shg s JOIN documents d USING (doc_id)),
+         |h AS (SELECT DISTINCT lang, ('0x' || substr(md5(sh), 1, 8))::BIGINT hv FROM ex),
+         |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) rn FROM h),
+         |m AS (SELECT lang, count(*) n, max(hv) hk FROM r WHERE rn <= 256 GROUP BY lang),
+         |x AS (SELECT lang, count(DISTINCT sh) exact_shingles FROM ex GROUP BY lang)
+         |SELECT m.lang,
+         |  CASE WHEN m.n < 256 THEN m.n
+         |       ELSE CAST(round(255.0 * 4294967296.0 / m.hk) AS BIGINT) END approx_shingles,
+         |  x.exact_shingles
+         |FROM m JOIN x USING (lang)""".stripMargin,
     // the `c != ''` guard mirrors the Spark-side trailing-'' filter: on an
     // empty document DuckDB's string_split('','') yields [''] where Spark
     // yields nothing — both engines must drop the doc, not disagree on it
