@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, LongType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** KMV (k-minimum-values) distinct-count sketch as a custom Catalyst
   * [[TypedImperativeAggregate]] — the oracle-expressible alternative to
@@ -58,8 +57,9 @@ case class KmvDistinct(
       buf: java.util.TreeSet[java.lang.Long],
       input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null)
-      add(buf, PortableHash.md5Int8(v.asInstanceOf[UTF8String].toString))
+    // toString on UTF8String/Long/Int matches DuckDB's ::VARCHAR render,
+    // which is what keeps the hashes cross-engine identical
+    if (v != null) add(buf, PortableHash.md5Int8(v.toString))
     buf
   }
 

@@ -36,6 +36,27 @@ object WindowedAgg {
       .select(col("win.start").as("win_start"), col("event_type"), col("n"))
   }
 
+  /** Tumbling-window approximate distinct users via the custom
+    * [[graft.functions.KmvDistinct]] aggregate — proves the
+    * TypedImperativeAggregate's serialized buffer round-trips through the
+    * streaming state store (each micro-batch merges its partials into the
+    * window's stored sketch), and because KMV is merge-order-invariant
+    * the streamed result is IDENTICAL to the batch aggregation, not just
+    * close. Exact streaming distinct would need the full value set in
+    * state; the sketch caps window state at k longs.
+    */
+  def tumblingDistinct(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("win"))
+      .agg(expr("kmv_distinct(cast(user_id as string))").as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("approx_users"), col("n"))
+  }
+
   /** Native session window (gap-based), the streaming dual of the batch
     * lag/cum-sum `q_sessionize`.
     */

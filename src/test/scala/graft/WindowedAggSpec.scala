@@ -47,6 +47,32 @@ class WindowedAggSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming KMV windowed distinct == batch exactly (sketch state round-trips the store)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    val ms = MemoryStream[TsEvent]
+    // two adds → two micro-batches: the second batch MERGES its partial
+    // sketches into serialized state from the first, exercising
+    // serialize/deserialize + merge through the state store
+    val (first, second) = events.splitAt(events.size / 2)
+    ms.addData(first)
+    ms.addData(second)
+    val q = WindowedAgg.tumblingDistinct(ms.toDF())
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", Files.createTempDirectory("wmk").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))
+    val streamed = spark.table("kmv_stream").collect().map(key).toSet
+    val batch = WindowedAgg.tumblingDistinct(spark.createDataset(events).toDF())
+      .collect().map(key).toSet
+    // merge-order invariance ⇒ EQUALITY, not approximation
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed -- batch).take(3)}")
+  }
+
   test("native session window agrees with lag/cum-sum sessionization counts") {
     import spark.implicits._
     val events = loadEvents()
