@@ -51,6 +51,7 @@ object Bench {
     "ann_ivfpq_topk",
     "ann_recall",
     "q_approx_distinct_kmv",
+    "text_distinct_shingles_by_lang",
     "q_range_join_binned",
     "q_scalar_subquery",
     "text_quality",
