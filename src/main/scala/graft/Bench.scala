@@ -59,6 +59,7 @@ object Bench {
     "text_fingerprint",
     "text_pii_scrub",
     "sample_manifest",
+    "corpus_train_manifest",
     "multimodal_features"
   )
 

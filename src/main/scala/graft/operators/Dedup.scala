@@ -225,6 +225,51 @@ object Dedup {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** Shared core of decontam_neardup and TrainingPipeline's
+    * corpus_train_manifest: MinHash-LSH candidates between the
+    * `split_assign` TRAIN (bucket < 80) and EVAL (bucket ≥ 90) splits,
+    * exact-Jaccard-confirmed at ≥ 0.8.
+    *
+    * @return (shingled eval docs (doc_id), confirmed pairs
+    *         (train_id, test_id, jaccard))
+    */
+  private[graft] def trainEvalNearDup(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val bucket = expr("cast(conv(substring(md5(concat('split:', " +
+      "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+    val sh = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("sh"), bucket.as("bucket"))
+      .localCheckpoint(true)
+    // val-split docs (80 ≤ bucket < 90) participate in neither side:
+    // skip their signature build entirely (output-invariant, ~10% less
+    // minhash work)
+    val inPlay = sh.filter(col("bucket") < 80 || col("bucket") >= 90)
+    val bands = minhashSigsFromShingles(inPlay.select("doc_id", "sh")).select(
+      col("doc_id"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b as band_id,
+          |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
+      )).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .join(sh.select("doc_id", "bucket"), Seq("doc_id"))
+    val cand = bands.filter(col("bucket") < 80)
+      .select(col("doc_id").as("train_id"), col("band_id"), col("band_key"))
+      .join(bands.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("test_id"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .select("train_id", "test_id")
+      .distinct()
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh1")), Seq("train_id"))
+      .join(sh.select(col("doc_id").as("test_id"), col("sh").as("sh2")), Seq("test_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("train_id", "test_id", "jaccard")
+    (sh.filter(col("bucket") >= 90).select(col("doc_id")), pairs)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> ((s, d) => {
       // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters
@@ -408,40 +453,11 @@ object Dedup {
       // verdicts (match count, max jaccard, is_clean) aggregate after an
       // exact confirm on the checkpointed shingle arrays. Lives here (not
       // TrainingPipeline) to reuse the private MinHash machinery.
-      val bucket = expr("cast(conv(substring(md5(concat('split:', " +
-        "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
-      val sh = withShingles(Tables.documents(s, d))
-        .select(col("doc_id"), col("sh"), bucket.as("bucket"))
-        .localCheckpoint(true)
-      // val-split docs (80 ≤ bucket < 90) participate in neither side:
-      // skip their signature build entirely (output-invariant, ~10% less
-      // minhash work)
-      val inPlay = sh.filter(col("bucket") < 80 || col("bucket") >= 90)
-      val bands = minhashSigsFromShingles(inPlay.select("doc_id", "sh")).select(
-        col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(b as band_id,
-            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
-        )).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-        .join(sh.select("doc_id", "bucket"), Seq("doc_id"))
-      val cand = bands.filter(col("bucket") < 80)
-        .select(col("doc_id").as("train_id"), col("band_id"), col("band_key"))
-        .join(bands.filter(col("bucket") >= 90)
-          .select(col("doc_id").as("test_id"), col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"))
-        .select("train_id", "test_id")
-        .distinct()
-      val confirmed = cand
-        .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh1")), Seq("train_id"))
-        .join(sh.select(col("doc_id").as("test_id"), col("sh").as("sh2")), Seq("test_id"))
-        .withColumn("jaccard",
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))), 4))
-        .filter(col("jaccard") >= 0.8)
+      val (evalDocs, pairs) = trainEvalNearDup(s, d)
+      val confirmed = pairs
         .groupBy("test_id")
         .agg(count(lit(1)).as("n_train_matches"), max("jaccard").as("max_jaccard"))
-      sh.filter(col("bucket") >= 90).select(col("doc_id"))
+      evalDocs
         .join(confirmed, col("doc_id") === col("test_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),

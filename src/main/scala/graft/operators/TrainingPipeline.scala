@@ -79,6 +79,51 @@ object TrainingPipeline {
       decisions(s, d, 0.5).select(
         "doc_id", "quality_score", "exact_canonical", "cluster_canonical", "keep")),
 
+    // The CAPSTONE manifest: everything a "what do I train on" decision
+    // needs, in ONE hash-checked plan — quality gate, exact-hash
+    // canonical, near-dup cluster canonical, train/val/test split, and
+    // the eval-contamination flag (train docs near-duplicating any eval
+    // doc must not be trained on, or the eval is compromised).
+    // keep_train = train split ∧ quality ≥ 0.5 ∧ both canonicals ∧ not
+    // contaminating. Every input column is an already-oracle-proven
+    // operator joined back on doc_id, so the whole funnel stays
+    // equi-join shaped; the one new piece (contaminating-train flag) is
+    // the transpose of decontam_neardup's verdict over the same shared
+    // pair set (Dedup.trainEvalNearDup — one shingle pass feeds both).
+    "corpus_train_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextOps.queries("text_quality")(s, d)
+        .select(col("doc_id"), col("quality_score"))
+      val byHash = Window.partitionBy(md5(col("text")))
+      val exact = docs
+        .withColumn("exact_canonical", col("doc_id") === min("doc_id").over(byHash))
+        .select("doc_id", "exact_canonical")
+      val comp = Dedup.queries("dedup_components")(s, d)
+        .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
+      val contam = Dedup.trainEvalNearDup(s, d)._2
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("contaminates_eval", lit(true))
+      docs
+        .select(col("doc_id"), expr(
+          "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+        ).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .join(quality, Seq("doc_id"))
+        .join(exact, Seq("doc_id"))
+        .join(comp, Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminates_eval",
+          coalesce(col("contaminates_eval"), lit(false)))
+        .withColumn("keep_train",
+          col("split") === "train" && col("quality_score") >= 0.5 &&
+            col("exact_canonical") && col("cluster_canonical") &&
+            !col("contaminates_eval"))
+        .select("doc_id", "split", "quality_score", "exact_canonical",
+          "cluster_canonical", "contaminates_eval", "keep_train")
+    }),
+
     // Deterministic hash-based train/val/test assignment (80/10/10): pure
     // per-row map, zero shuffle, and STABLE — a doc keeps its split across
     // reruns, appends, and repartitions, which leakage-free eval demands.
@@ -218,6 +263,57 @@ object TrainingPipeline {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_train_manifest" -> {
+      // renamed copies of the shingle/sig/band CTEs (shingleCte's `t`
+      // collides with wsCte's `t` inside one WITH), same expressions as
+      // the proven decontam_neardup oracle
+      val mins = (0 until 16)
+        .map(i => s"min((${Dedup.hashA(i)} * h + ${Dedup.hashB(i)}) % 2147483647)")
+        .mkString(", ")
+      s"""WITH RECURSIVE ${TextOps.wsCte}, ${TextOps.qualityCte},
+         |${Dedup.componentsCte},
+         |ex AS (SELECT doc_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS exact_canonical
+         |  FROM documents),
+         |bk AS (SELECT doc_id,
+         |  ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents),
+         |st AS (SELECT doc_id, string_split(text, ' ') ws2 FROM documents WHERE len(string_split(text, ' ')) >= 3),
+         |sidx AS (SELECT doc_id, ws2, unnest(range(1, len(ws2) - 1)) i FROM st),
+         |sshg AS (SELECT doc_id, list_distinct(list(ws2[i] || ' ' || ws2[i+1] || ' ' || ws2[i+2])) sh
+         |         FROM sidx GROUP BY doc_id),
+         |sshx AS (SELECT doc_id, unnest(sh) s FROM sshg),
+         |shb AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647 h FROM sshx),
+         |ssig AS (SELECT doc_id, [$mins] sig FROM shb GROUP BY doc_id),
+         |sbands AS (SELECT doc_id, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+         |  FROM ssig, unnest(range(0, 4)) tt(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id train_id, b2.doc_id test_id
+         |  FROM sbands a JOIN bk ba ON a.doc_id = ba.doc_id AND ba.bucket < 80
+         |  JOIN sbands b2 ON a.band_id = b2.band_id AND a.band_key = b2.band_key
+         |  JOIN bk bb ON b2.doc_id = bb.doc_id AND bb.bucket >= 90
+         |),
+         |contam AS (
+         |  SELECT DISTINCT cand.train_id
+         |  FROM cand JOIN sshg x ON cand.train_id = x.doc_id
+         |            JOIN sshg y ON cand.test_id = y.doc_id
+         |  WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) >= 0.8
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN bk.bucket < 80 THEN 'train'
+         |       WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  q.quality_score, ex.exact_canonical,
+         |  (lab.cluster_id = d.doc_id) AS cluster_canonical,
+         |  (contam.train_id IS NOT NULL) AS contaminates_eval,
+         |  (bk.bucket < 80 AND q.quality_score >= 0.5 AND ex.exact_canonical
+         |    AND lab.cluster_id = d.doc_id AND contam.train_id IS NULL) AS keep_train
+         |FROM documents d
+         |JOIN q USING (doc_id) JOIN ex USING (doc_id)
+         |JOIN lab USING (doc_id) JOIN bk USING (doc_id)
+         |LEFT JOIN contam ON contam.train_id = d.doc_id""".stripMargin
+    },
+
     "training_decisions" ->
       s"""WITH RECURSIVE ${TextOps.wsCte}, ${TextOps.qualityCte},
          |${Dedup.componentsCte},

@@ -77,4 +77,31 @@ class SamplingTextOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("corpus_train_manifest: internally consistent and agrees with its component operators") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TrainingPipeline.queries("corpus_train_manifest")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (split, q, ex, cl, contam, keep) = (r.getString(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      // keep_train is exactly its definition, row by row
+      assert(keep == (split == "train" && q >= 0.5 && ex && cl && !contam))
+      // only the train side can carry the contamination flag
+      if (split != "train") assert(!contam)
+    }
+    // the flagged-train set is the transpose of decontam_neardup's pair set
+    val flagged = rows.filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val pairs = graft.operators.Dedup.trainEvalNearDup(spark, sf)._2
+      .select("train_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == pairs)
+    // quality/canonical columns agree with training_decisions
+    val td = TrainingPipeline.queries("training_decisions")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    rows.foreach { r =>
+      val (q2, ex2, cl2) = td(r.getLong(0))
+      assert(r.getDouble(2) == q2 && r.getBoolean(3) == ex2 && r.getBoolean(4) == cl2)
+    }
+  }
 }
