@@ -41,6 +41,11 @@ object ScaleSmoke {
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_recall",
+    // documents/embeddings-backed only: the sf1 fixture has no TPC-H
+    // tables, so lineitem-bound queries (e.g. q_approx_distinct_kmv)
+    // don't belong here
+    "corpus_train_manifest",
+    "text_distinct_shingles_by_lang",
     "text_quality",
     "text_entropy",
     "text_fingerprint",
