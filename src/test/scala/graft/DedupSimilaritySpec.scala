@@ -407,6 +407,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fine == top("dedup_embedding_lsh_fine"))
   }
 
+  test("prefix filter exactness holds on randomized adversarial corpora") {
+    import spark.implicits._
+    // seeded random corpora with heavy word reuse (small vocab → shared
+    // shingles, df ties, near-identical docs, minimum-size docs) — the
+    // shapes where an off-by-one in the prefix-length bound would bite
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val vocab = (0 until 12).map(i => s"w$i")
+      val words = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      (0 until 30).foreach { id =>
+        val w =
+          if (id % 3 == 2 && words.nonEmpty) {
+            // light mutation of the predecessor → pairs spanning the whole
+            // jaccard range, including just-above/below the 0.6 threshold
+            val prev = words(id - 1).toArray
+            prev(rnd.nextInt(prev.length)) = vocab(rnd.nextInt(vocab.size))
+            prev.toSeq
+          } else {
+            val len = 3 + rnd.nextInt(15)
+            Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+          }
+        words += w
+      }
+      val docs = words.zipWithIndex.map { case (w, id) =>
+        (id.toLong, w.mkString(" "), "en", "t", 0L)
+      }.toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"pfx$trial").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def pairs(name: String): Set[(Long, Long, Double)] =
+        Dedup.queries(name)(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val truth = pairs("dedup_ngram_jaccard").filter(_._3 > 0.6)
+      val pref = pairs("dedup_ngram_jaccard_prefix")
+      assert(truth.nonEmpty, s"trial $trial vacuous: no high-jaccard pairs planted")
+      assert(pref == truth,
+        s"trial $trial: missing=${truth.diff(pref).take(3)} extra=${pref.diff(truth).take(3)}")
+    }
+  }
+
   test("decontam_neardup: sound verdicts, full eval coverage, exact-dup completeness") {
     import org.apache.spark.sql.functions.{col, expr}
     def bucket(id: Long): Long =
