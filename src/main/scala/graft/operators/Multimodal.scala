@@ -174,6 +174,23 @@ object Multimodal {
     "multimodal_frames" -> ((s, d) => {
       sampleFrames(synthesize(s, d)).toDF()
         .select("media_id", "frame_idx", "t_ms", "frame_fp")
+    }),
+    "multimodal_dedup" -> ((s, d) => {
+      // binary-payload exact dedup — the image/audio dedup step of a
+      // multimodal ingest pipeline, and it runs BEFORE any decode
+      // (hashing bytes is free next to a codec, so duplicate payloads
+      // never reach the expensive stage). Same canonicalization contract
+      // as dedup_exact, over the opaque `content` binary column; md5 of
+      // the bytes is portable because the stub payload is the document's
+      // ASCII bytes (the same seam every other multimodal oracle uses).
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash"))
+      synthesize(s, d).toDF()
+        .withColumn("content_hash", md5(col("content")))
+        .withColumn("dup_count", count(lit(1)).over(byHash))
+        .withColumn("is_canonical",
+          col("media_id") === min("media_id").over(byHash))
+        .select("media_id", "kind", "content_hash", "dup_count", "is_canonical")
     })
   )
 
@@ -218,6 +235,16 @@ object Multimodal {
         |       FROM m, unnest(range(0, dur, 5000)) u(t) WHERE kind = 'video')
         |SELECT media_id, frame_idx::INT frame_idx, t_ms,
         |  ascii(substr(text, ((frame_idx * 997) % n_bytes + 1)::INT, 1)) frame_fp
-        |FROM fr""".stripMargin
+        |FROM fr""".stripMargin,
+    // content bytes ARE the ASCII text bytes (the codec-seam contract
+    // above), so md5 over the binary column equals DuckDB's md5(text)
+    "multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id media_id,
+        |    (['image','audio','video'])[(doc_id % 3 + 1)::INT] kind, text
+        |  FROM documents)
+        |SELECT media_id, kind, md5(text) content_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) dup_count,
+        |  media_id = min(media_id) OVER (PARTITION BY md5(text)) is_canonical
+        |FROM m""".stripMargin
   )
 }

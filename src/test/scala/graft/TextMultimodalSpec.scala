@@ -92,4 +92,25 @@ class TextMultimodalSpec extends AnyFunSuite {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("lang=")))
   }
+
+  test("multimodal_dedup groups identical payloads and keeps min-id canonical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the sf corpora carry near-dups but no exact payload dups — plant
+    // them: docs 1/4 and 2/5 share bytes, 3 is unique
+    val docs = Seq(
+      (1L, "identical payload bytes one", "en", "t", 0L),
+      (2L, "identical payload bytes two", "en", "t", 0L),
+      (3L, "a unique payload", "en", "t", 0L),
+      (4L, "identical payload bytes one", "en", "t", 0L),
+      (5L, "identical payload bytes two", "en", "t", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("mmdedup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.queries("multimodal_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((2L, true)) && out(4L) == ((2L, false)))
+    assert(out(2L) == ((2L, true)) && out(5L) == ((2L, false)))
+    assert(out(3L) == ((1L, true)))
+  }
 }
