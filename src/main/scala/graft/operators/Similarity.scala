@@ -48,8 +48,8 @@ object Similarity {
   val KmeansK = 4
   val KmeansIters = 3
   val KmeansQuant = 1048576.0
-  private val queryIdsSql: String = QueryIds.mkString(", ")
-  private def isQueryId(c: org.apache.spark.sql.Column) = c.isin(QueryIds: _*)
+  private[operators] val queryIdsSql: String = QueryIds.mkString(", ")
+  private[operators] def isQueryId(c: org.apache.spark.sql.Column) = c.isin(QueryIds: _*)
 
   /** 16 × 64 hyperplane components in [-1, 1), derived from
     * int(md5("p:i")[:8]) but precomputed ONCE at plan-build time and
@@ -76,7 +76,7 @@ object Similarity {
     }
   }
 
-  private def withEmb(s: SparkSession, d: String): DataFrame = {
+  private[operators] def withEmb(s: SparkSession, d: String): DataFrame = {
     registerFns(s)
     // float→double widening is exact and array Cast is codegen'd (a
     // transform() lambda would be interpreted per row).
@@ -114,7 +114,7 @@ object Similarity {
     * codewords (n=4), and the k-means init (n=K). Collect is O(n) model
     * size, never data.
     */
-  private def hashSample(e: DataFrame, n: Int): Array[Array[Double]] =
+  private[operators] def hashSample(e: DataFrame, n: Int): Array[Array[Double]] =
     e.withColumn("h", expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
       .orderBy(col("h"), col("vec_id")).limit(n)
@@ -158,7 +158,7 @@ object Similarity {
     annTrainBuilds.clear()
   }
 
-  private def annIndex(e: DataFrame, d: String): AnnIndex =
+  private[operators] def annIndex(e: DataFrame, d: String): AnnIndex =
     annIndexCache.getOrElseUpdate(d, {
       annTrainBuilds.put(d, annTrainBuilds.getOrElse(d, 0L) + 1L)
       val sample8 = hashSample(e, 8)
@@ -174,7 +174,7 @@ object Similarity {
   private val PqM = 8
   private val PqSub = 8
 
-  private def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
+  private[operators] def pqCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
     Array.tabulate(PqM)(m => sample.map(v => v.slice(m * PqSub, (m + 1) * PqSub)))
 
   /** Driver-computed ADC lookup tables for the 50 query vectors: per
@@ -182,7 +182,7 @@ object Similarity {
     * m-th slice and the codeword. O(K) model-sized collect; the sequential
     * `acc += diff*diff` fold matches the oracle's list_sum order exactly.
     */
-  private def pqLuts(qrows: Seq[(Long, Array[Double])],
+  private[operators] def pqLuts(qrows: Seq[(Long, Array[Double])],
       codebooks: Array[Array[Array[Double]]]): Seq[(Long, Seq[Double])] = {
     qrows.map { case (id, q) =>
       val lut = new Array[Double](PqM * 4)
@@ -203,7 +203,7 @@ object Similarity {
   /** ADC score: 8 static LUT lookups + left-to-right adds (same order as
     * the oracle's sequential list_sum) — plain codegen'd built-ins.
     */
-  private val adcExpr: String = (0 until PqM)
+  private[operators] val adcExpr: String = (0 until PqM)
     .map(m => s"element_at(lut, ${m * 4} + element_at(codes, ${m + 1}) + 1)")
     .mkString(" + ")
 
@@ -223,7 +223,7 @@ object Similarity {
     * total, and any row in the global top-k is also in its salt group's
     * top-k, so stage 1 never drops a winner.
     */
-  private def twoStageTopK(df: DataFrame, k: Int,
+  private[operators] def twoStageTopK(df: DataFrame, k: Int,
       orderCols: org.apache.spark.sql.Column*): DataFrame = {
     val order = orderCols :+ col("vec_id")
     val w1 = Window.partitionBy(col("query_id"), col("salt")).orderBy(order: _*)
@@ -499,7 +499,7 @@ object Similarity {
   private val planesSqlLit: String =
     planes.map(row => s"[${row.mkString(",")}]").mkString("[", ",", "]")
 
-  private val embCte =
+  private[operators] val embCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings)"
 
   private val sigCteSql =
@@ -535,7 +535,7 @@ object Similarity {
   def oracleSql: Map[String, String] =
     baseOracleSql + ("ann_recall" -> annRecallSql)
 
-  private lazy val baseOracleSql: Map[String, String] = Map(
+  private[operators] lazy val baseOracleSql: Map[String, String] = Map(
     // KMV estimator twin: the k smallest distinct portable hashes are
     // fully expressible (ORDER BY hash LIMIT k) — same arithmetic, same
     // rounding, hash-green unlike HLL.
