@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -28,6 +29,15 @@ object SamplingOps {
   /** Fraction of the corpus the sampling manifest targets overall. */
   val KeepFraction = 0.5
 
+  /** Bottom-k sample size for the quantile sketch — same k as the KMV
+    * distinct sketch; rank-space standard error ≈ sqrt(p(1-p)/k) ≈ 3 %
+    * at the median.
+    */
+  val QuantileK = 256
+
+  /** Quantile positions the sketch publishes. */
+  private val QuantilePs = Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+
   /** (lang, n_docs, n_total, p, weight) with weight rounded at 6 — the
     * rounded value is the published contract, so downstream consumers
     * (sample_manifest, the oracle) agree bit-for-bit.
@@ -49,6 +59,41 @@ object SamplingOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantile_kmv" -> ((s, d) => {
+      // Approximate quantiles from a bottom-k-by-hash row sample — the
+      // KMV idea (q_approx_distinct_kmv) applied to ORDER STATISTICS.
+      // The k rows with the smallest portable md5(row identity) are a
+      // uniform, ORDER-INVARIANT, merge-stable sample: the same 256 rows
+      // win under any partitioning, append order, or cluster size, so the
+      // approximate answer itself is deterministic and hash-checked
+      // against DuckDB (unlike percentile_approx's buffer-shape-dependent
+      // sketch). Scale shape: the sample is a TakeOrdered (per-partition
+      // top-k, O(k) driver merge — never a global sort), and the exact
+      // global percentile this replaces would buffer the whole column in
+      // one reducer at 100 TB. The quantile is picked with an explicit
+      // rank formula (r = max(1, ceil(p·n)), the cumulative-distribution
+      // definition) evaluated identically in both engines, dodging
+      // builtin percentile_disc tie-semantics drift.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat(cast(l_orderkey as string), '#', " +
+            "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint)"))
+      val smp = li.orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+        .limit(QuantileK)
+      // O(k) rows from here on: the window is over the sample, not data
+      val ranked = smp
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("l_extendedprice"), col("h"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      def pick(p: Double) = max(when(
+        col("r") === greatest(lit(1L), ceil(lit(p) * col("n"))),
+        col("l_extendedprice")))
+      val outCols =
+        QuantilePs.map { case (p, nm) => round(pick(p), 2).as(s"approx_$nm") } :+
+          max(col("n")).as("n_sample")
+      ranked.agg(outCols.head, outCols.tail: _*)
+    }),
     "corpus_mixture" -> ((s, d) => {
       mixture(s, d).select(
         col("lang"), col("n_docs"),
@@ -99,6 +144,25 @@ object SamplingOps {
        |        FROM wp CROSS JOIN z)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_approx_quantile_kmv" -> {
+      val picks = QuantilePs.map { case (p, nm) =>
+        s"round(max(CASE WHEN r = greatest(1, CAST(ceil($p * n) AS BIGINT)) " +
+          s"THEN l_extendedprice END), 2) approx_$nm"
+      }.mkString(",\n  ")
+      s"""WITH hx AS (SELECT l_extendedprice, l_orderkey, l_linenumber,
+         |  ('0x' || substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), 1, 8))::BIGINT h
+         |  FROM lineitem),
+         |smp AS (SELECT l_extendedprice, h FROM hx
+         |        ORDER BY h, l_orderkey, l_linenumber LIMIT $QuantileK),
+         |rk AS (SELECT l_extendedprice, h,
+         |         row_number() OVER (ORDER BY l_extendedprice, h) r,
+         |         count(*) OVER () n
+         |       FROM smp)
+         |SELECT
+         |  $picks,
+         |  max(n)::BIGINT n_sample
+         |FROM rk""".stripMargin
+    },
     "curriculum_manifest" ->
       s"""WITH ${TextOps.wsCte}, ${TextOps.qualityCte},
          |m AS (SELECT doc_id, quality_score,

@@ -55,4 +55,22 @@ class KmvSketchSpec extends AnyFunSuite {
     // suppkey cardinality is far below k=256 → exact path
     assert(row.getLong(0) == row.getLong(1))
   }
+
+  test("q_approx_quantile_kmv: sample quantiles track the exact distribution") {
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q_approx_quantile_kmv")(spark, sf).collect()(0)
+    assert(row.getLong(4) == graft.operators.SamplingOps.QuantileK) // n_sample
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    // rank-space error: the empirical CDF at each approximate quantile
+    // must sit near its nominal p (sqrt(p(1-p)/k) ~ 3 % at the median;
+    // bounds are ~4 sigma — the sample is deterministic, never flaky)
+    def cdf(v: Double) = exact.count(_ <= v).toDouble / exact.length
+    for (((p, _), i) <- Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99").zipWithIndex) {
+      val approx = row.getDouble(i)
+      val err = math.abs(cdf(approx) - p)
+      val tol = 4 * math.sqrt(p * (1 - p) / graft.operators.SamplingOps.QuantileK) + 0.01
+      assert(err <= tol, s"p=$p approx=$approx cdf=${cdf(approx)} err=$err tol=$tol")
+    }
+  }
 }
