@@ -49,8 +49,11 @@ object Bench {
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_served_topk",
+    "ann_ivfpq_incremental",
     "ann_recall",
     "q_approx_distinct_kmv",
+    "q_approx_quantile_kmv",
     "text_distinct_shingles_by_lang",
     "q_range_join_binned",
     "q_scalar_subquery",

@@ -136,6 +136,47 @@ object AnnIndexIO {
   private def codesDf(s: SparkSession, root: String): DataFrame =
     s.read.parquet(new Path(root, "codes.parquet").toString)
 
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Same probe order as IvfTopCells: cosine DESC, cell id DESC on ties. */
+  private def probeCells(cents: Array[Array[Double]], q: Array[Double],
+      nprobe: Int): Seq[Int] =
+    cents.indices.sortBy(i => (-cosine(q, cents(i)), -i)).take(nprobe)
+
+  /** Serve a batch of arbitrary query vectors against the persisted index
+    * — the online-serving shape (streaming.AnnServe drives this per
+    * micro-batch). Cell probing and LUTs are pure driver arithmetic over
+    * the O(model) artifacts; the literal `cell_id IN (…)` filter
+    * statically prunes the partitioned code table to the union of probed
+    * cells, and the scored side never touches raw vectors. Identical
+    * arithmetic to `ann_ivfpq_topk` (same ADC expr, same salted top-k),
+    * so a corpus-member query returns exactly its batch-query rows.
+    */
+  private[graft] def serveVectors(s: SparkSession, root: String,
+      qs: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
+    require(qs.nonEmpty, "serveVectors: empty query batch")
+    val (cents, cbs) = readModel(s, root)
+    val luts = Similarity.pqLuts(qs, cbs).toMap
+    val probes = qs.map { case (id, v) => (id, probeCells(cents, v, 2)) }
+    import s.implicits._
+    val qdf = probes.flatMap { case (id, cells) =>
+      cells.map(c => (id, c, luts(id)))
+    }.toDF("query_id", "cell_id", "lut")
+    val allCells = probes.flatMap(_._2).distinct
+    val scored = codesDf(s, root)
+      .filter(col("cell_id").isin(allCells: _*))
+      .join(broadcast(qdf), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", expr(Similarity.adcExpr))
+    Similarity.twoStageTopK(scored, k, col("approx_dist"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("approx_dist"), 4).as("approx_dist"))
+  }
+
   /** Serve the standard 50-query basket purely from the on-disk index:
     * the ONLY reads against the source table are the 50 query vectors (an
     * IN-pushed O(K) scan); the corpus flows exclusively from the
@@ -173,14 +214,7 @@ object AnnIndexIO {
   private[graft] def routeOne(s: SparkSession, root: String,
       q: Array[Double], nprobe: Int): DataFrame = {
     val (cents, cbs) = readModel(s, root)
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // same tie order as IvfTopCells: cos DESC, cell id DESC
-    val probed = cents.indices
-      .sortBy(i => (-cos(q, cents(i)), -i)).take(nprobe)
+    val probed = probeCells(cents, q, nprobe)
     val lut = Similarity.pqLuts(Seq((-1L, q)), cbs).head._2
     codesDf(s, root)
       .filter(col("cell_id").isin(probed: _*))

@@ -109,4 +109,27 @@ class AnnIndexIOSpec extends AnyFunSuite {
     assert(res.length == nq * 5)
     assert(res.map(r => r.getLong(0) -> r.getInt(1)).distinct.length == res.length)
   }
+
+  test("streamed ANN serving equals the batch answer (stream==batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = AnnIndexIO.ensureFullBuilt(spark, sf)
+    // three corpus-member query vectors -> streamed answers must equal the
+    // ann_ivfpq_topk rows for those query ids
+    val qids = Seq(0L, 50L, 100L)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.AnnServe.AnnQuery]
+    in.addData(qids.map(id => graft.streaming.AnnServe.AnnQuery(id, vecs(id))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val q = graft.streaming.AnnServe.serve(in.toDS(), root, (df, _) =>
+      got ++= df.collect().map(key))
+    try q.processAllAvailable() finally q.stop()
+    val expect = SparkEntry.queries("ann_ivfpq_topk")(spark, sf)
+      .filter(col("query_id").isin(qids: _*)).collect().map(key)
+    assert(got.toSet == expect.toSet)
+    assert(got.size == qids.size * 5)
+  }
 }
