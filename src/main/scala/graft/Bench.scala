@@ -54,6 +54,7 @@ object Bench {
     "ann_recall",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
+    "text_len_quantiles_by_lang",
     "text_distinct_shingles_by_lang",
     "q_range_join_binned",
     "q_scalar_subquery",

@@ -73,11 +73,19 @@ object AnnIndexIO {
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private[graft] def deleteIndex(s: SparkSession, d: String): Unit =
-    Seq("full", "incr").foreach { v =>
+    Seq("full", "incr", "stream").foreach { v =>
       val root = new Path(indexRoot(d, v))
       val f = fs(s, root)
       if (f.exists(root)) f.delete(root, true)
+      modelCache.remove(root.toString)
+      modelCache.remove(indexRoot(d, v))
     }
+
+  /** O(model) per root — re-reading the tiny model parquet every streamed
+    * micro-batch would add a driver job per batch for constant data.
+    */
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Array[Array[Array[Double]]])]
 
   /** One corpus pass emits the partitioned code table; the model rows are
     * O(model) driver values written as one tiny file. Publish = atomic
@@ -94,11 +102,15 @@ object AnnIndexIO {
 
     val ivfFn = GraftFunctions.registerIvf(s, cents, 2)
     val pqFn = GraftFunctions.registerPq(s, codebooks)
+    // batch_id = -1 marks the initial bulk build; stream maintenance
+    // appends later batches as sibling batch_id=<n> dirs under each cell,
+    // so every codes root shares one two-level partition layout
     corpus
       .select(col("vec_id"),
         expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
         expr(s"$pqFn(emb)").as("codes"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell_id", "batch_id")
       .parquet(new Path(tmp, "codes.parquet").toString)
 
     import s.implicits._
@@ -121,6 +133,10 @@ object AnnIndexIO {
     * 8×4 codewords ordered by (m, k).
     */
   private[graft] def readModel(s: SparkSession, root: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    modelCache.getOrElseUpdate(root, readModelUncached(s, root))
+
+  private def readModelUncached(s: SparkSession, root: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val rows = s.read.parquet(new Path(root, "model.parquet").toString)
       .collect()
@@ -184,7 +200,7 @@ object AnnIndexIO {
     * by construction (same model values, same ADC arithmetic, same salted
     * two-stage top-k).
     */
-  private def serveAll(s: SparkSession, d: String, root: String): DataFrame = {
+  private[graft] def serveAll(s: SparkSession, d: String, root: String): DataFrame = {
     val (cents, cbs) = readModel(s, root)
     val ivfFn = GraftFunctions.registerIvf(s, cents, 2)
     val e = Similarity.withEmb(s, d)
@@ -241,34 +257,58 @@ object AnnIndexIO {
       root
     }
 
-  /** Incremental variant: base index built from `vec_id % 5 <> 0` with the
-    * model frozen from the BASE hash-sample; the delta batch is then
-    * appended as new files in the same partitioned layout (one pass over
-    * the delta only, existing codes untouched), guarded by a marker so a
-    * replay is a no-op.
+  /** Base index for the incremental/stream variants: built from
+    * `vec_id % 5 <> 0` with the model frozen from the BASE hash-sample.
+    */
+  private[graft] def ensureBaseBuilt(s: SparkSession, d: String,
+      variant: String): String = synchronized {
+    val root = indexRoot(d, variant)
+    val f = fs(s, new Path(root))
+    if (!f.exists(new Path(root))) {
+      val base = Similarity.withEmb(s, d)
+        .filter(pmod(col("vec_id"), lit(DeltaMod)) =!= 0)
+      val sample8 = Similarity.hashSample(base, 8)
+      buildTo(s, root, base, sample8, Similarity.pqCodebooks(sample8.take(4)))
+    }
+    root
+  }
+
+  /** Encode one batch of new vectors with the FROZEN model and commit it
+    * under `batch_id=<id>` dirs inside each cell partition — dynamic
+    * partition overwrite, so replaying a micro-batch id rewrites exactly
+    * its own dirs (the streaming.Ingest exactly-once idiom; existing
+    * batches are never touched). One pass over the batch, O(|batch|).
+    */
+  private[graft] def appendBatch(s: SparkSession, root: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val (cents, cbs) = readModel(s, root)
+    val ivfFn = GraftFunctions.registerIvf(s, cents, 2)
+    val pqFn = GraftFunctions.registerPq(s, cbs)
+    graft.sources.Writers.writeShards(
+      batch.select(col("vec_id"),
+          expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
+          expr(s"$pqFn(emb)").as("codes"))
+        .withColumn("batch_id", lit(batchId)),
+      new Path(root, "codes.parquet").toString,
+      partitionCols = Seq("cell_id", "batch_id"),
+      sortCols = Seq("vec_id"), mode = SaveMode.Overwrite,
+      options = Map("partitionOverwriteMode" -> "dynamic"))
+  }
+
+  /** Incremental variant: base index + the delta appended as one batch
+    * (one pass over the delta only, existing codes untouched), guarded by
+    * a marker so a replay is a no-op.
     */
   private[graft] def ensureIncrBuilt(s: SparkSession, d: String): String =
     synchronized {
-      val root = indexRoot(d, "incr")
+      val root = ensureBaseBuilt(s, d, "incr")
       val rootP = new Path(root)
       val f = fs(s, rootP)
-      val e = Similarity.withEmb(s, d)
-      val base = e.filter(pmod(col("vec_id"), lit(DeltaMod)) =!= 0)
-      if (!f.exists(rootP)) {
-        val sample8 = Similarity.hashSample(base, 8)
-        buildTo(s, root, base, sample8, Similarity.pqCodebooks(sample8.take(4)))
-      }
       val marker = new Path(rootP, "_DELTA_APPENDED")
       if (!f.exists(marker)) {
-        val (cents, cbs) = readModel(s, root)
-        val ivfFn = GraftFunctions.registerIvf(s, cents, 2)
-        val pqFn = GraftFunctions.registerPq(s, cbs)
-        e.filter(pmod(col("vec_id"), lit(DeltaMod)) === 0)
-          .select(col("vec_id"),
-            expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
-            expr(s"$pqFn(emb)").as("codes"))
-          .write.mode(SaveMode.Append).partitionBy("cell_id")
-          .parquet(new Path(rootP, "codes.parquet").toString)
+        appendBatch(s, root,
+          Similarity.withEmb(s, d)
+            .filter(pmod(col("vec_id"), lit(DeltaMod)) === 0), 0L)
         f.create(marker, true).close()
       }
       root

@@ -38,6 +38,9 @@ object SamplingOps {
   /** Quantile positions the sketch publishes. */
   private val QuantilePs = Seq(0.1 -> "p10", 0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
 
+  /** Per-group bottom-k size for the grouped quantile sketch. */
+  val GroupQuantileK = 64
+
   /** (lang, n_docs, n_total, p, weight) with weight rounded at 6 — the
     * rounded value is the published contract, so downstream consumers
     * (sample_manifest, the oracle) agree bit-for-bit.
@@ -93,6 +96,39 @@ object SamplingOps {
         QuantilePs.map { case (p, nm) => round(pick(p), 2).as(s"approx_$nm") } :+
           max(col("n")).as("n_sample")
       ranked.agg(outCols.head, outCols.tail: _*)
+    }),
+    "text_len_quantiles_by_lang" -> ((s, d) => {
+      // The quantile sketch in GROUPED form: per-language document-length
+      // p50/p90 from a per-group bottom-k-by-hash sample — the
+      // "distribution per slice" question a corpus dashboard asks.
+      // Stage 1 ranks within (lang, salt) and keeps k per salt group, so
+      // the dominant language never funnels into one reducer (the
+      // twoStageTopK argument: the (h, doc_id) order is total and any
+      // group-wide bottom-k row is also its salt group's bottom-k, so the
+      // two-stage sample is IDENTICAL to the single-stage one the oracle
+      // computes). Stage 2 ranks ≤ 32·k rows per lang.
+      val k = GroupQuantileK
+      val base = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('qtl:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(32)))
+      val s1 = base.withColumn("r0", row_number().over(
+          Window.partitionBy(col("lang"), col("salt")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("r0") <= k)
+      val smp = s1.withColumn("r1", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("r1") <= k)
+      val ranked = smp
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("h"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      def pick(p: Double) = max(when(
+        col("r") === greatest(lit(1L), ceil(lit(p) * col("n"))), col("n_chars")))
+      ranked.groupBy("lang").agg(
+        pick(0.5).as("approx_p50"),
+        pick(0.9).as("approx_p90"),
+        max(col("n")).as("n_sample"))
     }),
     "corpus_mixture" -> ((s, d) => {
       mixture(s, d).select(
@@ -163,6 +199,21 @@ object SamplingOps {
          |  max(n)::BIGINT n_sample
          |FROM rk""".stripMargin
     },
+    "text_len_quantiles_by_lang" ->
+      s"""WITH hx AS (SELECT lang, doc_id, n_chars,
+         |  ('0x' || substr(md5('qtl:' || doc_id::VARCHAR), 1, 8))::BIGINT h
+         |  FROM documents),
+         |rk1 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) r1 FROM hx),
+         |smp AS (SELECT lang, n_chars, h FROM rk1 WHERE r1 <= $GroupQuantileK),
+         |rk AS (SELECT lang, n_chars,
+         |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, h) r,
+         |         count(*) OVER (PARTITION BY lang) n
+         |       FROM smp)
+         |SELECT lang,
+         |  max(CASE WHEN r = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN n_chars END) approx_p50,
+         |  max(CASE WHEN r = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN n_chars END) approx_p90,
+         |  max(n)::BIGINT n_sample
+         |FROM rk GROUP BY lang""".stripMargin,
     "curriculum_manifest" ->
       s"""WITH ${TextOps.wsCte}, ${TextOps.qualityCte},
          |m AS (SELECT doc_id, quality_score,

@@ -28,6 +28,30 @@ object AnnServe {
   /** One serving request: caller-assigned id + the query embedding. */
   final case class AnnQuery(query_id: Long, emb: Array[Double])
 
+  /** One new corpus vector for stream-maintained index growth. */
+  final case class AnnInsert(vec_id: Long, emb: Array[Double])
+
+  /** Maintain the index FROM a stream: each micro-batch of new vectors is
+    * encoded with the frozen model and committed under its own
+    * `batch_id=<n>` dirs inside the cell partitions (dynamic partition
+    * overwrite — a replayed micro-batch rewrites exactly its own dirs, the
+    * streaming.Ingest exactly-once idiom). Index growth costs O(|batch|)
+    * per trigger; concurrent serving reads whole published batch dirs.
+    * The stream-maintained index is provably identical to the batch
+    * incremental build over the same vectors (spec-asserted).
+    */
+  def maintain(inserts: Dataset[AnnInsert], root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    inserts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[AnnInsert], batchId: Long) =>
+        AnnIndexIO.appendBatch(batch.sparkSession, root, batch.toDF(), batchId)
+      }
+      .start()
+
   /** Start serving `queries` against the index at `root`; each answered
     * micro-batch (query_id, rank, vec_id, approx_dist) is handed to
     * `sink` with its batch id.

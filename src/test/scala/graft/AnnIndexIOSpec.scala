@@ -132,4 +132,44 @@ class AnnIndexIOSpec extends AnyFunSuite {
     assert(got.toSet == expect.toSet)
     assert(got.size == qids.size * 5)
   }
+
+  test("stream-maintained index equals the batch incremental build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    AnnIndexIO.deleteIndex(spark, sf)
+    // batch reference: base build + delta appended in one batch
+    val incrRoot = AnnIndexIO.ensureIncrBuilt(spark, sf)
+    val expect = AnnIndexIO.serveAll(spark, sf, incrRoot).collect().map(key).toSet
+
+    // stream variant: same base build, delta arrives as two micro-batches
+    val streamRoot = AnnIndexIO.ensureBaseBuilt(spark, sf, "stream")
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % AnnIndexIO.DeltaMod === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(r => graft.streaming.AnnServe.AnnInsert(r.getLong(0), r.getSeq[Double](1).toArray))
+    val (d1, d2) = delta.partition(_.vec_id % 2 == 0)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.AnnServe.AnnInsert]
+    val cp = java.nio.file.Files.createTempDirectory("ann_maintain_cp").toString
+    in.addData(d1.toSeq)
+    val q = graft.streaming.AnnServe.maintain(in.toDS(), streamRoot, cp)
+    try {
+      q.processAllAvailable()
+      in.addData(d2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // a replayed micro-batch id must rewrite its own dirs, not duplicate
+    AnnIndexIO.appendBatch(spark, streamRoot, d2.toSeq.toDF("vec_id", "emb"), 1L)
+    val codes = spark.read.parquet(s"$streamRoot/codes.parquet")
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(codes.count() == total)
+    assert(codes.select("vec_id").distinct().count() == total)
+    // base bulk build (batch_id=-1) + 2 streamed batches
+    assert(codes.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(-1L, 0L, 1L)))
+
+    val got = AnnIndexIO.serveAll(spark, sf, streamRoot).collect().map(key).toSet
+    assert(got == expect)
+  }
 }

@@ -73,4 +73,21 @@ class KmvSketchSpec extends AnyFunSuite {
       assert(err <= tol, s"p=$p approx=$approx cdf=${cdf(approx)} err=$err tol=$tol")
     }
   }
+
+  test("text_len_quantiles_by_lang: grouped sample quantiles are sane per group") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_len_quantiles_by_lang")(spark, sf).collect()
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang")
+      .agg(expr("min(n_chars)").as("mn"), expr("max(n_chars)").as("mx"),
+        expr("count(*)").as("cnt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty && rows.length == exact.size)
+    rows.foreach { r =>
+      val (mn, mx, cnt) = exact(r.getString(0))
+      assert(r.getLong(3) == math.min(graft.operators.SamplingOps.GroupQuantileK, cnt))
+      val (p50, p90) = (r.getLong(1), r.getLong(2))
+      assert(p50 >= mn && p90 <= mx && p50 <= p90, s"$r vs ($mn,$mx)")
+    }
+  }
 }
