@@ -57,6 +57,7 @@ object Bench {
     "text_len_quantiles_by_lang",
     "text_distinct_shingles_by_lang",
     "q_range_join_binned",
+    "q_bucketed_join",
     "q_scalar_subquery",
     "text_quality",
     "text_entropy",

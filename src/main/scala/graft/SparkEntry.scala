@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.TxGen
-import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, Dedup, FraudQueries, FraudRules, Multimodal, SamplingOps, Similarity, TableOps, TextOps, TrainingPipeline}
+import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, Dedup, FraudQueries, FraudRules, Layout, Multimodal, SamplingOps, Similarity, TableOps, TextOps, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,8 +30,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FraudQueries.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
       Dedup.queries ++ Similarity.queries ++ AnnIndexIO.queries ++ TextOps.queries ++
-      Multimodal.queries ++ TableOps.queries ++ TrainingPipeline.queries ++
-      SamplingOps.queries
+      Multimodal.queries ++ TableOps.queries ++ Layout.queries ++
+      TrainingPipeline.queries ++ SamplingOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +40,5 @@ object SparkEntry {
     FraudQueries.oracleSql ++ Analytics.oracleSql ++ AnalyticsExt.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ AnnIndexIO.oracleSql ++
       TextOps.oracleSql ++ Multimodal.oracleSql ++ TableOps.oracleSql ++
-      TrainingPipeline.oracleSql ++ SamplingOps.oracleSql
+      Layout.oracleSql ++ TrainingPipeline.oracleSql ++ SamplingOps.oracleSql
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.sources.Tables
+
+/** Storage-layout operators: co-located (bucketed) joins — the 100 TB
+  * answer to "this join shuffles both fact tables every night". Writing
+  * `orders` and `lineitem` bucketed INTO THE SAME bucket count ON the join
+  * key moves the shuffle to write time, once; every subsequent join of the
+  * two tables is exchange-free (each task zips bucket i with bucket i),
+  * which BucketingSpec asserts on the executed plan of the registered
+  * query itself.
+  *
+  * The bucketed copies are external tables under java.io.tmpdir (content
+  * keyed by dataset dir, like operators/AnnIndexIO); first use per JVM
+  * pays the one-time bucketed write — the modeled "nightly table build".
+  * The query result is layout-independent, so the DuckDB oracle is the
+  * plain join+aggregate.
+  */
+object Layout {
+
+  private[graft] val Buckets = 8
+
+  private def digest(d: String): String = {
+    val canon = try new java.io.File(d).getCanonicalPath catch {
+      case _: java.io.IOException => d
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Create (once per JVM+dataset) the bucketed external copies of orders
+    * and lineitem, both CLUSTERED BY their orderkey INTO [[Buckets]]
+    * buckets, and return the two table names.
+    */
+  private[graft] def ensureBucketed(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      val t = digest(d)
+      val ordT = s"graft_ord_b$t"
+      val liT = s"graft_li_b$t"
+      val base = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_bucketed/$t")
+      if (!s.catalog.tableExists(ordT))
+        Tables.orders(s, d).write
+          .bucketBy(Buckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", new java.io.File(base, "orders").toString)
+          .mode(SaveMode.Overwrite).format("parquet").saveAsTable(ordT)
+      if (!s.catalog.tableExists(liT))
+        Tables.lineitem(s, d).write
+          .bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", new java.io.File(base, "lineitem").toString)
+          .mode(SaveMode.Overwrite).format("parquet").saveAsTable(liT)
+      (ordT, liT)
+    }
+
+  def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q_bucketed_join" -> ((s, d) => {
+      // the co-located join: merge hint pins SortMergeJoin so the bucketed
+      // layout (not a broadcast) is what makes it exchange-free — at real
+      // scale neither side broadcasts anyway
+      val (ordT, liT) = ensureBucketed(s, d)
+      s.table(ordT).hint("merge")
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) n,
+        |  round(sum(l_extendedprice), 2) revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
+  )
+}

@@ -47,4 +47,27 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("q_bucketed_join: the registered query's join is exchange-free") {
+    val sf = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val joinSection = plan.split("HashAggregate").last
+    assert(joinSection.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed layout must make the join shuffle-free:\n$plan")
+    // and it agrees with the plain unbucketed formulation
+    val expect = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum(col("l_extendedprice")), 2).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
 }
