@@ -295,6 +295,27 @@ object AnnIndexIO {
       options = Map("partitionOverwriteMode" -> "dynamic"))
   }
 
+  /** Maintenance for a long-running stream-maintained index: each cell
+    * accretes one `batch_id=<n>` dir per streamed micro-batch; compaction
+    * folds every cold batch dir of a cell into one generation of
+    * bounded-size files via the shared crash-safe protocol
+    * (sources/Writers.compactPartitionInternal — the hottest batch stays
+    * protected so an in-flight replay remains idempotent). Serving is
+    * unaffected: the generation dir is just another batch_id partition.
+    */
+  private[graft] def compactCells(s: SparkSession, root: String)
+      : Seq[graft.sources.Writers.CompactionStats] = {
+    val codes = new Path(root, "codes.parquet")
+    val f = fs(s, codes)
+    if (!f.exists(codes)) Seq.empty
+    else f.listStatus(codes).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("cell_id="))
+      .map(cell => graft.sources.Writers.compactPartitionInternal(
+        s, codes.toString, cell, dropCols = Seq("cell_id", "batch_id"),
+        targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
+        sortCols = Seq("vec_id"), crashBeforeDelete = false)).toSeq
+  }
+
   /** Incremental variant: base index + the delta appended as one batch
     * (one pass over the delta only, existing codes untouched), guarded by
     * a marker so a replay is a no-op.

@@ -108,9 +108,24 @@ object Writers {
   private[graft] def compactShardsInternal(
       spark: org.apache.spark.sql.SparkSession, outDir: String, lang: String,
       targetFileBytes: Long, maxRecordsPerFile: Long, sortCols: Seq[String],
+      crashBeforeDelete: Boolean): CompactionStats =
+    compactPartitionInternal(spark, outDir, s"lang=$lang",
+      Seq("lang", "batch_id"), targetFileBytes, maxRecordsPerFile, sortCols,
+      crashBeforeDelete).copy(lang = lang)
+
+  /** The generalized batch-dir compaction protocol: any hive partition dir
+    * (`lang=en`, `cell_id=3`, …) whose children are `batch_id=<n>` commit
+    * dirs — the streaming.Ingest shard layout AND the stream-maintained
+    * ANN code table (operators/AnnIndexIO) share this shape, so they share
+    * one write-new → swap → delete recovery path.
+    */
+  private[graft] def compactPartitionInternal(
+      spark: org.apache.spark.sql.SparkSession, outDir: String,
+      partitionDir: String, dropCols: Seq[String],
+      targetFileBytes: Long, maxRecordsPerFile: Long, sortCols: Seq[String],
       crashBeforeDelete: Boolean): CompactionStats = {
     import org.apache.hadoop.fs.Path
-    val langPath = new Path(outDir, s"lang=$lang")
+    val langPath = new Path(outDir, partitionDir)
     val fs = langPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(langPath), s"no such partition dir: $langPath")
 
@@ -142,7 +157,7 @@ object Writers {
     // nothing to merge: no candidates, or just one dir that IS already a
     // compacted generation (re-rolling it forever would churn bytes)
     if (included.isEmpty || (included.length == 1 && idOf(included.head) < 0))
-      return CompactionStats(lang, 0, filesBefore, filesBefore, 0L)
+      return CompactionStats(partitionDir, 0, filesBefore, filesBefore, 0L)
 
     val gen = (included.map(idOf).filter(_ < 0) :+ 0L).min - 1
     val bytes = included.map(fs.getContentSummary(_).getLength).sum
@@ -152,11 +167,11 @@ object Writers {
     // partition columns (dropped → data files stay partition-free)
     val df0 = spark.read.option("basePath", outDir)
       .parquet(included.map(_.toString): _*)
-      .drop("lang", "batch_id")
+      .drop(dropCols: _*)
       .repartition(nOut)
     val df = if (sortCols.nonEmpty && sortCols.forall(df0.columns.contains))
       df0.sortWithinPartitions(sortCols.map(col): _*) else df0
-    val tmp = new Path(outDir, s".compact_tmp_lang=$lang")
+    val tmp = new Path(outDir, s".compact_tmp_$partitionDir")
     fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -173,7 +188,7 @@ object Writers {
       fs.delete(new Path(genDir, ManifestFile), false)
     }
     val filesAfter = batchDirs.map(parquetFiles(_).length).sum
-    CompactionStats(lang, included.length, filesBefore, filesAfter, gen)
+    CompactionStats(partitionDir, included.length, filesBefore, filesAfter, gen)
   }
 
   /** Batch JDBC sink — the reference ships flink-connector-jdbc +
