@@ -131,6 +131,39 @@ object StreamBench {
     runIngest(docRows.take(math.min(10000, nDocs)))
     val (ingestSecs, stateRows, stateBytes) = runIngest(docRows)
     println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes}""")
+
+    // ---- ANN serving path: streamed query vectors answered from the
+    // persisted IVF×PQ index (one-time build excluded — that's the
+    // amortized "nightly" cost). Each micro-batch costs driver-side probe
+    // arithmetic + one partition-pruned code-table scan; queries/sec is
+    // the online-serving number a vector-search user asks.
+    val root = graft.operators.AnnIndexIO.ensureFullBuilt(spark, sfDir)
+    val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(r => graft.streaming.AnnServe.AnnQuery(r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq
+
+    def runServe(rows: Seq[graft.streaming.AnnServe.AnnQuery],
+        batchSize: Int): (Double, Long) = {
+      val in = MemoryStream[graft.streaming.AnnServe.AnnQuery]
+      rows.grouped(batchSize).foreach(b => in.addData(b))
+      val answered = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.AnnServe.serve(in.toDS(), root,
+        (df, _) => answered.addAndGet(df.select("query_id").distinct().count()),
+        trigger = Trigger.AvailableNow())
+      val secs =
+        try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, answered.get())
+    }
+
+    runServe(qvecs.take(100), 50) // warmup: codegen + model cache + footers
+    val (serveSecs, answered) = runServe(qvecs, 100)
+    require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
+    println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f}""")
     spark.stop()
   }
 }
