@@ -52,6 +52,7 @@ object Bench {
     "ann_ivfpq_served_topk",
     "ann_ivfpq_incremental",
     "ann_recall",
+    "ann_recall_incremental",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

@@ -349,15 +349,45 @@ object AnnIndexIO {
     "ann_ivfpq_incremental" -> ((s, d) => {
       val root = ensureIncrBuilt(s, d)
       serveAll(s, d, root)
+    }),
+    // recall@5 of the STALE-model index (trained on base, serving
+    // base+delta) vs the bruteforce ground truth — the number that tells
+    // an operator when incremental growth has drifted far enough to
+    // warrant a model refresh + re-encode. Same denominator convention as
+    // ann_recall (full 50×5 ground truth; fewer hits = penalized).
+    "ann_recall_incremental" -> ((s, d) => {
+      val bf = Similarity.queries("ann_bruteforce_topk")(s, d)
+        .select("query_id", "vec_id")
+      queries("ann_ivfpq_incremental")(s, d)
+        .select(lit("ivfpq_incr").as("method"), col("query_id"), col("vec_id"))
+        .join(broadcast(bf), Seq("query_id", "vec_id"))
+        .groupBy("method")
+        .agg(count(lit(1)).as("hits"))
+        .withColumn("recall_at_5",
+          round(col("hits") / lit(Similarity.QueryIds.length * 5.0), 4))
+        .select("method", "hits", "recall_at_5")
     })
   )
 
   def oracleSql: Map[String, String] = Map(
     "ann_ivfpq_served_topk" -> Similarity.baseOracleSql("ann_ivfpq_topk"),
+    "ann_recall_incremental" ->
+      s"""WITH bf AS (${Similarity.baseOracleSql("ann_bruteforce_topk")}),
+         |mi AS ($incrementalSql)
+         |SELECT 'ivfpq_incr' AS method, count(*) hits,
+         |  round(count(*) / ${Similarity.QueryIds.length * 5}.0::DOUBLE, 4) recall_at_5
+         |FROM mi JOIN bf USING (query_id, vec_id)""".stripMargin,
     // the ivfpq oracle with its model CTEs (cent / smp) drawn from the
     // base subset only — assignment and ADC arithmetic unchanged, so the
     // single textual delta vs ann_ivfpq_topk is the `hb` model source.
-    "ann_ivfpq_incremental" ->
+    "ann_ivfpq_incremental" -> incrementalSql
+  )
+
+  /** Shared by the ann_ivfpq_incremental oracle and its recall composite
+    * (nested WITH scoping keeps the inner CTE names private to each
+    * subquery, the annRecallSql pattern).
+    */
+  private lazy val incrementalSql: String =
       s"""WITH ${Similarity.embCte},
          |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
          |hb AS (SELECT * FROM h WHERE vec_id % $DeltaMod <> 0),
@@ -391,5 +421,4 @@ object AnnIndexIO {
          |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin
-  )
 }
