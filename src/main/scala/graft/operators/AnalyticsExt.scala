@@ -111,6 +111,23 @@ object AnalyticsExt {
           col("last_signup_ms"),
           (col("ts_ms") - col("last_signup_ms")).as("ms_since_signup"))
     }),
+    "q_full_outer_join" -> ((s, d) => {
+      // the one join type not yet on the registered surface: positive-
+      // balance customers FULL OUTER all orders, so BOTH sides carry
+      // unmatched rows (orders of excluded customers / customers with no
+      // orders). Shuffles both sides on the key once - plain SMJ at any
+      // scale; the per-segment rollup shows match classes explicitly.
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 0)
+      c.join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          sum(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long")
+            .as("n_cust_only"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).cast("long")
+            .as("n_order_only"))
+    }),
     "q_stats_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -160,6 +177,13 @@ object AnalyticsExt {
     "q_scalar_subquery" -> SqlScalarSubquery,
     "q_in_subquery" -> SqlInSubquery,
     "q_window_funcs" -> SqlWindowFuncs,
+    "q_full_outer_join" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |SELECT
+        |  sum(CASE WHEN c_custkey IS NOT NULL AND o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_matched,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT n_cust_only,
+        |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT n_order_only
+        |FROM c FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
     "q_asof_signup" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) ms, event_type, value FROM events),
         |w AS (SELECT *,
