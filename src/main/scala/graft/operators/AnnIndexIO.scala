@@ -60,13 +60,21 @@ object AnnIndexIO {
     * (temp-dir specs) must [[deleteIndex]] first — same caveat as
     * `Similarity.clearAnnIndexCache`.
     */
+  /** On-disk layout version, folded into every index root digest: bumping
+    * it on any change to the code/model file shapes (e.g. the v2 addition
+    * of the batch_id partition level) makes an index persisted by older
+    * code unreachable rather than silently half-compatible.
+    */
+  private val FormatVersion = 2
+
   private[graft] def indexRoot(d: String, variant: String): String = {
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
     }
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_ann_index")
-    new java.io.File(base, variant + "_" + md5hex(canon)).toString
+    new java.io.File(base,
+      variant + "_" + md5hex(s"v$FormatVersion:$canon")).toString
   }
 
   private def fs(s: SparkSession, p: Path) =
