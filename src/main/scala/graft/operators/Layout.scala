@@ -22,6 +22,7 @@ import graft.sources.Tables
 object Layout {
 
   private[graft] val Buckets = 8
+  private[graft] val SortedFiles = 8
 
   private def digest(d: String): String = {
     val canon = try new java.io.File(d).getCanonicalPath catch {
@@ -55,6 +56,31 @@ object Layout {
       (ordT, liT)
     }
 
+  /** Create (once per JVM+dataset) a range-clustered copy of lineitem:
+    * `repartitionByRange(l_shipdate)` + `sortWithinPartitions`, so every
+    * output file (and row group inside it) covers a narrow, disjoint
+    * shipdate span. Parquet footers then carry tight min/max statistics
+    * for the clustering column and a time-range scan skips every file
+    * outside the range — the zone-map lever: at 100 TB, clustering the
+    * nightly build on the dominant filter column turns "scan the table"
+    * into "scan range/total of it". SortedLayoutSpec proves skippability
+    * from the footers themselves (≤2 of the row groups intersect the
+    * registered query's 3-month window) and result-equality vs the
+    * unclustered table.
+    */
+  private[graft] def ensureSorted(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = new java.io.File(new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_sorted"),
+        digest(d)).toString
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        Tables.lineitem(s, d)
+          .repartitionByRange(SortedFiles, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "q_bucketed_join" -> ((s, d) => {
       // the co-located join: merge hint pins SortMergeJoin so the bucketed
@@ -66,6 +92,18 @@ object Layout {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
+    "q_sorted_layout_prune" -> ((s, d) => {
+      // a selective time-range scan against the range-clustered copy;
+      // the result is layout-independent (oracle = plain lineitem), the
+      // POINT is that the sorted layout answers it from ~1 of 8 files
+      s.read.parquet(ensureSorted(s, d))
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-09-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
     })
   )
 
@@ -74,6 +112,13 @@ object Layout {
       """SELECT o_orderpriority, count(*) n,
         |  round(sum(l_extendedprice), 2) revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_sorted_layout_prune" ->
+      """SELECT l_returnflag, count(*) n,
+        |  round(sum(l_extendedprice), 2) revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-09-01'
+        |GROUP BY l_returnflag""".stripMargin
   )
 }
