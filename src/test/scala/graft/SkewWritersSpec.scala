@@ -28,6 +28,44 @@ class SkewWritersSpec extends AnyFunSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  // saltedJoin is the manual lever; AQE skew-join is the automatic one the
+  // operator docs defer to ("otherwise prefer AQE skew-join",
+  // dedup_components' label-skew residual). Prove it actually fires: a
+  // 95%-one-key join, thresholds scaled to test data, and the FINAL
+  // adaptive plan must show the skewed partition was split (skew=true).
+  test("AQE splits the skewed partition of a sort-merge join (skew=true)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the left shares key 7; every row matches exactly one dim row
+      val left = spark.range(120000).select(
+        when($"id" % 20 === 0, pmod($"id", lit(97L))).otherwise(lit(7L)).as("k"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      assert(joined.collect().length == 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the hot partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("two-stage distinct count == countDistinct") {
     val li = Tables.lineitem(spark, sf)
     val naive = li.groupBy("l_returnflag")
