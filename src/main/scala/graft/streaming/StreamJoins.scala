@@ -47,6 +47,32 @@ object StreamJoins {
       .select(purchases("user_id"), col("s_ts"), col("p_ts"), col("value"))
   }
 
+  /** Left-outer variant of [[signupPurchaseInterval]]: every purchase emits
+    * exactly once — matched purchases as in the inner form, unmatched ones
+    * with a null signup side once BOTH watermarks pass the interval bound
+    * (the stream cannot decide "no signup will ever match" until event time
+    * moves past `s_ts + maxGap`; the batch dual emits the same nulls
+    * immediately). State eviction is identical to the inner join, so state
+    * still tracks the interval, not the stream length.
+    */
+  def signupPurchaseIntervalOuter(events: DataFrame, maxGap: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val signups = wm(
+      events.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("ts").as("s_ts")),
+      "s_ts", watermark)
+    val purchases = wm(
+      events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value")),
+      "p_ts", watermark)
+    purchases.join(signups,
+      purchases("user_id") === signups("s_user_id") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr(s"INTERVAL $maxGap"),
+      "left_outer")
+      .select(purchases("user_id"), col("s_ts"), col("p_ts"), col("value"))
+  }
+
   /** Stream-static enrichment: transactions joined to a small static dim
     * (broadcast — zero shuffle on the stream side).
     */

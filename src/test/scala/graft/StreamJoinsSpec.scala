@@ -50,6 +50,46 @@ class StreamJoinsSpec extends AnyFunSuite {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("left-outer interval join == batch dual once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    // sentinel far past every real event: pushes both watermarks beyond
+    // s_ts + maxGap for all state, forcing the null-side emissions
+    // the global watermark is min() across BOTH branch watermarks, so a
+    // sentinel must arrive on each branch (signup AND purchase) to move it
+    def sentinel(days: Long) = Seq("purchase", "signup").map(t =>
+      TsEvent(new Timestamp(maxTs + days * 24 * 3600 * 1000), t, -1L, 0.0))
+    val ms = MemoryStream[TsEvent]
+    val q = StreamJoins.signupPurchaseIntervalOuter(ms.toDF())
+      .writeStream.format("memory").queryName("outer_join_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("oj").toString)
+      .start()
+    try {
+      ms.addData(events)
+      q.processAllAvailable()
+      // eviction uses the watermark as of the PREVIOUS batch, so two
+      // sentinel batches are needed: the first advances the watermark past
+      // every real event, the second actually flushes the residual state
+      ms.addData(sentinel(30))
+      q.processAllAvailable()
+      ms.addData(sentinel(60))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0),
+      if (r.isNullAt(1)) -1L else r.getTimestamp(1).getTime,
+      r.getTimestamp(2).getTime, r.getDouble(3))
+    val streamed = spark.table("outer_join_stream")
+      .collect().map(key).filterNot(_._1 == -1L).toSet
+    val batch = StreamJoins.signupPurchaseIntervalOuter(
+      spark.createDataset(events).toDF()).collect().map(key).toSet
+    val nullSide = streamed.count(_._2 == -1L)
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(nullSide > 0, "expected unmatched purchases to emit with null signup")
+  }
+
   test("stream-static broadcast enrichment == batch join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
