@@ -45,4 +45,45 @@ class PlanPruningSpec extends AnyFunSuite {
     readSchemas(Dedup.queries("dedup_exact")(spark, sf))
       .foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), cols))
   }
+
+  // decontam_bloom builds its filter by hand; Spark can also INJECT one —
+  // a bloom filter built from the selective build side, pushed onto the
+  // probe side's scan so most rows die before the shuffle. The default
+  // 10 GB probe-side threshold exists precisely because this only pays at
+  // scale; the test lowers it to prove the optimizer path works.
+  test("runtime bloom filter is injected on the probe side of a selective join") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val ord = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$optimized")
+      // and it must not change the answer
+      val expect = li.join(ord.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSet == expect
+        && expect.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
