@@ -111,6 +111,15 @@ object AnalyticsExt {
           col("last_signup_ms"),
           (col("ts_ms") - col("last_signup_ms")).as("ms_since_signup"))
     }),
+    "q_cross_join" -> ((s, d) => {
+      // deliberate cartesian of two tiny dims — the dense-grid pattern
+      // (one row per (region, priority) cell, including cells no order
+      // fills). Spark broadcasts one side (BroadcastNestedLoopJoin), so
+      // the "shuffle" cost is zero; a cartesian of FACT tables is the
+      // shape this operator exists to make conspicuous in review.
+      val pri = Tables.orders(s, d).select("o_orderpriority").distinct()
+      Tables.region(s, d).select("r_name").crossJoin(pri)
+    }),
     "q_full_outer_join" -> ((s, d) => {
       // the one join type not yet on the registered surface: positive-
       // balance customers FULL OUTER all orders, so BOTH sides carry
@@ -177,6 +186,9 @@ object AnalyticsExt {
     "q_scalar_subquery" -> SqlScalarSubquery,
     "q_in_subquery" -> SqlInSubquery,
     "q_window_funcs" -> SqlWindowFuncs,
+    "q_cross_join" ->
+      """SELECT r_name, o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)""".stripMargin,
     "q_full_outer_join" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
         |SELECT
