@@ -59,6 +59,8 @@ object Bench {
     "text_distinct_shingles_by_lang",
     "q_range_join_binned",
     "q_bucketed_join",
+    "q_sorted_layout_prune",
+    "q_zorder_prune",
     "q_scalar_subquery",
     "text_quality",
     "text_entropy",

@@ -2,12 +2,6 @@ package graft
 
 import java.time.{LocalDateTime, ZoneOffset}
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,29 +23,9 @@ class SortedLayoutSpec extends AnyFunSuite {
   private def micros(dt: LocalDateTime): Long =
     dt.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L
 
-  /** (min, max) micros of l_shipdate per row group across all part files. */
-  private def shipdateSpans(dir: String): Seq[(Long, Long)] = {
-    val conf = new Configuration()
-    new java.io.File(dir).listFiles.toSeq
-      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
-      .flatMap { f =>
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
-        try r.getFooter.getBlocks.asScala.toList.flatMap { b =>
-          b.getColumns.asScala.find(_.getPath.toDotString == "l_shipdate")
-            .flatMap { c =>
-              val st = c.getStatistics
-              if (st == null || !st.hasNonNullValue) None
-              else Some((st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue()))
-            }
-        } finally r.close()
-      }
-  }
-
   test("sorted layout: row-group min/max spans are disjoint and prune the range") {
     val dir = Layout.ensureSorted(spark, sf)
-    val spans = shipdateSpans(dir).sortBy(_._1)
+    val spans = ParquetFooters.spans(dir, "l_shipdate").sortBy(_._1)
     assert(spans.size >= Layout.SortedFiles - 2,
       s"expected ~${Layout.SortedFiles} row groups, got ${spans.size}")
 
