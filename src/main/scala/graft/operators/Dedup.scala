@@ -82,6 +82,28 @@ object Dedup {
       .select(col("doc_id"), array((0 until 16).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Banded-LSH candidate pairs (d1 < d2, distinct) from the 16-hash
+    * MinHash signature split into 4 bands × 4 rows — the PRE-confirm
+    * stage shared by dedup_minhash_pairs (which exact-Jaccard-confirms
+    * them) and dedup_eval_minhash (which grades them against exact
+    * ground truth).
+    */
+  private def minhashCandidates(sh: DataFrame): DataFrame = {
+    val bands = minhashSigsFromShingles(sh).select(
+      col("doc_id"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b as band_id,
+          |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
+      )).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    bands.select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
+      .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
+      .distinct()
+  }
+
   /** 48-bit SimHash over word tokens (occurrence-weighted); 48 bits keeps
     * `1 << b` inside BIGINT in both engines. One pass per doc via the
     * custom [[graft.functions.SimHash48]] evaluator (the
@@ -480,20 +502,7 @@ object Dedup {
       // WordShingles expression over the whole corpus.
       val sh = withShingles(Tables.documents(s, d))
         .select("doc_id", "sh").localCheckpoint(true)
-      val bands = minhashSigsFromShingles(sh).select(
-        col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(b as band_id,
-            |  concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))) as band_key))""".stripMargin
-        )).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      val cand = bands.select(col("doc_id").as("d1"), col("band_id"), col("band_key"))
-        .join(bands.select(col("doc_id").as("d2"), col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2")
-        .distinct()
-      cand
+      minhashCandidates(sh)
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
         .withColumn("jaccard",
@@ -501,6 +510,34 @@ object Dedup {
             size(array_union(col("sh1"), col("sh2"))), 4))
         .filter(col("jaccard") >= 0.8)
         .select("d1", "d2", "jaccard")
+    }),
+    "dedup_eval_minhash" -> ((s, d) => {
+      // grade the LSH banding itself: candidate pairs (pre-confirm)
+      // scored against exact-Jaccard ≥ 0.8 ground truth from the
+      // inverted index. One row: precision says how much confirm work
+      // the bands waste; recall is the probability a true near-dup
+      // survives banding (4 bands × 4 rows ⇒ ~1−(1−j⁴)⁴, ≈0.88 at
+      // j=0.8) — the number that decides the band/row tradeoff before
+      // a 100 TB run, measured here on the corpus itself.
+      val sh = withShingles(Tables.documents(s, d))
+        .select("doc_id", "sh").localCheckpoint(true)
+      val truth = queries("dedup_ngram_jaccard")(s, d)
+        .filter(col("jaccard") >= 0.8).select("d1", "d2")
+        .withColumn("in_truth", lit(1))
+      val cand = minhashCandidates(sh).withColumn("in_cand", lit(1))
+      truth.join(cand, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_truth"), lit(0))).cast("long").as("n_truth"),
+          sum(coalesce(col("in_cand"), lit(0))).cast("long").as("n_cand"),
+          sum(when(col("in_truth") === 1 && col("in_cand") === 1, 1)
+            .otherwise(0)).cast("long").as("n_hit"))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") === 0, lit(null))
+            .otherwise(round(col("n_hit").cast("double") / col("n_cand"), 4))
+            .as("prec"),
+          when(col("n_truth") === 0, lit(null))
+            .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 4))
+            .as("rec"))
     }),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "dedup_simhash_pairs" -> ((s, d) => {
@@ -726,6 +763,33 @@ object Dedup {
          |  round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) jaccard
          |FROM cand JOIN shg x ON cand.d1 = x.doc_id JOIN shg y ON cand.d2 = y.doc_id
          |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) >= 0.8""".stripMargin,
+    "dedup_eval_minhash" ->
+      s"""WITH $shingleCte, $sigCte,
+         |bands AS (
+         |  SELECT doc_id, b AS band_id,
+         |    array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+         |  FROM sig, unnest(range(0, 4)) t(b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |),
+         |truth AS (
+         |  SELECT a.doc_id d1, b.doc_id d2
+         |  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+         |),
+         |hit AS (SELECT d1, d2 FROM cand INTERSECT SELECT d1, d2 FROM truth),
+         |n AS (SELECT (SELECT count(*) FROM truth)::BIGINT n_truth,
+         |             (SELECT count(*) FROM cand)::BIGINT n_cand,
+         |             (SELECT count(*) FROM hit)::BIGINT n_hit)
+         |SELECT n_truth, n_cand, n_hit,
+         |  CASE WHEN n_cand = 0 THEN NULL
+         |       ELSE round(n_hit::DOUBLE / n_cand, 4) END prec,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE round(n_hit::DOUBLE / n_truth, 4) END rec
+         |FROM n""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh48""".stripMargin,
