@@ -259,6 +259,28 @@ object TrainingPipeline {
             |  / size(embedding), 6) END""".stripMargin))
         .select(col("vec_id"), round(col("scale"), 9).as("scale"),
           col("q_sum"), col("recon_mae"))
+    }),
+
+    // Data-quality gate over the raw corpus before any training stage:
+    // per-rule VIOLATION counts (empty text, n_chars drift vs the
+    // payload, id duplication, unexpected language codes) plus the
+    // distribution facts a pipeline alerts on. One partial-aggregated
+    // pass, O(1) output — the shape that runs nightly at 100 TB. A
+    // nonzero in any n_* column is a quarantine signal upstream of
+    // dedup/decontam (which assume ids unique and text present).
+    "corpus_validate" -> ((s, d) => {
+      Tables.documents(s, d).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1)
+          .otherwise(0)).cast("long").as("n_empty_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1)
+          .otherwise(0)).cast("long").as("n_chars_drift"),
+        sum(when(!col("lang").isin("en", "de", "fr", "es", "zh"), 1)
+          .otherwise(0)).cast("long").as("n_bad_lang"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+          .as("n_dup_ids"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"))
     })
   )
 
@@ -396,7 +418,16 @@ object TrainingPipeline {
         |      abs(x - greatest(-127.0::DOUBLE, least(127.0::DOUBLE, floor(x / scale + 0.5))) * scale))),
         |      (a, x) -> a + x) / len(emb), 6)
         |  END recon_mae
-        |FROM sc""".stripMargin
+        |FROM sc""".stripMargin,
+    "corpus_validate" ->
+      """SELECT count(*)::BIGINT n_rows,
+        |  sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END)::BIGINT n_empty_text,
+        |  sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END)::BIGINT n_chars_drift,
+        |  sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END)::BIGINT n_bad_lang,
+        |  (count(*) - count(DISTINCT doc_id))::BIGINT n_dup_ids,
+        |  min(n_chars)::BIGINT min_chars,
+        |  max(n_chars)::BIGINT max_chars
+        |FROM documents""".stripMargin
   )
 
   /** `sbt "runMain graft.operators.TrainingPipeline <sfDir> <outDir> [minQuality]"` */

@@ -38,6 +38,20 @@ object Writers {
       .parquet(outDir)
   }
 
+  /** Read a shard layout whose batches were written under EVOLVING
+    * schemas — a 100 TB ingest outlives any fixed schema (new quality /
+    * provenance columns appear mid-stream). `mergeSchema` unions the
+    * footer schemas of every file; rows from pre-evolution files surface
+    * the later-added columns as null. Directory-level partition pruning
+    * is unaffected (it reads the layout, not the footers). The contract
+    * is ADD-ONLY: changing an existing column's type makes the merge
+    * fail loudly rather than coerce — enforce renames/retypes as new
+    * columns upstream.
+    */
+  def readShardsEvolved(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
   /** One lang-partition compaction outcome. `generation` is the negative
     * batch_id the compacted files were published under (0 = no-op).
     */

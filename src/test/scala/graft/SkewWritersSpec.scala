@@ -91,6 +91,41 @@ class SkewWritersSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.getName.startsWith("o_orderpriority=")))
   }
 
+  test("schema evolution: add-only columns merge, old rows null, pruning intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("evolve").toString + "/shards"
+    // epoch 1: (doc_id, lang, score) — no quality column yet
+    Seq((1L, "en", 0.5), (2L, "de", 0.7))
+      .toDF("doc_id", "lang", "score")
+      .write.partitionBy("lang").parquet(out)
+    // epoch 2: the pipeline starts emitting a quality column
+    Seq((3L, "en", 0.9, 0.88), (4L, "fr", 0.2, 0.11))
+      .toDF("doc_id", "lang", "score", "quality")
+      .write.mode("append").partitionBy("lang").parquet(out)
+
+    val back = Writers.readShardsEvolved(spark, out)
+    assert(back.columns.toSet == Set("doc_id", "lang", "score", "quality"))
+    val rows = back.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.88), 4L -> Some(0.11)))
+
+    // partition pruning still directory-driven after the merge
+    val en = back.filter(col("lang") === "en")
+    assert(en.count() == 2)
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter should prune directories:\n$plan")
+
+    // the add-only contract: a RETYPED column fails loudly, not coerced
+    Seq((5L, "en", "not-a-double", 0.5))
+      .toDF("doc_id", "lang", "score", "quality")
+      .write.mode("append").partitionBy("lang").parquet(out)
+    intercept[Throwable] {
+      Writers.readShardsEvolved(spark, out).collect()
+    }
+  }
+
   // The reference ships flink-connector-jdbc + postgresql jars (latent,
   // never wired). No DB server exists in this environment, so the spec
   // drives the sink against embedded Derby (on Spark's own classpath).
