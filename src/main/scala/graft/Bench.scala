@@ -35,6 +35,7 @@ object Bench {
     "dedup_simhash_pairs",
     "dedup_sorted_neighborhood",
     "dedup_incremental",
+    "dedup_incremental_stored",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
     "dedup_ngram_jaccard_prefix",

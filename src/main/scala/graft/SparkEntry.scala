@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.TxGen
-import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, Dedup, FraudQueries, FraudRules, Layout, Multimodal, SamplingOps, Similarity, TableOps, TextOps, TrainingPipeline}
+import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, Dedup, FraudQueries, FraudRules, Layout, Multimodal, SamplingOps, SigStore, Similarity, TableOps, TextOps, TrainingPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FraudQueries.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
-      Dedup.queries ++ Similarity.queries ++ AnnIndexIO.queries ++ TextOps.queries ++
+      Dedup.queries ++ SigStore.queries ++ Similarity.queries ++ AnnIndexIO.queries ++ TextOps.queries ++
       Multimodal.queries ++ TableOps.queries ++ Layout.queries ++
       TrainingPipeline.queries ++ SamplingOps.queries
 
@@ -38,7 +38,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     FraudQueries.oracleSql ++ Analytics.oracleSql ++ AnalyticsExt.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ AnnIndexIO.oracleSql ++
+      Dedup.oracleSql ++ SigStore.oracleSql ++ Similarity.oracleSql ++ AnnIndexIO.oracleSql ++
       TextOps.oracleSql ++ Multimodal.oracleSql ++ TableOps.oracleSql ++
       Layout.oracleSql ++ TrainingPipeline.oracleSql ++ SamplingOps.oracleSql
 }

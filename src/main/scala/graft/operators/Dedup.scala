@@ -110,7 +110,7 @@ object Dedup {
     * explode-words × explode-bits + double-aggregation plan inflated rows
     * 48× and shuffled twice).
     */
-  private def simhash(docs: DataFrame): DataFrame = {
+  private[operators] def simhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("simhash48(text)").as("simhash"))
   }
@@ -121,7 +121,7 @@ object Dedup {
     * dedup_simhash_pairs and dedup_incremental. Static posexplode, no
     * interpreted lambda.
     */
-  private def banded7(sh: DataFrame): DataFrame =
+  private[operators] def banded7(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 7).map(b =>
         expr(s"shiftright(simhash, ${b * 7}) & 127")): _*)))
