@@ -34,9 +34,11 @@ object SigStore {
 
   /** Bump when the on-disk layout changes: the version is folded into the
     * root digest, so an old store can never be mistaken for the new
-    * format (the AnnIndexIO format-version idiom).
+    * format (the AnnIndexIO format-version idiom). v2: band partitions
+    * gained `batch_id=<n>` sub-dirs so streamed growth commits
+    * exactly-once per micro-batch (base build publishes as batch_id=-1).
     */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
   private def md5hex(sIn: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -59,29 +61,59 @@ object SigStore {
     fs(s, p).delete(p, true)
   }
 
+  /** Banded (band_id, band_bits, doc_id, simhash) rows for a documents
+    * frame — the store's row shape.
+    */
+  private def bandedSigs(docs: DataFrame): DataFrame =
+    Dedup.banded7(Dedup.simhash(docs))
+      .select(col("band_id"), col("band_bits"), col("doc_id"), col("simhash"))
+
+  /** Build a store at `root` (crash-safe: staged + atomic rename) from an
+    * arbitrary base documents frame. Base rows publish as `batch_id=-1`.
+    */
+  private[graft] def buildFrom(s: SparkSession, root: String,
+      baseDocs: DataFrame): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(s, rootPath)
+    f.delete(rootPath, true)
+    val tmp = new Path(root + ".build_tmp")
+    f.delete(tmp, true)
+    bandedSigs(baseDocs)
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("band_id"))
+      .sortWithinPartitions("band_bits")
+      .write.mode(SaveMode.Overwrite).partitionBy("band_id", "batch_id")
+      .parquet(new Path(tmp, "sigs.parquet").toString)
+    f.create(new Path(tmp, "_STORE_READY")).close()
+    require(f.rename(tmp, rootPath), s"atomic publish failed: $root")
+  }
+
+  /** Grow a published store by one micro-batch of NEW base documents:
+    * the batch's signature rows land under their own `batch_id=<n>`
+    * sub-dirs inside the band partitions via dynamic partition overwrite,
+    * so a replayed micro-batch rewrites exactly its own dirs — the
+    * streaming.Ingest exactly-once idiom, identical to
+    * AnnIndexIO.appendBatch. Growth costs one simhash pass over the
+    * batch: O(|batch|), never O(|store|).
+    */
+  private[graft] def appendBatch(s: SparkSession, root: String,
+      docsBatch: DataFrame, batchId: Long): Unit =
+    graft.sources.Writers.writeShards(
+      bandedSigs(docsBatch).withColumn("batch_id", lit(batchId)),
+      new Path(root, "sigs.parquet").toString,
+      partitionCols = Seq("band_id", "batch_id"),
+      sortCols = Seq("band_bits"), mode = SaveMode.Overwrite,
+      options = Map("partitionOverwriteMode" -> "dynamic"))
+
   /** Build (once per dataset, crash-safe) the banded signature store over
     * the BASE split (`doc_id % 10 =!= 0`, mirroring dedup_incremental).
     */
   private[graft] def ensureBuilt(s: SparkSession, d: String): String =
     synchronized {
       val root = storeRoot(d)
-      val rootPath = new Path(root)
-      val f = fs(s, rootPath)
-      if (!f.exists(new Path(rootPath, "_STORE_READY"))) {
-        f.delete(rootPath, true)
-        val tmp = new Path(root + ".build_tmp")
-        f.delete(tmp, true)
-        val base = Dedup.simhash(Tables.documents(s, d))
-          .filter(col("doc_id") % 10 =!= 0)
-        Dedup.banded7(base)
-          .select(col("band_id"), col("band_bits"), col("doc_id"), col("simhash"))
-          .repartition(col("band_id"))
-          .sortWithinPartitions("band_bits")
-          .write.mode(SaveMode.Overwrite).partitionBy("band_id")
-          .parquet(new Path(tmp, "sigs.parquet").toString)
-        f.create(new Path(tmp, "_STORE_READY")).close()
-        require(f.rename(tmp, rootPath), s"atomic publish failed: $root")
-      }
+      if (!fs(s, new Path(root)).exists(new Path(root, "_STORE_READY")))
+        buildFrom(s, root,
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
       root
     }
 
@@ -90,14 +122,19 @@ object SigStore {
     * `documents` is the one delta-side simhash pass (localCheckpointed,
     * so the serving plan itself contains NO documents scan at all).
     */
-  private[graft] def serveIncremental(s: SparkSession, d: String): DataFrame = {
-    val root = ensureBuilt(s, d)
+  private[graft] def serveIncremental(s: SparkSession, d: String): DataFrame =
+    serveAgainst(s, ensureBuilt(s, d),
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+
+  /** Grade an arbitrary delta documents frame against the store at
+    * `root` — same verdict shape as dedup_incremental.
+    */
+  private[graft] def serveAgainst(s: SparkSession, root: String,
+      deltaDocs: DataFrame): DataFrame = {
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
-    val deltaSh = Dedup.simhash(Tables.documents(s, d))
-      .filter(col("doc_id") % 10 === 0)
-      .localCheckpoint(true)
+    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
     val delta = Dedup.banded7(deltaSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))

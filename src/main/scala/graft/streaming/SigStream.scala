@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.Dataset
+
+import graft.operators.SigStore
+
+/** Stream-maintained growth for the persisted dedup signature store
+  * (operators/SigStore) — the dedup twin of [[AnnServe.maintain]]: a
+  * corpus that never stops ingesting grows its signature index as a
+  * stream, one O(|batch|) simhash pass per micro-batch, committed
+  * exactly-once under `batch_id=<n>` dirs inside the band partitions
+  * (dynamic partition overwrite: a replayed micro-batch rewrites exactly
+  * its own dirs). Serving (`SigStore.serveAgainst`) sees whole published
+  * batch dirs only; SigStreamSpec proves the streamed-grown store answers
+  * identically to a one-shot build over the same documents, and that a
+  * replay leaves the row set unchanged.
+  */
+object SigStream {
+
+  /** One newly ingested base document. */
+  final case class DocInsert(doc_id: Long, text: String)
+
+  def maintain(docs: Dataset[DocInsert], root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[DocInsert], batchId: Long) =>
+        SigStore.appendBatch(batch.sparkSession, root, batch.toDF(), batchId)
+      }
+      .start()
+}

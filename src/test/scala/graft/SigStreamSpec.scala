@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SigStore
+import graft.streaming.SigStream
+import graft.streaming.SigStream.DocInsert
+
+/** Stream-grown signature store ≡ one-shot build over the same corpus,
+  * and a replayed append is a no-op on the served answers.
+  */
+class SigStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // deterministic doc text: dup pairs share a body, novel docs are unique
+  private def docText(i: Long, dupOf: Option[Long]): String = {
+    val seed = dupOf.getOrElse(i)
+    (0 until 16).map(k => s"w${seed}t$k").mkString(" ")
+  }
+
+  test("streamed growth == one-shot build; replayed append changes nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val baseA = (0L until 30L).map(i => DocInsert(i, docText(i, None)))
+    val lateB = (30L until 60L).map(i =>
+      DocInsert(i, docText(i, if (i % 3 == 0) Some(i - 30) else None)))
+    val delta = (100L until 120L).map(i =>
+      DocInsert(i, docText(i, if (i % 2 == 0) Some(i - 70) else None)))
+    val deltaDf = spark.createDataset(delta).toDF()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSet
+
+    // streamed: base A published, late B arrives as two micro-batches
+    val grownRoot = Files.createTempDirectory("sig_grown").toString + "/store"
+    SigStore.buildFrom(spark, grownRoot, spark.createDataset(baseA).toDF())
+    val ms = MemoryStream[DocInsert]
+    val ckpt = Files.createTempDirectory("sig_ckpt").toString
+    val q = SigStream.maintain(ms.toDS(), grownRoot, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms.addData(lateB.take(15)); q.processAllAvailable()
+      ms.addData(lateB.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = canon(SigStore.serveAgainst(spark, grownRoot, deltaDf))
+
+    // one-shot: the same corpus built in a single pass
+    val oneShotRoot = Files.createTempDirectory("sig_oneshot").toString + "/store"
+    SigStore.buildFrom(spark, oneShotRoot,
+      spark.createDataset(baseA ++ lateB).toDF())
+    val oneShot = canon(SigStore.serveAgainst(spark, oneShotRoot, deltaDf))
+
+    assert(streamed == oneShot && streamed.nonEmpty)
+    assert(streamed.exists(!_._4) && streamed.exists(_._4),
+      "the constructed delta has both dups and novel docs")
+
+    // replay: same data, fresh checkpoint → same batch ids → dynamic
+    // overwrite rewrites exactly the same dirs; answers unchanged
+    val ms2 = MemoryStream[DocInsert]
+    val ckpt2 = Files.createTempDirectory("sig_ckpt2").toString
+    val q2 = SigStream.maintain(ms2.toDS(), grownRoot, ckpt2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms2.addData(lateB.take(15)); q2.processAllAvailable()
+      ms2.addData(lateB.drop(15)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(canon(SigStore.serveAgainst(spark, grownRoot, deltaDf)) == streamed)
+  }
+}
