@@ -105,6 +105,27 @@ object SigStore {
       sortCols = Seq("band_bits"), mode = SaveMode.Overwrite,
       options = Map("partitionOverwriteMode" -> "dynamic"))
 
+  /** Maintenance for a long-streamed store: every band partition accretes
+    * one `batch_id=<n>` dir per micro-batch; fold the cold ones into a
+    * bounded-file generation via the shared crash-safe protocol
+    * (write-new generation → swap → manifest-healed delete; the hottest
+    * batch dir stays protected so an in-flight replay remains
+    * idempotent) — the same code path as AnnIndexIO.compactCells and the
+    * ingest layout.
+    */
+  private[graft] def compactBands(s: SparkSession, root: String)
+      : Seq[graft.sources.Writers.CompactionStats] = {
+    val sigs = new Path(root, "sigs.parquet")
+    val f = fs(s, sigs)
+    if (!f.exists(sigs)) Seq.empty
+    else f.listStatus(sigs).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("band_id="))
+      .map(band => graft.sources.Writers.compactPartitionInternal(
+        s, sigs.toString, band, dropCols = Seq("band_id", "batch_id"),
+        targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
+        sortCols = Seq("band_bits"), crashBeforeDelete = false)).toSeq
+  }
+
   /** Build (once per dataset, crash-safe) the banded signature store over
     * the BASE split (`doc_id % 10 =!= 0`, mirroring dedup_incremental).
     */

@@ -69,5 +69,20 @@ class SigStreamSpec extends AnyFunSuite {
       ms2.addData(lateB.drop(15)); q2.processAllAvailable()
     } finally q2.stop()
     assert(canon(SigStore.serveAgainst(spark, grownRoot, deltaDf)) == streamed)
+
+    // compaction: batch dirs fold into a generation, answers unchanged,
+    // strictly fewer files
+    def files(root: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root, "sigs.parquet"))
+        .filter(_.getName.endsWith(".parquet"))
+    }
+    val before = files(grownRoot).size
+    val stats = SigStore.compactBands(spark, grownRoot)
+    assert(stats.nonEmpty && stats.exists(_.dirsCompacted > 0))
+    assert(files(grownRoot).size < before)
+    assert(canon(SigStore.serveAgainst(spark, grownRoot, deltaDf)) == streamed,
+      "compaction must not change served answers")
   }
 }
