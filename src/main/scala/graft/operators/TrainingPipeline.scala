@@ -281,6 +281,32 @@ object TrainingPipeline {
           .as("n_dup_ids"),
         min("n_chars").cast("long").as("min_chars"),
         max("n_chars").cast("long").as("max_chars"))
+    }),
+
+    // Cross-table integrity gate: documents ↔ embeddings drift (a vector
+    // whose document was quarantined, a document the embedding job
+    // skipped), dimension drift inside the vector table, and degenerate
+    // all-zero vectors. One full-outer join on the id — shuffles both
+    // sides once on the key, O(1) output.
+    "corpus_validate_refs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("has_doc", lit(1))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + abs(cast(x as double)))")
+            .as("l1"))
+        .withColumn("has_vec", lit(1))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("has_doc"), lit(0))).cast("long").as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0))).cast("long").as("n_vecs"),
+          sum(when(col("has_doc").isNull, 1).otherwise(0)).cast("long")
+            .as("orphan_vecs"),
+          sum(when(col("has_vec").isNull, 1).otherwise(0)).cast("long")
+            .as("unembedded_docs"),
+          countDistinct(col("dim")).cast("long").as("n_dims"),
+          sum(when(col("l1") === 0.0, 1).otherwise(0)).cast("long")
+            .as("n_zero_vecs"))
     })
   )
 
@@ -427,7 +453,21 @@ object TrainingPipeline {
         |  (count(*) - count(DISTINCT doc_id))::BIGINT n_dup_ids,
         |  min(n_chars)::BIGINT min_chars,
         |  max(n_chars)::BIGINT max_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "corpus_validate_refs" ->
+      """WITH v AS (SELECT vec_id, len(embedding) dim,
+        |    list_sum(list_transform(embedding, x -> abs(x::DOUBLE))) l1
+        |  FROM embeddings),
+        |j AS (SELECT d.doc_id, v.vec_id, v.dim, v.l1
+        |  FROM documents d FULL OUTER JOIN v ON d.doc_id = v.vec_id)
+        |SELECT
+        |  sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_docs,
+        |  sum(CASE WHEN vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_vecs,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT orphan_vecs,
+        |  sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT unembedded_docs,
+        |  count(DISTINCT dim)::BIGINT n_dims,
+        |  sum(CASE WHEN l1 = 0.0 THEN 1 ELSE 0 END)::BIGINT n_zero_vecs
+        |FROM j""".stripMargin
   )
 
   /** `sbt "runMain graft.operators.TrainingPipeline <sfDir> <outDir> [minQuality]"` */
