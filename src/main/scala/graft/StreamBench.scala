@@ -164,6 +164,32 @@ object StreamBench {
     val (serveSecs, answered) = runServe(qvecs, 100)
     require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
     println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f}""")
+
+    // ---- dedup signature-store maintenance: streamed new documents
+    // simhash-encoded and committed exactly-once into the banded store
+    // (operators/SigStore) — docs/sec here is the rate the dedup index
+    // can absorb a crawl without ever rescanning the base corpus.
+    def runSigMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
+        batchSize: Int): Double = {
+      val sroot = java.nio.file.Files
+        .createTempDirectory("sb_sigstore").toString + "/store"
+      graft.operators.SigStore.buildFrom(spark, sroot,
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text"))
+      val in = MemoryStream[graft.streaming.SigStream.DocInsert]
+      rows.grouped(batchSize).foreach(b => in.addData(b))
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_sig_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.SigStream.maintain(in.toDS(), sroot, ckpt,
+        trigger = Trigger.AvailableNow())
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally q.stop()
+    }
+    val sigDocs = docRows.map(e =>
+      graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
+    runSigMaintain(sigDocs.take(math.min(2000, nDocs)), 1000) // warmup
+    val sigSecs = runSigMaintain(sigDocs, 2500)
+    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f}""")
     spark.stop()
   }
 }
