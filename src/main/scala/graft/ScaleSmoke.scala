@@ -48,6 +48,11 @@ object ScaleSmoke {
     // documents/embeddings-backed only: the sf1 fixture has no TPC-H
     // tables, so lineitem-bound queries (e.g. q_approx_distinct_kmv)
     // don't belong here
+    "dedup_incremental",
+    "dedup_incremental_stored",
+    "dedup_eval_minhash",
+    "corpus_validate",
+    "corpus_validate_refs",
     "corpus_train_manifest",
     "text_distinct_shingles_by_lang",
     "text_quality",
