@@ -55,7 +55,25 @@ object Ingest {
       sortCols = Seq("doc_id"), mode = SaveMode.Overwrite,
       options = Map("partitionOverwriteMode" -> "dynamic"))
 
+  /** Names of the two in-flight telemetry points ([[ingest]]'s `observe`
+    * calls); each micro-batch's counters surface under these keys in
+    * `StreamingQueryProgress.observedMetrics`.
+    */
+  val ObserveIn = "graft_ingest_in"
+  val ObserveOut = "graft_ingest_out"
+
   /** Start the ingest query.
+    *
+    * Telemetry rides the stream itself via `Dataset.observe` — Spark
+    * evaluates the counters as accumulators inside the existing pass over
+    * each micro-batch (NO second scan, NO extra shuffle; the aggregates
+    * are all commutative partial-merges). `ObserveIn` (pre-gate) records
+    * rows/empty-text/null-lang/below-threshold counts — the corpus_validate
+    * signals, measured on data that is about to be DROPPED, which a
+    * post-hoc batch validate of the written shards could never see.
+    * `ObserveOut` (post-dedup) records survivor rows and chars, so
+    * gate-rate and dedup-rate per batch are two progress-event reads. At
+    * 100 TB this replaces a second validation job over every ingest batch.
     *
     * @param docs       streaming frame with doc_id, text, lang, source and
     *                   an `event_time` timestamp column
@@ -67,11 +85,19 @@ object Ingest {
   def ingest(docs: DataFrame, outDir: String, checkpointDir: String,
       minQuality: Double = 0.5, watermark: String = "10 minutes"): StreamingQuery =
     TextOps.withQuality(docs)
+      .observe(ObserveIn,
+        count(lit(1)).as("rows_in"),
+        count(when(length(trim(col("text"))) === 0, 1)).as("empty_text"),
+        count(when(col("lang").isNull || col("lang") === "", 1)).as("null_lang"),
+        count(when(col("quality_score") < minQuality, 1)).as("below_quality"))
       .filter(col("quality_score") >= minQuality)
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
       .select("doc_id", "text", "lang", "source", "quality_score", "text_hash", "event_time")
+      .observe(ObserveOut,
+        count(lit(1)).as("rows_out"),
+        sum(length(col("text"))).as("chars_out"))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

@@ -38,6 +38,24 @@ class IngestSpec extends AnyFunSuite {
       Files.createTempDirectory("ingest_ckpt").toString)
     try q.processAllAvailable() finally q.stop()
 
+    // in-flight telemetry (Dataset.observe): the gate/dedup counters ride
+    // the micro-batch pass and land in the progress events — no extra scan
+    val (rowsIn, belowQ, emptyT, nullL, rowsOut) = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics))
+      .foldLeft((0L, 0L, 0L, 0L, 0L)) { case (acc, m) =>
+        val in = Option(m.get(Ingest.ObserveIn))
+        val outM = Option(m.get(Ingest.ObserveOut))
+        (acc._1 + in.map(_.getAs[Long]("rows_in")).getOrElse(0L),
+          acc._2 + in.map(_.getAs[Long]("below_quality")).getOrElse(0L),
+          acc._3 + in.map(_.getAs[Long]("empty_text")).getOrElse(0L),
+          acc._4 + in.map(_.getAs[Long]("null_lang")).getOrElse(0L),
+          acc._5 + outM.map(_.getAs[Long]("rows_out")).getOrElse(0L))
+      }
+    assert(rowsIn == 4, s"rows_in=$rowsIn")
+    assert(belowQ == 1, s"below_quality=$belowQ")
+    assert(emptyT == 0 && nullL == 0)
+    assert(rowsOut == 2, s"rows_out=$rowsOut")
+
     val got = spark.read.parquet(out)
     val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
     // dup suppressed (one of 1/2 survives), low-quality dropped
