@@ -48,6 +48,13 @@ object Similarity {
   val KmeansK = 4
   val KmeansIters = 3
   val KmeansQuant = 1048576.0
+
+  /** Metadata predicate for ann_ivfpq_filtered_topk: labels 0-9 are
+    * ~uniform, so `label < 3` keeps ~30% of the corpus — selective enough
+    * that pre- vs post-filtering provably differ, dense enough that most
+    * queries still fill k=5.
+    */
+  private[operators] val FilteredLabelLt = 3
   private[operators] val queryIdsSql: String = QueryIds.mkString(", ")
   private[operators] def isQueryId(c: org.apache.spark.sql.Column) = c.isin(QueryIds: _*)
 
@@ -401,6 +408,37 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("approx_dist"), 4).as("approx_dist"))
     }),
+    "ann_ivfpq_filtered_topk" -> ((s, d) => {
+      // FILTERED vector search — the production feature every metadata-
+      // carrying corpus needs ("nearest docs WHERE label < 3"). The
+      // predicate is a PRE-filter: it lands on the code table BEFORE ADC
+      // scoring (pushed to the parquet scan — SimilarityFilterSpec asserts
+      // PushedFilters), so candidate volume shrinks by the filter's
+      // selectivity instead of ranking the full corpus and discarding
+      // survivors after top-k (post-filtering returns < k or biased
+      // results). The INDEX stays frozen and full-corpus (same cached
+      // model as ann_ivfpq_topk) — only serving filters, so one index
+      // serves every predicate.
+      val e = withEmb(s, d)
+      val idx = annIndex(e, d)
+      val ivfFn = graft.functions.GraftFunctions.registerIvf(s, idx.centroids, 2)
+      val pqFn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
+      val corpus = e.filter(col("label") < FilteredLabelLt)
+        .select(col("vec_id"),
+          expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
+          expr(s"$pqFn(emb)").as("codes"))
+      val qcells = e.filter(isQueryId(col("vec_id")))
+        .select(col("vec_id").as("query_id"), explode(expr(s"$ivfFn(emb)")).as("cell_id"))
+      import s.implicits._
+      val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
+      val scored = corpus
+        .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("approx_dist", expr(adcExpr))
+      twoStageTopK(scored, 5, col("approx_dist"))
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("approx_dist"), 4).as("approx_dist"))
+    }),
     "embedding_kmeans" -> ((s, d) => {
       // Lloyd's k-means (K=4, 3 fixed iterations, cosine assignment) — the
       // TRAINED coarse quantizer complementing the training-free LSH/IVF
@@ -501,6 +539,45 @@ object Similarity {
 
   private[operators] val embCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings)"
+
+  /** Shared IVF×PQ oracle body; `corpusPred` restricts the CANDIDATE side
+    * (alias `cl`, carrying `label`) — the model CTEs (cent/smp) are always
+    * trained on the full corpus, mirroring the frozen-index contract of
+    * the filtered query.
+    */
+  private def ivfpqOracle(corpusPred: String): String =
+    s"""WITH $embCte,
+       |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
+       |         FROM h ORDER BY h, vec_id LIMIT 8),
+       |cs AS (SELECT e.vec_id, e.label, c.cell_id,
+       |         list_dot_product(e.emb, c.cv) /
+       |           (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) cos
+       |       FROM e CROSS JOIN cent c),
+       |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
+       |cells AS (SELECT vec_id, label, cell_id FROM crk WHERE r = 1),
+       |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($queryIdsSql)),
+       |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
+       |        FROM h ORDER BY h, vec_id LIMIT 4),
+       |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),
+       |dists AS (SELECT e.vec_id, cb.m, cb.k,
+       |    list_sum(list_transform(range(0, 8), i ->
+       |      (e.emb[cb.m*8+i+1] - cb.cv[i+1]) * (e.emb[cb.m*8+i+1] - cb.cv[i+1]))) dist
+       |  FROM e CROSS JOIN cb),
+       |drk AS (SELECT vec_id, m, k, dist,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) r FROM dists),
+       |codes AS (SELECT vec_id, list(k ORDER BY m) codes FROM drk WHERE r = 1 GROUP BY vec_id),
+       |lutl AS (SELECT vec_id query_id, list(dist ORDER BY m, k) lut
+       |         FROM dists WHERE vec_id IN ($queryIdsSql) GROUP BY vec_id),
+       |p AS (SELECT q.query_id, cl.vec_id,
+       |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
+       |      FROM qc q JOIN cells cl USING (cell_id)
+       |           JOIN codes c ON c.vec_id = cl.vec_id
+       |           JOIN lutl l ON l.query_id = q.query_id
+       |      WHERE cl.vec_id <> q.query_id AND $corpusPred)
+       |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
+       |  FROM p) WHERE rank <= 5""".stripMargin
 
   private val sigCteSql =
     s"""sg AS (SELECT vec_id, emb,
@@ -644,39 +721,9 @@ object Similarity {
          |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
-    "ann_ivfpq_topk" ->
-      s"""WITH $embCte,
-         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
-         |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
-         |         FROM h ORDER BY h, vec_id LIMIT 8),
-         |cs AS (SELECT e.vec_id, c.cell_id,
-         |         list_dot_product(e.emb, c.cv) /
-         |           (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) cos
-         |       FROM e CROSS JOIN cent c),
-         |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
-         |cells AS (SELECT vec_id, cell_id FROM crk WHERE r = 1),
-         |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($queryIdsSql)),
-         |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
-         |        FROM h ORDER BY h, vec_id LIMIT 4),
-         |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),
-         |dists AS (SELECT e.vec_id, cb.m, cb.k,
-         |    list_sum(list_transform(range(0, 8), i ->
-         |      (e.emb[cb.m*8+i+1] - cb.cv[i+1]) * (e.emb[cb.m*8+i+1] - cb.cv[i+1]))) dist
-         |  FROM e CROSS JOIN cb),
-         |drk AS (SELECT vec_id, m, k, dist,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) r FROM dists),
-         |codes AS (SELECT vec_id, list(k ORDER BY m) codes FROM drk WHERE r = 1 GROUP BY vec_id),
-         |lutl AS (SELECT vec_id query_id, list(dist ORDER BY m, k) lut
-         |         FROM dists WHERE vec_id IN ($queryIdsSql) GROUP BY vec_id),
-         |p AS (SELECT q.query_id, cl.vec_id,
-         |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
-         |      FROM qc q JOIN cells cl USING (cell_id)
-         |           JOIN codes c ON c.vec_id = cl.vec_id
-         |           JOIN lutl l ON l.query_id = q.query_id
-         |      WHERE cl.vec_id <> q.query_id)
-         |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
-         |  FROM p) WHERE rank <= 5""".stripMargin,
+    "ann_ivfpq_topk" -> ivfpqOracle(corpusPred = "TRUE"),
+    "ann_ivfpq_filtered_topk" ->
+      ivfpqOracle(corpusPred = s"cl.label < $FilteredLabelLt"),
     "embedding_stats" ->
       s"""WITH $embCte
          |SELECT label, count(*) n,
