@@ -125,7 +125,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    // The full per-query/spread JSON is ~4 KB on one line; a bounded tail
+    // capture of stdout can slice it mid-line and kill the parse (that is
+    // exactly what happened to BENCH_r07). Persist the full detail to a
+    // file and keep the LAST stdout line a short, always-parseable summary.
+    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "/tmp/graft_bench.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }
 }

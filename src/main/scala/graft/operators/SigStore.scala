@@ -75,7 +75,6 @@ object SigStore {
       baseDocs: DataFrame): Unit = {
     val rootPath = new Path(root)
     val f = fs(s, rootPath)
-    f.delete(rootPath, true)
     val tmp = new Path(root + ".build_tmp")
     f.delete(tmp, true)
     bandedSigs(baseDocs)
@@ -85,6 +84,10 @@ object SigStore {
       .write.mode(SaveMode.Overwrite).partitionBy("band_id", "batch_id")
       .parquet(new Path(tmp, "sigs.parquet").toString)
     f.create(new Path(tmp, "_STORE_READY")).close()
+    // the old store survives until the replacement is fully staged — a
+    // crash mid-build leaves the published store untouched (torn build
+    // invisible); only the instant before the rename retires it
+    f.delete(rootPath, true)
     require(f.rename(tmp, rootPath), s"atomic publish failed: $root")
   }
 
@@ -174,8 +177,126 @@ object SigStore {
         col("n_dups").isNull.as("is_novel"))
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental connected components: persisted labels beside the sigs
+  // ---------------------------------------------------------------------
+
+  /** Build (once, crash-safe) the component-label table for the BASE
+    * split beside the signature store:
+    *
+    *   <root>/labels.parquet   (node = base doc_id, label = component min)
+    *
+    * Labels derive from the STORE's own banded rows (self-join on
+    * (band_id, band_bits) → exact hamming ≤ 6 pairs — the identical
+    * predicate dedup_simhash_pairs proves), so the build never re-reads
+    * base document text. Publish: write to `labels.tmp` → rename →
+    * `_LABELS_READY`; a torn build leaves no marker and rebuilds.
+    */
+  private[graft] def ensureLabelsBuilt(s: SparkSession, d: String): String =
+    synchronized {
+      val root = ensureBuilt(s, d)
+      val f = fs(s, new Path(root))
+      val ready = new Path(root, "_LABELS_READY")
+      if (!f.exists(ready)) {
+        val store = s.read.parquet(s"$root/sigs.parquet")
+        val a = store.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+          col("band_id"), col("band_bits"))
+        val b = store.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+          col("band_id"), col("band_bits"))
+        val pairs = a.join(b, Seq("band_id", "band_bits"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2", "s1", "s2")
+          .distinct()
+          .filter(expr("bit_count(s1 ^ s2) <= 6"))
+          .select("d1", "d2")
+        val nodes = store.select(col("doc_id").as("node")).distinct()
+        val labels = Dedup.connectedComponents(nodes, pairs)
+        val tmp = new Path(root, "labels.tmp")
+        val live = new Path(root, "labels.parquet")
+        f.delete(tmp, true)
+        labels.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        f.delete(live, true)
+        require(f.rename(tmp, live), s"labels publish failed: $live")
+        f.create(ready).close()
+      }
+      root
+    }
+
+  /** `dedup_components` served incrementally: the base split's clustering
+    * is READ from the persisted label table, and absorbing the delta
+    * split (`doc_id % 10 === 0`) costs
+    *
+    *   1. one simhash pass over the DELTA only,
+    *   2. delta↔store banded probe + delta↔delta banded self-join
+    *      (both O(|delta|)-shaped, the dedup_incremental_stored idiom),
+    *   3. a min-label fixpoint over the CONTRACTED graph — delta nodes
+    *      plus the touched base components collapsed to their stored
+    *      label — never a full-graph refixpoint.
+    *
+    * The contraction is exact: a stored label IS the min doc_id of its
+    * base component, so the contracted component's min equals the global
+    * merged component's min, and base/delta splits are disjoint
+    * (`% 10`), so label nodes can't collide with delta ids. Base docs in
+    * untouched components keep their stored label; the output is
+    * row-identical to the one-shot `dedup_components` (same oracle).
+    */
+  private[graft] def serveComponentsIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = ensureLabelsBuilt(s, d)
+    val baseLabels = s.read.parquet(s"$root/labels.parquet") // (node, label)
+    val store = s.read.parquet(s"$root/sigs.parquet")
+      .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
+        col("band_id"), col("band_bits"))
+    val deltaSh = Dedup.simhash(
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      .localCheckpoint(true)
+    val delta = Dedup.banded7(deltaSh)
+      .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
+        col("band_id"), col("band_bits"))
+      .localCheckpoint(true)
+    // delta↔base edges, contracted: the base endpoint becomes its label
+    val db = delta.join(store, Seq("band_id", "band_bits"))
+      .select("delta_id", "base_id", "ds", "bs").distinct()
+      .filter(expr("bit_count(ds ^ bs) <= 6"))
+      .join(baseLabels, col("base_id") === col("node"))
+      .select(col("delta_id").as("d1"), col("label").as("d2"))
+    // delta↔delta edges (banded self-join, exact by pigeonhole)
+    val da = delta.select(col("delta_id").as("d1"), col("ds").as("s1"),
+      col("band_id"), col("band_bits"))
+    val dbb = delta.select(col("delta_id").as("d2"), col("ds").as("s2"),
+      col("band_id"), col("band_bits"))
+    val dd = da.join(dbb, Seq("band_id", "band_bits"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2").distinct()
+      .filter(expr("bit_count(s1 ^ s2) <= 6"))
+      .select("d1", "d2")
+    val edges = db.unionByName(dd).localCheckpoint(true)
+    // fixpoint node set: every delta doc (isolated ones label themselves)
+    // plus the TOUCHED base-component labels — |delta|-shaped, not |corpus|
+    val nodes = deltaSh.select(col("doc_id").as("node"))
+      .union(edges.select(col("d2").as("node")))
+      .distinct()
+    val contracted = Dedup.connectedComponents(nodes, edges)
+    // base docs: old label → new label where its component was touched
+    val relabel = contracted
+      .select(col("node").as("old_label"), col("label").as("new_label"))
+    val baseOut = baseLabels
+      .join(relabel, col("label") === col("old_label"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("new_label"), col("label")).as("cluster_id"))
+    val deltaOut = contracted
+      .join(deltaSh.select(col("doc_id")), col("node") === col("doc_id"))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val bySize = Window.partitionBy(col("cluster_id"))
+    baseOut.unionByName(deltaOut)
+      .withColumn("cluster_size", count(lit(1)).over(bySize))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d))
+    "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d)),
+    "dedup_components_incremental" -> ((s, d) => serveComponentsIncremental(s, d))
   )
 
   /** Output is identical to dedup_incremental by construction, so the
@@ -183,6 +304,9 @@ object SigStore {
     * signatures come from.
     */
   def oracleSql: Map[String, String] = Map(
-    "dedup_incremental_stored" -> Dedup.oracleSql("dedup_incremental")
+    "dedup_incremental_stored" -> Dedup.oracleSql("dedup_incremental"),
+    // identical output to the one-shot clustering over the FULL corpus —
+    // the incremental path only changes where base labels come from
+    "dedup_components_incremental" -> Dedup.oracleSql("dedup_components")
   )
 }

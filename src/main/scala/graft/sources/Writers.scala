@@ -249,6 +249,11 @@ object Writers {
     * "moves" partitions must be modeled upstream as delete + insert —
     * otherwise its old version survives in the un-touched old partition
     * (the same contract Hive-style dynamic overwrite imposes).
+    *
+    * CONTRACT: the delta carries at most ONE row per key (enforced —
+    * duplicate keys would silently break the layout's key-uniqueness
+    * invariant and double-count in the stats) and no null partition
+    * values (no hive `__HIVE_DEFAULT_PARTITION__` modeling here).
     */
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, baseDir: String,
       delta: DataFrame, keyCols: Seq[String], partitionCol: String,
@@ -262,10 +267,16 @@ object Writers {
 
     // 1. the touched-partition list: O(|delta|) map-side distinct, output
     // bounded by partition-column cardinality
-    val touched = delta.select(partitionCol).distinct()
-      .collect().map(_.get(0).toString).sorted
+    val touchedRaw = delta.select(partitionCol).distinct().collect().map(_.get(0))
+    require(!touchedRaw.contains(null),
+      s"mergeUpsert: null $partitionCol in delta — null partitions are not modeled")
+    val touched = touchedRaw.map(_.toString).sorted
     if (touched.isEmpty) return MergeStats(0, 0L, 0L, 0L)
-    val liveDirs = touched.map(v => v -> new Path(root, s"$partitionCol=$v"))
+    // Spark's staged writer hive-escapes partition values in dir names
+    // (':', '/', '%', …) — probe the live layout with the SAME escaping or
+    // special-char values would miss their live dir and drop base rows.
+    val liveDirs = touched.map(v => v -> new Path(root,
+      s"$partitionCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)}"))
     val existing = liveDirs.filter { case (_, p) => fs.exists(p) }
 
     // 2. read ONLY the touched live partitions; basePath keeps the
@@ -277,6 +288,9 @@ object Writers {
 
     // 3. survivors = touched-base rows whose key the delta does not carry
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    require(delta.count() == deltaKeys.count(),
+      s"mergeUpsert: delta has duplicate keys on (${keyCols.mkString(",")}) — " +
+        "one row per key required (last-writer-wins must be resolved upstream)")
     val merged =
       if (existing.isEmpty) delta
       else baseSlice.join(deltaKeys, keyCols, "left_anti").unionByName(delta)

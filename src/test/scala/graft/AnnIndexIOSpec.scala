@@ -195,14 +195,19 @@ class AnnIndexIOSpec extends AnyFunSuite {
       it.toSeq.flatMap(rec).filter(_.getName.endsWith(".parquet"))
     }
     val nBefore = files.size
+    // the hottest streamed batch dir must survive compaction (replay stays
+    // idempotent): capture which cells carry batch_id=7 BEFORE, compare after
+    def cellsWithHotBatch = new java.io.File(s"$root/codes.parquet").listFiles()
+      .filter(_.isDirectory)
+      .filter(c => c.listFiles().exists(_.getName == "batch_id=7"))
+      .map(_.getName).toSet
+    val hotBefore = cellsWithHotBatch
+    assert(hotBefore.nonEmpty, "fixture must stream rows into batch 7")
     val stats = AnnIndexIO.compactCells(spark, root)
     assert(stats.nonEmpty && stats.exists(_.dirsCompacted > 0))
     assert(files.size < nBefore, s"${files.size} !< $nBefore")
-    // the hottest streamed batch dir survives (replay stays idempotent)
-    assert(new java.io.File(s"$root/codes.parquet").listFiles()
-      .filter(_.isDirectory)
-      .forall(c => c.listFiles().exists(_.getName == "batch_id=7") ||
-        !c.listFiles().exists(_.getName.startsWith("batch_id=7"))))
+    assert(cellsWithHotBatch == hotBefore,
+      s"hottest batch dirs changed: before=$hotBefore after=$cellsWithHotBatch")
     val after = AnnIndexIO.serveAll(spark, sf, root).collect().map(key).toSet
     assert(after == before, "compaction must not change served answers")
     val codes = spark.read.parquet(s"$root/codes.parquet")

@@ -36,6 +36,56 @@ class SigStoreSpec extends AnyFunSuite {
       "a second serve must not touch the published store")
   }
 
+  test("incremental components == one-shot components; base labels untouched by absorb") {
+    SigStore.deleteStore(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    val inc = canon(SigStore.queries("dedup_components_incremental")(spark, sf))
+    val oneShot = canon(Dedup.queries("dedup_components")(spark, sf))
+    assert(inc == oneShot && inc.nonEmpty,
+      "incremental clustering must equal the full-graph one-shot result")
+    assert(inc.exists(t => t._3 > 1), "the sf corpus has non-trivial clusters")
+
+    // absorbing the same delta again must not rewrite the persisted labels
+    val labelsBefore = fileSet(SigStore.storeRoot(sf) + "/labels.parquet")
+    assert(labelsBefore.nonEmpty)
+    assert(canon(SigStore.queries("dedup_components_incremental")(spark, sf)) == inc)
+    assert(fileSet(SigStore.storeRoot(sf) + "/labels.parquet") == labelsBefore,
+      "a delta absorb must read stored labels, never rebuild them")
+  }
+
+  test("a delta doc MERGES two stored base components into one min label") {
+    import spark.implicits._
+    // Crafted topology (token simhash distances verified offline):
+    //   E↔B = 3, E↔C = 5 (both ≤ 6)  but  B↔C = 8 (> 6)
+    // so base docs 1=B and 3=C are SEPARATE stored components, and delta
+    // doc 10=E bridges them — the merge case a seeded fixpoint must get
+    // right. Isolated base 5 / delta 20 are > 6 from everything.
+    val tB = "hotel charlie kilo alpha sierra romeo zulu victor tango whiskey hotel lima"
+    val tC = "charlie charlie kilo alpha sierra romeo zulu victor tango whiskey yankee lima"
+    val tE = "hotel charlie kilo alpha sierra romeo zulu victor tango whiskey yankee lima"
+    val tI1 = "november oscar papa quebec golf india mike foxtrot uniform bravo delta echo"
+    val tI2 = "echo delta bravo uniform foxtrot mike india golf quebec papa oscar november xray"
+    val dir = java.nio.file.Files.createTempDirectory("cc_merge").toString
+    Seq((1L, tB, "en", "crawl", tB.length.toLong),
+      (3L, tC, "en", "crawl", tC.length.toLong),
+      (5L, tI1, "en", "crawl", tI1.length.toLong),
+      (10L, tE, "en", "crawl", tE.length.toLong),
+      (20L, tI2, "en", "crawl", tI2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SigStore.deleteStore(spark, dir)
+
+    val got = SigStore.queries("dedup_components_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 3L, true), (3L, 1L, 3L, false), (10L, 1L, 3L, false),
+      (5L, 5L, 1L, true), (20L, 20L, 1L, true)),
+      s"merged cluster must carry the global min label: $got")
+  }
+
   test("serving plan scans the store, not the base documents") {
     val df = SigStore.queries("dedup_incremental_stored")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -131,6 +131,58 @@ class UpsertSpec extends AnyFunSuite {
     assert(!new File(dir).listFiles().exists(_.getName.startsWith(".upsert")))
   }
 
+  test("partition values needing hive-escaping keep their survivors") {
+    // Spark's writer escapes ':' in partition dir names (lang=pt%3Abr);
+    // the live-dir probe must use the same escaping or base survivors in
+    // that partition are silently dropped by the merge
+    val dir = java.nio.file.Files.createTempDirectory("upsert_esc").toString
+    val base = docs(
+      (1L, "um", "pt:br", "crawl", 2L), (2L, "dois", "pt:br", "crawl", 4L),
+      (3L, "drei", "de", "crawl", 4L))
+    Writers.writeShards(base, dir, Seq("lang"), Seq("doc_id"))
+    assert(new File(dir).listFiles().exists(_.getName == "lang=pt%3Abr"),
+      "fixture expects the writer to hive-escape the dir name")
+    val delta = docs((2L, "dois2", "pt:br", "fix", 5L))
+    val stats = Writers.mergeUpsert(spark, dir, delta, Seq("doc_id"), "lang")
+    assert(stats == Writers.MergeStats(1, 1L, 0L, 1L))
+    val got = spark.read.parquet(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "um", "pt:br", "crawl", 2L), (2L, "dois2", "pt:br", "fix", 5L),
+      (3L, "drei", "de", "crawl", 4L)),
+      "survivor rows in the escaped partition must not be lost")
+  }
+
+  test("a delta with duplicate keys or a null partition value is rejected") {
+    val dir = freshBase()
+    val dup = docs((2L, "a", "en", "fix", 1L), (2L, "b", "en", "fix", 2L))
+    intercept[IllegalArgumentException] {
+      Writers.mergeUpsert(spark, dir, dup, Seq("doc_id"), "lang")
+    }
+    val withNull = Seq((2L, "a", null.asInstanceOf[String], "fix", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      Writers.mergeUpsert(spark, dir, withNull, Seq("doc_id"), "lang")
+    }
+    // the rejected merges must not have touched the live layout
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("q_merge_upsert builds its base layout once per dataset digest") {
+    val sf = "/root/testdata/sf0.001"
+    val root = graft.operators.Upsert.layoutRoot(sf)
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
+    val q = graft.operators.Upsert.queries("q_merge_upsert")
+    val first = q(spark, sf).collect().map(_.toString).sorted
+    val baseState = fileState(s"$root/base")
+    assert(baseState.nonEmpty && new File(s"$root/base/_READY").exists())
+    val second = q(spark, sf).collect().map(_.toString).sorted
+    assert(second.sameElements(first))
+    assert(fileState(s"$root/base") == baseState,
+      "second invocation must reuse the published base (same files + mtimes)")
+  }
+
   test("a second identical upsert is a no-op rewrite (idempotent result)") {
     val dir = freshBase()
     val delta = docs((2L, "beta2", "en", "fix", 9L))

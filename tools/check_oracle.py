@@ -7,6 +7,7 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import sys
+import time
 
 import duckdb
 import pyarrow.parquet as pq
@@ -22,7 +23,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
+    t_all = time.monotonic()
     for name, sql in sorted(oracles.items()):
+        t_q = time.monotonic()
         try:
             got = pq.read_table(f"{out_dir}/{name}").to_pandas()
         except Exception as ex:
@@ -63,7 +66,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: " + "; ".join(mismatch[:4]))
             failures += 1
         else:
-            print(f"OK   {name} ({len(got)} rows)")
+            print(f"OK   {name} ({len(got)} rows, {time.monotonic() - t_q:.1f}s)", flush=True)
+    print(f"TOTAL {len(oracles)} oracles in {time.monotonic() - t_all:.1f}s, {failures} failures")
     return failures
 
 
