@@ -384,6 +384,10 @@ object GraftFunctions {
         "kmv_distinct",
         exprs => KmvDistinct(exprs.head, 256),
         "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "bpe_token_count",
+        exprs => BpeTokenCount(exprs.head),
+        "scala_udf")
       // last: its presence is the "already registered" marker above
       reg.createOrReplaceTempFunction(
         "dot_double",

@@ -69,6 +69,20 @@ object TextOps {
           length(col("text")).cast("int").as("n_chars_measured")
         )
     }),
+    "text_bpe_tokens" -> ((s, d) => {
+      // True byte-pair-merge subword counts via the codegen'd
+      // [[graft.functions.BpeTokenCount]] expression (fixed public merge
+      // table, per-rule replace-to-fixpoint) — the token accounting a
+      // training-data pipeline packs against, vs text_tokens' regex
+      // approximation. The oracle twin is GENERATED from the same merge
+      // table (BpeMerges.duckdbTokenCountExpr), so the two engines apply
+      // the identical rule sequence.
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_words"),
+        expr("bpe_token_count(text)").as("n_bpe_tokens"))
+    }),
     "text_quality" -> ((s, d) => {
       withQuality(Tables.documents(s, d))
         .withColumn("avg_word_len",
@@ -288,6 +302,17 @@ object TextOps {
          |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS INT) n_bpe_tokens,
          |  CAST(length(text) AS INT) n_chars_measured
          |FROM t""".stripMargin,
+    "text_bpe_tokens" -> {
+      val (mergeCtes, last) = graft.functions.BpeMerges.duckdbMergeCtes("sp")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') s FROM w),
+         |$mergeCtes,
+         |c AS (SELECT doc_id, length(s) - length(replace(s, ' ', '')) - 1 n FROM $last)
+         |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) n_words,
+         |  CAST(sum(c.n) AS BIGINT) n_bpe_tokens
+         |FROM documents d JOIN c ON c.doc_id = d.doc_id
+         |GROUP BY d.doc_id, d.text""".stripMargin
+    },
     "text_quality" ->
       s"""WITH $wsCte
          |SELECT doc_id, CAST(len(ws) AS INT) n_words,

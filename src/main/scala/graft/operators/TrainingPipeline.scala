@@ -62,6 +62,32 @@ object TrainingPipeline {
   /** Tokens-per-chunk budget for [[queries]]' pack_chunks. */
   val ChunkBudget = 1000L
 
+  /** Token-budget packing core shared by pack_chunks / pack_chunks_bpe:
+    * a two-stage distributed prefix sum over (doc_id, n_tokens) — range-
+    * partition by doc_id, per-partition running sums in parallel, then a
+    * partition-count-sized offset table (32 rows) broadcast back. The
+    * localCheckpoint freezes partition ids so the offsets branch and the
+    * within-partition branch see identical pids (range-boundary sampling
+    * is not stable across separate jobs), and truncates lineage — at
+    * 100 TB this materializes 3 longs/doc, never the text.
+    */
+  private def packOn(toks: DataFrame): DataFrame = {
+    val parts = toks.repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("pt"))
+      .withColumn("offset", coalesce(
+        sum("pt").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val within = parts.withColumn("cum_in",
+      sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
+    within.join(broadcast(offsets), "pid")
+      .withColumn("token_start", col("offset") + col("cum_in") - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"token_start div $ChunkBudget"))
+      .select("doc_id", "n_tokens", "token_start", "chunk_id")
+  }
+
   /** Context-window size / stride (tokens) for [[queries]]' pack_windows. */
   val WinSize = 128L
   val WinStride = 96L
@@ -144,30 +170,19 @@ object TrainingPipeline {
     // so every chunk covers ChunkBudget tokens of the concatenated stream
     // — the packing step before fixed-length sequence training. The naive
     // formulation is a GLOBAL running sum (single-partition window =
-    // scale-killer); this is the two-stage distributed prefix sum: range-
-    // partition by doc_id, per-partition running sums in parallel, then a
-    // partition-count-sized offset table (32 rows) broadcast back. The
-    // localCheckpoint freezes partition ids so the offsets branch and the
-    // within-partition branch see identical pids (range-boundary sampling
-    // is not stable across separate jobs), and truncates lineage — at
-    // 100 TB this materializes 3 longs/doc, not the text.
-    "pack_chunks" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      val parts = toks.repartitionByRange(32, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
-      val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("pt"))
-        .withColumn("offset", coalesce(
-          sum("pt").over(Window.orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "offset")
-      val within = parts.withColumn("cum_in",
-        sum("n_tokens").over(Window.partitionBy("pid").orderBy("doc_id")))
-      within.join(broadcast(offsets), "pid")
-        .withColumn("token_start", col("offset") + col("cum_in") - col("n_tokens"))
-        .withColumn("chunk_id", expr(s"token_start div $ChunkBudget"))
-        .select("doc_id", "n_tokens", "token_start", "chunk_id")
+    // scale-killer); see [[packOn]] for the distributed prefix sum.
+    "pack_chunks" -> ((s, d) => packOn(
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens")))),
+
+    // pack_chunks with REAL subword counts: the distributed prefix-sum
+    // packing is identical, but n_tokens comes from the codegen'd BPE
+    // tokenizer ([[graft.functions.BpeTokenCount]]) instead of the
+    // whitespace approximation — chunk budgets now mean model tokens.
+    "pack_chunks_bpe" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      packOn(Tables.documents(s, d)
+        .select(col("doc_id"), expr("bpe_token_count(text)").as("n_tokens")))
     }),
 
     // Benchmark decontamination: flag corpus docs sharing any 3-word
@@ -400,6 +415,23 @@ object TrainingPipeline {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT token_start
          |  FROM toks)
          |SELECT doc_id, n_tokens, token_start, token_start // $ChunkBudget AS chunk_id FROM c""".stripMargin,
+
+    // same packing oracle, but n_tokens from the generated BPE merge
+    // chain (graft.functions.BpeMerges — the same table the Spark
+    // expression applies)
+    "pack_chunks_bpe" -> {
+      val (mergeCtes, last) = graft.functions.BpeMerges.duckdbMergeCtes("sp")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') s FROM w),
+         |$mergeCtes,
+         |pw AS (SELECT doc_id, length(s) - length(replace(s, ' ', '')) - 1 n FROM $last),
+         |toks AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_tokens FROM pw GROUP BY doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT token_start
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, token_start, token_start // $ChunkBudget AS chunk_id FROM c""".stripMargin
+    },
 
     "decontam_overlap" ->
       s"""WITH ${Dedup.shingleCte},
