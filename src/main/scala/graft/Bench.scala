@@ -41,6 +41,7 @@ object Bench {
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
     "dedup_components",
+    "dedup_components_incremental",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_fine",
     "decontam_bloom",
@@ -69,7 +70,10 @@ object Bench {
     "text_pii_scrub",
     "sample_manifest",
     "corpus_train_manifest",
-    "multimodal_features"
+    "multimodal_features",
+    "text_bpe_tokens",
+    "pack_chunks_bpe",
+    "q_merge_upsert"
   )
 
   def main(args: Array[String]): Unit = {

@@ -50,6 +50,7 @@ object ScaleSmoke {
     // don't belong here
     "dedup_incremental",
     "dedup_incremental_stored",
+    "dedup_components_incremental",
     "dedup_eval_minhash",
     "corpus_validate",
     "corpus_validate_refs",
@@ -58,7 +59,10 @@ object ScaleSmoke {
     "text_quality",
     "text_entropy",
     "text_fingerprint",
-    "text_tfidf"
+    "text_tfidf",
+    "text_bpe_tokens",
+    "pack_chunks_bpe",
+    "q_merge_upsert"
   )
 
   def generate(spark: SparkSession, base: String, outDir: String,
@@ -119,18 +123,35 @@ object ScaleSmoke {
     val basket =
       if (args.exists(queries.contains)) args.toSeq.filter(queries.contains)
       else headline
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    var total = 0.0
     basket.foreach { name =>
       val t0 = System.nanoTime()
       try {
         val rows = queries(name)(spark, outDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
-        println(f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"rows":$rows}""")
+        total += secs
+        lines += f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"rows":$rows}"""
+        println(lines.last)
       } catch {
         case e: Throwable =>
-          println(s"""{"metric":"sf1_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}""")
+          errors += name
+          lines += s"""{"metric":"sf1_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}"""
+          println(lines.last)
           System.err.println(s"[scale] $name failed: $e")
       }
     }
+    // artifact discipline (same as Bench): full per-query detail to a
+    // file, short always-parseable summary as the LAST stdout line, so a
+    // bounded tail capture still yields a usable round artifact
+    val detailPath = sys.env.getOrElse("GRAFT_SCALE_DETAIL", "/tmp/graft_scale.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[scale] detail write failed: $e") }
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","nqueries":${basket.size - errors.size},"errors":$errs,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -579,12 +579,22 @@ object Similarity {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
        |  FROM p) WHERE rank <= 5""".stripMargin
 
+  /** The plane matrix is materialized ONCE as a 16-row CTE. The previous
+    * formulation indexed the 16×64 nested-list LITERAL inside the
+    * per-element lambda — DuckDB re-constructs the literal per access,
+    * which turned a 1k-multiply signature into the single most expensive
+    * oracle family (hundreds of seconds at sf0.01; this shape is
+    * milliseconds). `list_dot_product` sums left-to-right like the
+    * list_transform/list_sum original, so signs — and hashes — are
+    * unchanged.
+    */
   private val sigCteSql =
-    s"""sg AS (SELECT vec_id, emb,
-       |  CAST(list_sum(list_transform(range(0, 16), p ->
-       |    CASE WHEN list_sum(list_transform(range(0, 64), i -> emb[i+1] * ($planesSqlLit)[p+1][i+1])) > 0
-       |         THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT) sig
-       |FROM e)""".stripMargin
+    s"""pl AS (SELECT p, ($planesSqlLit)[p+1] pv FROM unnest(range(0, 16)) t(p)),
+       |sgv AS (SELECT e.vec_id,
+       |  CAST(sum(CASE WHEN list_dot_product(e.emb, pl.pv) > 0
+       |                THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END) AS BIGINT) sig
+       |  FROM e CROSS JOIN pl GROUP BY e.vec_id),
+       |sg AS (SELECT e.vec_id, e.emb, sgv.sig FROM e JOIN sgv USING (vec_id))""".stripMargin
 
   /** ann_recall's oracle composes the (already individually hash-matched)
     * per-method oracle statements as nested CTEs — DuckDB scopes each
@@ -640,46 +650,52 @@ object Similarity {
          |SELECT query_id, rank, vec_id, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
+    // id-only DISTINCT then embeddings joined back — DISTINCT over rows
+    // carrying two 64-double lists hashes the payloads per candidate (the
+    // same trap the Spark side avoids; measured 100×+ on this family)
     "ann_lsh_topk" ->
       s"""WITH $embCte, $sigCteSql,
-         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 4)) & 15 band_val
+         |bands AS (SELECT vec_id, b band_id, (sig >> (b * 4)) & 15 band_val
          |          FROM sg, unnest(range(0, 4)) t(b)),
-         |cand AS (SELECT DISTINCT q.vec_id query_id, q.emb qe, c.vec_id, c.emb ce
+         |cand AS (SELECT DISTINCT q.vec_id query_id, c.vec_id
          |         FROM bands q JOIN bands c
          |           ON q.band_id = c.band_id AND q.band_val = c.band_val
          |          AND q.vec_id IN ($queryIdsSql) AND q.vec_id <> c.vec_id),
-         |p AS (SELECT query_id, vec_id,
-         |        round(list_dot_product(qe, ce) /
-         |          (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
-         |      FROM cand)
+         |p AS (SELECT cand.query_id, cand.vec_id,
+         |        round(list_dot_product(qv.emb, cv.emb) /
+         |          (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(cv.emb, cv.emb))), 4) cosine
+         |      FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+         |                JOIN e cv ON cv.vec_id = cand.vec_id)
          |SELECT query_id, rank, vec_id, cosine FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) rank
          |  FROM p) WHERE rank <= 5""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH $embCte, $sigCteSql,
-         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 4)) & 15 band_val
+         |bands AS (SELECT vec_id, b band_id, (sig >> (b * 4)) & 15 band_val
          |          FROM sg, unnest(range(0, 4)) t(b)),
-         |cand AS (SELECT DISTINCT a.vec_id id1, a.emb qe, b.vec_id id2, b.emb ce
+         |cand AS (SELECT DISTINCT a.vec_id id1, b.vec_id id2
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_val = b.band_val
          |          AND a.vec_id < b.vec_id)
          |SELECT id1, id2,
-         |  round(list_dot_product(qe, ce) /
-         |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
-         |FROM cand
+         |  round(list_dot_product(qv.emb, cv.emb) /
+         |    (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(cv.emb, cv.emb))), 4) cosine
+         |FROM cand JOIN e qv ON qv.vec_id = cand.id1
+         |          JOIN e cv ON cv.vec_id = cand.id2
          |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
     "dedup_embedding_lsh_fine" ->
       s"""WITH $embCte, $sigCteSql,
-         |bands AS (SELECT vec_id, emb, b band_id, (sig >> (b * 8)) & 255 band_val
+         |bands AS (SELECT vec_id, b band_id, (sig >> (b * 8)) & 255 band_val
          |          FROM sg, unnest(range(0, 2)) t(b)),
-         |cand AS (SELECT DISTINCT a.vec_id id1, a.emb qe, b.vec_id id2, b.emb ce
+         |cand AS (SELECT DISTINCT a.vec_id id1, b.vec_id id2
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_val = b.band_val
          |          AND a.vec_id < b.vec_id)
          |SELECT id1, id2,
-         |  round(list_dot_product(qe, ce) /
-         |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 4) cosine
-         |FROM cand
+         |  round(list_dot_product(qv.emb, cv.emb) /
+         |    (sqrt(list_dot_product(qv.emb, qv.emb)) * sqrt(list_dot_product(cv.emb, cv.emb))), 4) cosine
+         |FROM cand JOIN e qv ON qv.vec_id = cand.id1
+         |          JOIN e cv ON cv.vec_id = cand.id2
          |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $embCte,
