@@ -195,32 +195,50 @@ object SigStore {
   private[graft] def ensureLabelsBuilt(s: SparkSession, d: String): String =
     synchronized {
       val root = ensureBuilt(s, d)
-      val f = fs(s, new Path(root))
-      val ready = new Path(root, "_LABELS_READY")
-      if (!f.exists(ready)) {
-        val store = s.read.parquet(s"$root/sigs.parquet")
-        val a = store.select(col("doc_id").as("d1"), col("simhash").as("s1"),
-          col("band_id"), col("band_bits"))
-        val b = store.select(col("doc_id").as("d2"), col("simhash").as("s2"),
-          col("band_id"), col("band_bits"))
-        val pairs = a.join(b, Seq("band_id", "band_bits"))
-          .filter(col("d1") < col("d2"))
-          .select("d1", "d2", "s1", "s2")
-          .distinct()
-          .filter(expr("bit_count(s1 ^ s2) <= 6"))
-          .select("d1", "d2")
-        val nodes = store.select(col("doc_id").as("node")).distinct()
-        val labels = Dedup.connectedComponents(nodes, pairs)
-        val tmp = new Path(root, "labels.tmp")
-        val live = new Path(root, "labels.parquet")
-        f.delete(tmp, true)
-        labels.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        f.delete(live, true)
-        require(f.rename(tmp, live), s"labels publish failed: $live")
-        f.create(ready).close()
-      }
+      if (!fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY")))
+        buildLabels(s, root)
       root
     }
+
+  /** (Re)build labels for an arbitrary store root from the store's OWN
+    * banded rows — also the recovery path after a torn absorb (the
+    * missing `_LABELS_READY` marker routes here, and the store already
+    * holds every absorbed batch's sigs, so the full refixpoint is
+    * correct by construction).
+    */
+  private[graft] def buildLabels(s: SparkSession, root: String): Unit = {
+    val f = fs(s, new Path(root))
+    val store = s.read.parquet(s"$root/sigs.parquet")
+    val a = store.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+      col("band_id"), col("band_bits"))
+    val b = store.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+      col("band_id"), col("band_bits"))
+    val pairs = a.join(b, Seq("band_id", "band_bits"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "s1", "s2")
+      .distinct()
+      .filter(expr("bit_count(s1 ^ s2) <= 6"))
+      .select("d1", "d2")
+    val nodes = store.select(col("doc_id").as("node")).distinct()
+    publishLabels(s, root, Dedup.connectedComponents(nodes, pairs))
+  }
+
+  /** Crash-safe label publish: drop the marker FIRST (a torn publish
+    * falls back to [[buildLabels]]), stage, swap, restore the marker.
+    */
+  private def publishLabels(s: SparkSession, root: String,
+      labels: DataFrame): Unit = {
+    val f = fs(s, new Path(root))
+    val ready = new Path(root, "_LABELS_READY")
+    val tmp = new Path(root, "labels.tmp")
+    val live = new Path(root, "labels.parquet")
+    f.delete(ready, false)
+    f.delete(tmp, true)
+    labels.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    f.delete(live, true)
+    require(f.rename(tmp, live), s"labels publish failed: $live")
+    f.create(ready).close()
+  }
 
   /** `dedup_components` served incrementally: the base split's clustering
     * is READ from the persisted label table, and absorbing the delta
@@ -240,16 +258,19 @@ object SigStore {
     * untouched components keep their stored label; the output is
     * row-identical to the one-shot `dedup_components` (same oracle).
     */
-  private[graft] def serveComponentsIncremental(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val root = ensureLabelsBuilt(s, d)
+  /** Merged (doc_id, cluster_id) of the store's CURRENT labels plus a
+    * delta documents frame — the contracted-fixpoint core shared by the
+    * incremental serve and [[absorbComponents]]. A doc present both in
+    * the store and the delta (an absorb replay) appears once per side
+    * with the SAME label; callers that persist dedupe with min().
+    */
+  private def mergedLabels(s: SparkSession, root: String,
+      deltaDocs: DataFrame): DataFrame = {
     val baseLabels = s.read.parquet(s"$root/labels.parquet") // (node, label)
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
-    val deltaSh = Dedup.simhash(
-      Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
-      .localCheckpoint(true)
+    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
     val delta = Dedup.banded7(deltaSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))
@@ -287,12 +308,61 @@ object SigStore {
     val deltaOut = contracted
       .join(deltaSh.select(col("doc_id")), col("node") === col("doc_id"))
       .select(col("doc_id"), col("label").as("cluster_id"))
-    val bySize = Window.partitionBy(col("cluster_id"))
     baseOut.unionByName(deltaOut)
+  }
+
+  /** The dedup_components output shape over a (doc_id, cluster_id) frame. */
+  private def withClusterShape(labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySize = Window.partitionBy(col("cluster_id"))
+    labels
       .withColumn("cluster_size", count(lit(1)).over(bySize))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
   }
+
+  private[graft] def serveComponentsIncremental(s: SparkSession, d: String): DataFrame = {
+    val root = ensureLabelsBuilt(s, d)
+    withClusterShape(mergedLabels(s, root,
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
+  }
+
+  /** Absorb a delta batch INTO the store: grow the signature bank by the
+    * batch's banded rows (exactly-once `batch_id=<n>` dirs, the
+    * appendBatch idiom) and republish `labels.parquet` with the merged
+    * clustering — after which serving components is a pure label read
+    * ([[serveComponentsStored]]): no document scan, no fixpoint. Replay
+    * is idempotent: the batch rewrites its own sig dirs and the label
+    * merge of an already-absorbed doc resolves to its stored label (the
+    * min() dedupe below collapses the two identical sides). A crash
+    * anywhere inside the publish leaves no `_LABELS_READY` marker, and
+    * recovery refixpoints from the store — which already carries every
+    * absorbed batch — via [[buildLabels]].
+    */
+  private[graft] def absorbComponents(s: SparkSession, root: String,
+      deltaDocs: DataFrame, batchId: Long): Unit = {
+    val f = fs(s, new Path(root))
+    val ready = new Path(root, "_LABELS_READY")
+    require(f.exists(ready), s"labels must be built before absorbing: $root")
+    // materialize the merge BEFORE mutating the store it reads from
+    val merged = mergedLabels(s, root, deltaDocs)
+      .groupBy("doc_id").agg(min("cluster_id").as("label"))
+      .select(col("doc_id").as("node"), col("label"))
+      .localCheckpoint(true)
+    // marker drops BEFORE the sig append: a crash between the two would
+    // otherwise leave stale base-only labels looking authoritative over a
+    // store that already contains the delta's sigs
+    f.delete(ready, false)
+    appendBatch(s, root, deltaDocs, batchId)
+    publishLabels(s, root, merged)
+  }
+
+  /** Components served straight from the persisted labels — the
+    * post-absorb read path: one narrow parquet scan, zero fixpoint.
+    */
+  private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame =
+    withClusterShape(s.read.parquet(s"$root/labels.parquet")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d)),

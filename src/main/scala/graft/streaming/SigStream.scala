@@ -32,4 +32,27 @@ object SigStream {
         SigStore.appendBatch(batch.sparkSession, root, batch.toDF(), batchId)
       }
       .start()
+
+  /** Stream-maintained CLUSTERING on top of the signature growth: each
+    * micro-batch is absorbed via [[SigStore.absorbComponents]] — sigs
+    * land exactly-once under the batch's own dirs AND `labels.parquet`
+    * republishes with the merged components (contracted fixpoint over
+    * the batch + touched stored components, never the full graph).
+    * Requires labels built on the store before the stream starts.
+    * Serving between batches is a pure label read
+    * ([[SigStore.serveComponentsStored]]). A replayed micro-batch
+    * resolves every one of its docs to its already-stored label, so the
+    * republished table is unchanged — idempotent like the sig append.
+    */
+  def maintainComponents(docs: Dataset[DocInsert], root: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[DocInsert], batchId: Long) =>
+        SigStore.absorbComponents(batch.sparkSession, root, batch.toDF(), batchId)
+      }
+      .start()
 }

@@ -86,6 +86,57 @@ class SigStoreSpec extends AnyFunSuite {
       s"merged cluster must carry the global min label: $got")
   }
 
+  test("absorbComponents persists merged labels; stored serve == one-shot; replay idempotent") {
+    import spark.implicits._
+    // same crafted topology as the merge test: base {1=B},{3=C},{5=iso1};
+    // delta batch {10=E bridges B and C, 20=iso2}
+    val tB = "hotel charlie kilo alpha sierra romeo zulu victor tango whiskey hotel lima"
+    val tC = "charlie charlie kilo alpha sierra romeo zulu victor tango whiskey yankee lima"
+    val tE = "hotel charlie kilo alpha sierra romeo zulu victor tango whiskey yankee lima"
+    val tI1 = "november oscar papa quebec golf india mike foxtrot uniform bravo delta echo"
+    val tI2 = "echo delta bravo uniform foxtrot mike india golf quebec papa oscar november xray"
+    def docsOf(rows: (Long, String)*) = rows
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("cc_absorb").toString + "/store"
+    SigStore.buildFrom(spark, root, docsOf(1L -> tB, 3L -> tC, 5L -> tI1))
+    SigStore.buildLabels(spark, root)
+
+    val delta = docsOf(10L -> tE, 20L -> tI2)
+    SigStore.absorbComponents(spark, root, delta, batchId = 0L)
+
+    def stored = SigStore.serveComponentsStored(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    val expected = Set(
+      (1L, 1L, 3L, true), (3L, 1L, 3L, false), (10L, 1L, 3L, false),
+      (5L, 5L, 1L, true), (20L, 20L, 1L, true))
+    assert(stored == expected, s"post-absorb stored clustering wrong: $stored")
+    // the absorbed batch's sigs are in the bank under its own batch dir
+    assert(spark.read.parquet(s"$root/sigs.parquet")
+      .filter(org.apache.spark.sql.functions.col("batch_id") === 0L)
+      .select("doc_id").distinct().count() == 2)
+
+    // replayed absorb (same batch id, same rows) must change nothing
+    SigStore.absorbComponents(spark, root, delta, batchId = 0L)
+    assert(stored == expected, "absorb replay must be idempotent")
+
+    // a second batch glues nothing new but must extend the clustering
+    // (text verified offline at simhash distance ≥ 25 from every fixture doc)
+    val t30 = "five two six ten zero one eight nine thirteen four eleven seven"
+    SigStore.absorbComponents(spark, root, docsOf(30L -> t30), batchId = 1L)
+    val expected2 = expected + ((30L, 30L, 1L, true))
+    assert(stored == expected2,
+      s"second absorb must keep prior clusters and add the new singleton: $stored")
+
+    // torn-absorb recovery: kill the marker, rebuild from the store alone
+    val f = new java.io.File(s"$root/_LABELS_READY")
+    assert(f.delete())
+    SigStore.buildLabels(spark, root)
+    assert(stored == expected2,
+      "full refixpoint from the sig bank must reproduce the absorbed labels")
+  }
+
   test("serving plan scans the store, not the base documents") {
     val df = SigStore.queries("dedup_incremental_stored")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -86,6 +86,56 @@ class SigStreamSpec extends AnyFunSuite {
       "compaction must not change served answers")
   }
 
+  test("streamed component absorption == one-shot clustering; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val baseA = (0L until 30L).map(i => DocInsert(i, docText(i, None)))
+    // streamed epoch: i%3==0 duplicates base doc i-30 (identical text →
+    // hamming 0 → same cluster); the rest are novel singletons
+    val lateB = (30L until 60L).map(i =>
+      DocInsert(i, docText(i, if (i % 3 == 0) Some(i - 30) else None)))
+
+    def canonLabels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+
+    val grownRoot = Files.createTempDirectory("cc_grown").toString + "/store"
+    SigStore.buildFrom(spark, grownRoot, spark.createDataset(baseA).toDF())
+    SigStore.buildLabels(spark, grownRoot)
+    val ms = MemoryStream[DocInsert]
+    val ckpt = Files.createTempDirectory("cc_ckpt").toString
+    val q = SigStream.maintainComponents(ms.toDS(), grownRoot, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms.addData(lateB.take(15)); q.processAllAvailable()
+      ms.addData(lateB.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = canonLabels(SigStore.serveComponentsStored(spark, grownRoot))
+
+    // one-shot twin: single build over the full corpus, labels from scratch
+    val oneShotRoot = Files.createTempDirectory("cc_oneshot").toString + "/store"
+    SigStore.buildFrom(spark, oneShotRoot, spark.createDataset(baseA ++ lateB).toDF())
+    SigStore.buildLabels(spark, oneShotRoot)
+    val oneShot = canonLabels(SigStore.serveComponentsStored(spark, oneShotRoot))
+
+    assert(streamed == oneShot && streamed.nonEmpty)
+    assert(streamed.exists(_._3 == 2L) && streamed.exists(_._3 == 1L),
+      "fixture must produce both 2-doc clusters and singletons")
+
+    // replay with a fresh checkpoint: same batch ids, same rows — labels
+    // must come out byte-identical in content
+    val ms2 = MemoryStream[DocInsert]
+    val ckpt2 = Files.createTempDirectory("cc_ckpt2").toString
+    val q2 = SigStream.maintainComponents(ms2.toDS(), grownRoot, ckpt2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      ms2.addData(lateB.take(15)); q2.processAllAvailable()
+      ms2.addData(lateB.drop(15)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(canonLabels(SigStore.serveComponentsStored(spark, grownRoot)) == streamed,
+      "replayed absorption must not change the stored clustering")
+  }
+
   test("maintain recovers from its checkpoint: restart appends only the unprocessed batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
