@@ -298,11 +298,14 @@ object SigStore {
       .union(edges.select(col("d2").as("node")))
       .distinct()
     val contracted = Dedup.connectedComponents(nodes, edges)
-    // base docs: old label → new label where its component was touched
+    // base docs: old label → new label where its component was touched.
+    // relabel is |delta|-shaped (delta nodes + touched labels), so it
+    // BROADCASTS — without the hint Spark sort-merge-joins and shuffles
+    // the corpus-sized label table by label per serve (plan-audited)
     val relabel = contracted
       .select(col("node").as("old_label"), col("label").as("new_label"))
     val baseOut = baseLabels
-      .join(relabel, col("label") === col("old_label"), "left")
+      .join(broadcast(relabel), col("label") === col("old_label"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("new_label"), col("label")).as("cluster_id"))
     val deltaOut = contracted
