@@ -223,8 +223,9 @@ object SigStore {
     publishLabels(s, root, Dedup.connectedComponents(nodes, pairs))
   }
 
-  /** Crash-safe label publish: drop the marker FIRST (a torn publish
-    * falls back to [[buildLabels]]), stage, swap, restore the marker.
+  /** Crash-safe BASE-GENERATION publish: drop the marker FIRST (a torn
+    * publish falls back to [[buildLabels]]), stage, swap, fold away any
+    * patch state the new generation supersedes, restore the marker.
     */
   private def publishLabels(s: SparkSession, root: String,
       labels: DataFrame): Unit = {
@@ -237,6 +238,9 @@ object SigStore {
     labels.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     f.delete(live, true)
     require(f.rename(tmp, live), s"labels publish failed: $live")
+    // the fresh generation subsumes all patches
+    f.delete(new Path(root, "label_nodes.parquet"), true)
+    f.delete(new Path(root, "label_remap.parquet"), true)
     f.create(ready).close()
   }
 
@@ -258,29 +262,100 @@ object SigStore {
     * untouched components keep their stored label; the output is
     * row-identical to the one-shot `dedup_components` (same oracle).
     */
-  /** Merged (doc_id, cluster_id) of the store's CURRENT labels plus a
-    * delta documents frame — the contracted-fixpoint core shared by the
-    * incremental serve and [[absorbComponents]]. A doc present both in
-    * the store and the delta (an absorb replay) appears once per side
-    * with the SAME label; callers that persist dedupe with min().
+  /** Contracted graphs up to this many nodes run the driver union-find
+    * fast path (≤ ~32 MB of longs at the cap); larger deltas fall back
+    * to the distributed min-label fixpoint.
     */
-  private def mergedLabels(s: SparkSession, root: String,
-      deltaDocs: DataFrame): DataFrame = {
-    val baseLabels = s.read.parquet(s"$root/labels.parquet") // (node, label)
+  private val SmallGraphNodes = 2000000L
+
+  /** Path-halving union-by-min over a collected contracted graph — the
+    * label convention matches connectedComponents exactly: every node's
+    * label is the min node id reachable through the edges. Returns the
+    * find function (root = component min).
+    */
+  private def driverFind(nodeIds: Array[Long],
+      edgeArr: Array[(Long, Long)]): Long => Long = {
+    val parent = new java.util.HashMap[Long, Long](nodeIds.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edgeArr.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    find
+  }
+
+  /** The store's CURRENT effective labels: the immutable base
+    * generation, plus per-batch node patches, with every stored label
+    * run through the tiny cumulative remap (broadcast left join — a
+    * corpus-sized SCAN, never a shuffle). The remap is kept FLAT by
+    * [[absorbComponents]]'s composition, so one hop resolves any label.
+    */
+  private[graft] def effectiveLabels(s: SparkSession, root: String): DataFrame = {
+    val f = fs(s, new Path(root))
+    val base = s.read.parquet(s"$root/labels.parquet").select("node", "label")
+    val nodesDir = new Path(root, "label_nodes.parquet")
+    val all = if (f.exists(nodesDir))
+      base.unionByName(
+        s.read.parquet(nodesDir.toString).select("node", "label"))
+    else base
+    val remapPath = new Path(root, "label_remap.parquet")
+    if (f.exists(remapPath)) {
+      val remap = s.read.parquet(remapPath.toString)
+      all.join(broadcast(remap), all("label") === remap("old_label"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    } else all
+  }
+
+  /** Contracted-fixpoint core shared by the incremental serve and
+    * [[absorbComponents]]: clusters a delta documents frame against the
+    * store's effective labels and returns
+    *
+    *   (relabel: (old_label, new_label) for TOUCHED stored labels whose
+    *             component merged — |delta|-bounded, identity-free;
+    *    deltaOut: (node, label) final labels for every delta doc).
+    *
+    * A doc present both in the store and the delta (an absorb replay)
+    * resolves to its already-stored label, making relabel empty and
+    * deltaOut a rewrite of identical rows.
+    */
+  private def contractDelta(s: SparkSession, root: String,
+      deltaDocs: DataFrame): (DataFrame, DataFrame) = {
+    val baseLabels = effectiveLabels(s, root)
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
     val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
+    // banded form recomputes from the checkpointed simhash per use — a
+    // posexplode is cheaper than a materialization job
     val delta = Dedup.banded7(deltaSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))
-      .localCheckpoint(true)
-    // delta↔base edges, contracted: the base endpoint becomes its label
-    val db = delta.join(store, Seq("band_id", "band_bits"))
+    // delta↔base edges, contracted: the base endpoint becomes its label.
+    // The hits side is |delta|-bounded — broadcast it so the label lookup
+    // streams the corpus-sized label table instead of shuffling it.
+    val hits = delta.join(store, Seq("band_id", "band_bits"))
       .select("delta_id", "base_id", "ds", "bs").distinct()
       .filter(expr("bit_count(ds ^ bs) <= 6"))
-      .join(baseLabels, col("base_id") === col("node"))
+      .select("delta_id", "base_id")
+    // distinct AFTER contraction to label space: a delta doc hitting a
+    // k-member dup family produces k raw hits but ONE (delta, label)
+    // edge — without this the edge set is |delta|×|family|, which a
+    // 4000-doc family turns into millions of redundant edges
+    val db = baseLabels.join(broadcast(hits), col("base_id") === col("node"))
       .select(col("delta_id").as("d1"), col("label").as("d2"))
+      .distinct()
     // delta↔delta edges (banded self-join, exact by pigeonhole)
     val da = delta.select(col("delta_id").as("d1"), col("ds").as("s1"),
       col("band_id"), col("band_bits"))
@@ -291,27 +366,80 @@ object SigStore {
       .select("d1", "d2", "s1", "s2").distinct()
       .filter(expr("bit_count(s1 ^ s2) <= 6"))
       .select("d1", "d2")
-    val edges = db.unionByName(dd).localCheckpoint(true)
-    // fixpoint node set: every delta doc (isolated ones label themselves)
-    // plus the TOUCHED base-component labels — |delta|-shaped, not |corpus|
-    val nodes = deltaSh.select(col("doc_id").as("node"))
-      .union(edges.select(col("d2").as("node")))
-      .distinct()
-    val contracted = Dedup.connectedComponents(nodes, edges)
-    // base docs: old label → new label where its component was touched.
-    // relabel is |delta|-shaped (delta nodes + touched labels), so it
-    // BROADCASTS — without the hint Spark sort-merge-joins and shuffles
-    // the corpus-sized label table by label per serve (plan-audited)
-    val relabel = contracted
-      .select(col("node").as("old_label"), col("label").as("new_label"))
-    val baseOut = baseLabels
+    // ONE materialization of the whole edge pipeline, tagged by origin so
+    // nothing downstream re-derives from the store scan (the untagged
+    // formulation recomputed the banded probe to find touched labels —
+    // a second full store scan per absorb, measured)
+    val tProf0 = System.nanoTime()
+    val edges = db.withColumn("from_store", lit(true))
+      .unionByName(dd.withColumn("from_store", lit(false)))
+      .localCheckpoint(true)
+    if (sys.env.contains("GRAFT_CC_PROF"))
+      System.err.println(f"[ccprof] edges ckpt: ${(System.nanoTime() - tProf0) / 1e9}%.2f s")
+    // The contracted graph is |delta|-bounded BY CONSTRUCTION (delta ids
+    // + touched labels), so for micro-batch-sized deltas the whole
+    // cluster step runs DRIVER-SIDE: one edges collect + one delta-id
+    // collect feed a path-halving union-find, and relabel/deltaOut come
+    // back as local relations — zero further joins, zero checkpoints
+    // (local relations are immutable, so they are safe to use after the
+    // store mutates). The count guard keeps huge one-shot deltas on the
+    // distributed fixpoint; the collects are O(|delta|), never O(corpus).
+    val tProf1 = System.nanoTime()
+    val nDelta = deltaSh.count()
+    val nEdges = edges.count()
+    val result =
+      if (nDelta + nEdges <= SmallGraphNodes) {
+        val edgeRows = edges.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        val deltaIds = deltaSh.select("doc_id").collect().map(_.getLong(0))
+        val nodeIds = (deltaIds ++ edgeRows.map(_._2)).distinct
+        val find = driverFind(nodeIds, edgeRows.map(e => (e._1, e._2)))
+        import s.implicits._
+        val relabel = edgeRows.filter(_._3).map(_._2).distinct
+          .map(l => (l, find(l))).filter(p => p._1 != p._2)
+          .toSeq.toDF("old_label", "new_label")
+        val deltaOut = deltaIds.map(n => (n, find(n)))
+          .toSeq.toDF("node", "label")
+        (relabel, deltaOut)
+      } else {
+        val nodes = deltaSh.select(col("doc_id").as("node"))
+          .union(edges.select(col("d2").as("node")))
+          .distinct()
+        val contracted = Dedup.connectedComponents(
+          nodes, edges.select("d1", "d2"))
+        // relabel rows only for nodes that ARE stored labels (db's d2
+        // side) — delta-node entries would never match a stored label
+        // and would only bloat the persisted remap
+        val touchedLabels = edges.filter(col("from_store"))
+          .select(col("d2").as("node")).distinct()
+        val relabel = contracted.join(touchedLabels, Seq("node"))
+          .select(col("node").as("old_label"), col("label").as("new_label"))
+          .filter(col("old_label") =!= col("new_label"))
+        val deltaOut = contracted
+          .join(deltaSh.select(col("doc_id")), col("node") === col("doc_id"))
+          .select(col("doc_id").as("node"), col("label"))
+        (relabel.localCheckpoint(true), deltaOut.localCheckpoint(true))
+      }
+    if (sys.env.contains("GRAFT_CC_PROF"))
+      System.err.println(f"[ccprof] contract ($nDelta d/$nEdges e): ${(System.nanoTime() - tProf1) / 1e9}%.2f s")
+    result
+  }
+
+  /** Merged (doc_id, cluster_id) of effective labels plus a delta
+    * documents frame — [[contractDelta]] applied without persisting.
+    */
+  private def mergedLabels(s: SparkSession, root: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val (relabel, deltaOut) = contractDelta(s, root, deltaDocs)
+    // relabel is |delta|-shaped, so it BROADCASTS — without the hint
+    // Spark sort-merge-joins and shuffles the corpus-sized label table
+    // by label per serve (plan-audited)
+    val baseOut = effectiveLabels(s, root)
       .join(broadcast(relabel), col("label") === col("old_label"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("new_label"), col("label")).as("cluster_id"))
-    val deltaOut = contracted
-      .join(deltaSh.select(col("doc_id")), col("node") === col("doc_id"))
-      .select(col("doc_id"), col("label").as("cluster_id"))
-    baseOut.unionByName(deltaOut)
+    baseOut.unionByName(
+      deltaOut.select(col("node").as("doc_id"), col("label").as("cluster_id")))
   }
 
   /** The dedup_components output shape over a (doc_id, cluster_id) frame. */
@@ -330,42 +458,103 @@ object SigStore {
       Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
   }
 
-  /** Absorb a delta batch INTO the store: grow the signature bank by the
-    * batch's banded rows (exactly-once `batch_id=<n>` dirs, the
-    * appendBatch idiom) and republish `labels.parquet` with the merged
-    * clustering — after which serving components is a pure label read
-    * ([[serveComponentsStored]]): no document scan, no fixpoint. Replay
-    * is idempotent: the batch rewrites its own sig dirs and the label
-    * merge of an already-absorbed doc resolves to its stored label (the
-    * min() dedupe below collapses the two identical sides). A crash
-    * anywhere inside the publish leaves no `_LABELS_READY` marker, and
-    * recovery refixpoints from the store — which already carries every
-    * absorbed batch — via [[buildLabels]].
+  /** Absorb a delta batch INTO the store at O(|delta|) WRITE cost — the
+    * base label generation is never rewritten. Three artifacts change:
+    *
+    *   1. the signature bank grows by the batch's banded rows
+    *      (exactly-once `batch_id=<n>` dirs, the appendBatch idiom);
+    *   2. the batch's final labels land under
+    *      `label_nodes.parquet/batch_id=<n>/` (same exactly-once shape);
+    *   3. the tiny cumulative `label_remap.parquet` (old_label →
+    *      new_label for every component ever merged) republishes via
+    *      tmp-swap, COMPOSED flat: old entries are run through this
+    *      batch's relabel, so serving resolves any label in ONE hop.
+    *
+    * The composition stays flat because a relabel target is a component
+    * min over current labels ∪ delta ids — never a label that was
+    * previously remapped away (those are no longer current) — so
+    * ran(remap) ∩ dom(remap) = ∅ is invariant.
+    *
+    * Replay of the LAST batch (the structured-streaming recovery case)
+    * is idempotent: sig and node dirs rewrite identically, the delta
+    * resolves to its stored labels, relabel comes out empty, and the
+    * remap recomposes to itself. A crash anywhere leaves no
+    * `_LABELS_READY` marker; recovery refixpoints from the sig bank —
+    * which already carries every absorbed batch — via [[buildLabels]].
     */
   private[graft] def absorbComponents(s: SparkSession, root: String,
       deltaDocs: DataFrame, batchId: Long): Unit = {
     val f = fs(s, new Path(root))
     val ready = new Path(root, "_LABELS_READY")
     require(f.exists(ready), s"labels must be built before absorbing: $root")
-    // materialize the merge BEFORE mutating the store it reads from
-    val merged = mergedLabels(s, root, deltaDocs)
-      .groupBy("doc_id").agg(min("cluster_id").as("label"))
-      .select(col("doc_id").as("node"), col("label"))
-      .localCheckpoint(true)
-    // marker drops BEFORE the sig append: a crash between the two would
-    // otherwise leave stale base-only labels looking authoritative over a
-    // store that already contains the delta's sigs
+    def prof(tag: String)(body: => Unit): Unit = {
+      val t = System.nanoTime(); body
+      if (sys.env.contains("GRAFT_CC_PROF"))
+        System.err.println(f"[ccprof] $tag: ${(System.nanoTime()-t)/1e9}%.2f s")
+    }
+    // materialize the contraction BEFORE mutating the state it reads
+    var contractResult: (DataFrame, DataFrame) = null
+    prof("contractDelta") { contractResult = contractDelta(s, root, deltaDocs) }
+    val (relabel, deltaOut) = contractResult
+    val remapPath = new Path(root, "label_remap.parquet")
+    val oldRemap =
+      if (f.exists(remapPath)) s.read.parquet(remapPath.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("old_label",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("new_label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    // compose: run existing targets through this batch's relabel, then
+    // add the batch's fresh entries (dom(oldRemap) can't re-enter: those
+    // labels are no longer current, so relabel never keys on them)
+    val composed = oldRemap.alias("o")
+      .join(broadcast(relabel.alias("r")),
+        col("o.new_label") === col("r.old_label"), "left")
+      .select(col("o.old_label"),
+        coalesce(col("r.new_label"), col("o.new_label")).as("new_label"))
+    var newRemap: DataFrame = null
+    prof("remapCompose") {
+      newRemap = composed.unionByName(relabel).localCheckpoint(true)
+    }
+    // marker drops BEFORE any mutation: a crash mid-absorb must route
+    // recovery to the full refixpoint, never leave stale labels looking
+    // authoritative over a store that already holds the delta's sigs
     f.delete(ready, false)
-    appendBatch(s, root, deltaDocs, batchId)
-    publishLabels(s, root, merged)
+    prof("appendBatch")(appendBatch(s, root, deltaDocs, batchId))
+    prof("labelNodesWrite")(graft.sources.Writers.writeShards(
+      deltaOut.withColumn("batch_id", lit(batchId)),
+      new Path(root, "label_nodes.parquet").toString,
+      partitionCols = Seq("batch_id"), sortCols = Seq("node"),
+      mode = SaveMode.Overwrite,
+      options = Map("partitionOverwriteMode" -> "dynamic")))
+    val remapTmp = new Path(root, "label_remap.tmp")
+    f.delete(remapTmp, true)
+    prof("remapWrite")(newRemap.write.mode(SaveMode.Overwrite).parquet(remapTmp.toString))
+    f.delete(remapPath, true)
+    require(f.rename(remapTmp, remapPath), s"remap publish failed: $remapPath")
+    f.create(ready).close()
   }
 
-  /** Components served straight from the persisted labels — the
-    * post-absorb read path: one narrow parquet scan, zero fixpoint.
+  /** Components served straight from the persisted label state — the
+    * post-absorb read path: narrow scans of base + patches with the
+    * broadcast remap hop, zero fixpoint, zero document reads.
     */
   private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame =
-    withClusterShape(s.read.parquet(s"$root/labels.parquet")
+    withClusterShape(effectiveLabels(s, root)
       .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+
+  /** Fold node patches and the remap into a fresh base generation (the
+    * label analog of [[compactBands]]): reads effective labels once,
+    * publishes them as the new `labels.parquet`, drops the patch state.
+    * Serving answers are unchanged; the remap hop disappears.
+    */
+  private[graft] def compactLabels(s: SparkSession, root: String): Unit = {
+    val f = fs(s, new Path(root))
+    require(f.exists(new Path(root, "_LABELS_READY")),
+      s"no published labels to compact: $root")
+    publishLabels(s, root, effectiveLabels(s, root).localCheckpoint(true))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d)),
