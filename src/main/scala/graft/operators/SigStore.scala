@@ -268,33 +268,6 @@ object SigStore {
     */
   private val SmallGraphNodes = 2000000L
 
-  /** Path-halving union-by-min over a collected contracted graph — the
-    * label convention matches connectedComponents exactly: every node's
-    * label is the min node id reachable through the edges. Returns the
-    * find function (root = component min).
-    */
-  private def driverFind(nodeIds: Array[Long],
-      edgeArr: Array[(Long, Long)]): Long => Long = {
-    val parent = new java.util.HashMap[Long, Long](nodeIds.length * 2)
-    def find(x0: Long): Long = {
-      var x = x0
-      while (parent.getOrDefault(x, x) != x) {
-        val p = parent.get(x)
-        val gp = parent.getOrDefault(p, p)
-        parent.put(x, gp) // path halving
-        x = gp
-      }
-      x
-    }
-    edgeArr.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) {
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-      }
-    }
-    find
-  }
-
   /** The store's CURRENT effective labels: the immutable base
     * generation, plus per-batch node patches, with every stored label
     * run through the tiny cumulative remap (broadcast left join — a
@@ -393,7 +366,7 @@ object SigStore {
           .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         val deltaIds = deltaSh.select("doc_id").collect().map(_.getLong(0))
         val nodeIds = (deltaIds ++ edgeRows.map(_._2)).distinct
-        val find = driverFind(nodeIds, edgeRows.map(e => (e._1, e._2)))
+        val find = Dedup.driverFindMin(nodeIds, edgeRows.map(e => (e._1, e._2)))
         import s.implicits._
         val relabel = edgeRows.filter(_._3).map(_._2).distinct
           .map(l => (l, find(l))).filter(p => p._1 != p._2)
