@@ -42,6 +42,7 @@ object Bench {
     "dedup_substring",
     "dedup_components",
     "dedup_components_incremental",
+    "dedup_components_stored",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_fine",
     "decontam_bloom",

@@ -51,6 +51,7 @@ object ScaleSmoke {
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",
+    "dedup_components_stored",
     "dedup_eval_minhash",
     "corpus_validate",
     "corpus_validate_refs",

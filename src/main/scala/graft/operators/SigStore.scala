@@ -59,6 +59,8 @@ object SigStore {
   private[graft] def deleteStore(s: SparkSession, d: String): Unit = {
     val p = new Path(storeRoot(d))
     fs(s, p).delete(p, true)
+    val pa = new Path(storeRoot(d) + "_absorbed")
+    fs(s, pa).delete(pa, true)
   }
 
   /** Banded (band_id, band_bits, doc_id, simhash) rows for a documents
@@ -529,9 +531,35 @@ object SigStore {
     publishLabels(s, root, effectiveLabels(s, root).localCheckpoint(true))
   }
 
+  /** Build-absorb-serve, end to end, as a pure function of the dataset
+    * dir: a SEPARATE store (own digest suffix — the shared serve store
+    * must stay base-only or [[mergedLabels]] would double-count) gets
+    * the base split, then absorbs the `% 10` delta as one batch, and
+    * serving reads ONLY the persisted label state. Hash-matching the
+    * full-corpus recursive-CTE oracle makes the entire absorb pipeline
+    * (patch dirs + flat remap + union-find contraction) DuckDB-gated,
+    * not just spec-gated. Any torn state rebuilds from scratch.
+    */
+  private[graft] def serveComponentsAbsorbed(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val root = storeRoot(d) + "_absorbed"
+      val f = fs(s, new Path(root))
+      if (!f.exists(new Path(root, "_ABSORBED"))) {
+        f.delete(new Path(root), true)
+        buildFrom(s, root,
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        buildLabels(s, root)
+        absorbComponents(s, root,
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0), batchId = 0L)
+        f.create(new Path(root, "_ABSORBED")).close()
+      }
+      serveComponentsStored(s, root)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d)),
-    "dedup_components_incremental" -> ((s, d) => serveComponentsIncremental(s, d))
+    "dedup_components_incremental" -> ((s, d) => serveComponentsIncremental(s, d)),
+    "dedup_components_stored" -> ((s, d) => serveComponentsAbsorbed(s, d))
   )
 
   /** Output is identical to dedup_incremental by construction, so the
@@ -542,6 +570,9 @@ object SigStore {
     "dedup_incremental_stored" -> Dedup.oracleSql("dedup_incremental"),
     // identical output to the one-shot clustering over the FULL corpus —
     // the incremental path only changes where base labels come from
-    "dedup_components_incremental" -> Dedup.oracleSql("dedup_components")
+    "dedup_components_incremental" -> Dedup.oracleSql("dedup_components"),
+    // same oracle again: after the absorb, the persisted label state must
+    // BE the full-corpus clustering
+    "dedup_components_stored" -> Dedup.oracleSql("dedup_components")
   )
 }

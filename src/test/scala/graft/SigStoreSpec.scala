@@ -103,6 +103,7 @@ class SigStoreSpec extends AnyFunSuite {
     SigStore.buildLabels(spark, root)
 
     val delta = docsOf(10L -> tE, 20L -> tI2)
+    val baseGenBefore = fileSet(s"$root/labels.parquet")
     SigStore.absorbComponents(spark, root, delta, batchId = 0L)
 
     def stored = SigStore.serveComponentsStored(spark, root)
@@ -112,6 +113,14 @@ class SigStoreSpec extends AnyFunSuite {
       (1L, 1L, 3L, true), (3L, 1L, 3L, false), (10L, 1L, 3L, false),
       (5L, 5L, 1L, true), (20L, 20L, 1L, true))
     assert(stored == expected, s"post-absorb stored clustering wrong: $stored")
+    // O(|delta|) write contract: the base label generation is untouched —
+    // the batch's labels live in its own patch dir, merges in the remap
+    assert(fileSet(s"$root/labels.parquet") == baseGenBefore,
+      "an absorb must never rewrite the base label generation")
+    assert(new java.io.File(s"$root/label_nodes.parquet/batch_id=0").isDirectory)
+    // the remap carries exactly the merged component: 3 → 1
+    assert(spark.read.parquet(s"$root/label_remap.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 1L)))
     // the absorbed batch's sigs are in the bank under its own batch dir
     assert(spark.read.parquet(s"$root/sigs.parquet")
       .filter(org.apache.spark.sql.functions.col("batch_id") === 0L)
@@ -129,12 +138,34 @@ class SigStoreSpec extends AnyFunSuite {
     assert(stored == expected2,
       s"second absorb must keep prior clusters and add the new singleton: $stored")
 
+    // compaction folds patches + remap into a fresh base generation with
+    // identical answers
+    SigStore.compactLabels(spark, root)
+    assert(!new java.io.File(s"$root/label_nodes.parquet").exists() &&
+      !new java.io.File(s"$root/label_remap.parquet").exists(),
+      "compaction must fold away the patch state")
+    assert(stored == expected2, "compaction must not change served answers")
+
     // torn-absorb recovery: kill the marker, rebuild from the store alone
     val f = new java.io.File(s"$root/_LABELS_READY")
     assert(f.delete())
     SigStore.buildLabels(spark, root)
     assert(stored == expected2,
       "full refixpoint from the sig bank must reproduce the absorbed labels")
+  }
+
+  test("dedup_components_stored warm serve reads persisted labels only") {
+    SigStore.deleteStore(spark, sf)
+    // first call builds base + absorbs the delta split; the second call's
+    // plan must be a pure label-state read — no document scan, no sigs
+    assert(SigStore.queries("dedup_components_stored")(spark, sf).count() > 0)
+    val plan = SigStore.queries("dedup_components_stored")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("labels.parquet"), s"expected a label scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"warm serve must not rescan documents:\n$plan")
+    assert(!plan.contains("sigs.parquet"),
+      s"warm serve must not rescan signatures:\n$plan")
   }
 
   test("serving plan scans the store, not the base documents") {
