@@ -20,6 +20,23 @@ import org.apache.spark.sql.SparkSession
   * the artifact instead of silently becoming the number.
   */
 object Bench {
+
+  /** Artifact-discipline helper shared with [[ScaleSmoke]]: write the
+    * full per-query detail lines to `envVar`'s path (or the default) and
+    * return that path for the short final-stdout-line summary. Failures
+    * log and return the path anyway — a missing detail file must never
+    * kill the run that produced the numbers.
+    */
+  private[graft] def writeDetail(envVar: String, default: String,
+      lines: Seq[String]): String = {
+    val path = sys.env.getOrElse(envVar, default)
+    try {
+      val w = new java.io.PrintWriter(path, "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    path
+  }
+
   val headline: Seq[String] = Seq(
     "q_pricing_summary",
     "q_forecast_revenue",
@@ -135,11 +152,7 @@ object Bench {
     // capture of stdout can slice it mid-line and kill the parse (that is
     // exactly what happened to BENCH_r07). Persist the full detail to a
     // file and keep the LAST stdout line a short, always-parseable summary.
-    val detailPath = sys.env.getOrElse("GRAFT_BENCH_DETAIL", "/tmp/graft_bench.json")
-    try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(full) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    val detailPath = writeDetail("GRAFT_BENCH_DETAIL", "/tmp/graft_bench.json", Seq(full))
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"sf":"$sfDir","detail":"$detailPath"}""")
     spark.stop()
   }

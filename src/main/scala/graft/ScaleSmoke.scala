@@ -146,11 +146,8 @@ object ScaleSmoke {
     // artifact discipline (same as Bench): full per-query detail to a
     // file, short always-parseable summary as the LAST stdout line, so a
     // bounded tail capture still yields a usable round artifact
-    val detailPath = sys.env.getOrElse("GRAFT_SCALE_DETAIL", "/tmp/graft_scale.json")
-    try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try lines.foreach(w.println) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[scale] detail write failed: $e") }
+    val detailPath = Bench.writeDetail(
+      "GRAFT_SCALE_DETAIL", "/tmp/graft_scale.json", lines.toSeq)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","nqueries":${basket.size - errors.size},"errors":$errs,"detail":"$detailPath"}""")
     spark.stop()

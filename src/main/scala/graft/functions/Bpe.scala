@@ -36,12 +36,14 @@ object BpeMerges {
     "e s", "s t", "a r", "o u", "th e", "in g", "an d", "e d", "o f",
     "t o", "i s").map(p => (p, p.replace(" ", "")))
 
-  /** Replace passes per rule in the SQL twin. The Scala side iterates to
-    * fixpoint; a fixed nesting depth must dominate it. One pass merges at
-    * least half of a rule's remaining occurrences (a match can only
-    * shield its immediate right neighbor by consuming the shared boundary
-    * space), so passes needed ≤ log2(word length) + 1 — 8 covers words up
-    * to 128 chars, far beyond the corpus.
+  /** Replace passes per rule — BOTH engines apply exactly this many, so
+    * the tokenizer is the same total function on every input by
+    * construction (no reachable-divergence class for exotic words). One
+    * pass merges at least half of a rule's remaining occurrences (a
+    * match can only shield its immediate right neighbor by consuming the
+    * shared boundary space), so 8 passes IS the fixpoint for words up to
+    * ~128 chars — far beyond the corpus; longer merge-dense words get
+    * the identical bounded tokenization on both sides.
     */
   val SqlFixpointPasses = 8
 
@@ -97,7 +99,15 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
     var r = 0
     while (r < patterns.length) {
       val (pat, rep) = patterns(r)
-      while (s.contains(pat)) s = s.replace(pat, rep)
+      // bounded passes, NOT while-contains: the SQL twin applies exactly
+      // SqlFixpointPasses nested replaces, and parity must hold for any
+      // input — including words long enough that 8 passes is not yet the
+      // fixpoint
+      var pass = 0
+      while (pass < BpeMerges.SqlFixpointPasses && s.contains(pat)) {
+        s = s.replace(pat, rep)
+        pass += 1
+      }
       r += 1
     }
     var spaces = 0L

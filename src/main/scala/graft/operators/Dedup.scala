@@ -224,12 +224,15 @@ object Dedup {
     find
   }
 
-  /** Edge-count ceiling for the driver union-find fast path — ~64 MB of
-    * longs at the cap. The duplicate-pair graph of even a clique-dense
-    * corpus slice fits comfortably (sf1's 2.6 M pairs ≈ 42 MB); beyond
-    * it the distributed fixpoint below takes over unchanged.
+  /** Edge-count ceiling for the driver union-find fast path. Honest
+    * accounting at the cap: collected Rows + the tuple array + the boxed
+    * union-find map + the local label relation total roughly 1 GB of
+    * transient driver heap — sized for a driver JVM provisioned for
+    * Spark driver duty (≥ 4 GB), with sf1's clique-dense 2.6 M pairs
+    * well inside. Beyond the cap the distributed fixpoint below takes
+    * over unchanged, with only scalar counts on the driver.
     */
-  private[graft] val CcDriverMaxEdges = 4000000L
+  private[graft] val CcDriverMaxEdges = 3000000L
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the

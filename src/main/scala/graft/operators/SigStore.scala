@@ -103,8 +103,15 @@ object SigStore {
     */
   private[graft] def appendBatch(s: SparkSession, root: String,
       docsBatch: DataFrame, batchId: Long): Unit =
+    appendSigRows(s, root, bandedSigs(docsBatch), batchId)
+
+  /** [[appendBatch]] for already-computed banded signature rows — lets
+    * absorb reuse the simhash pass its contraction already paid for.
+    */
+  private def appendSigRows(s: SparkSession, root: String,
+      sigRows: DataFrame, batchId: Long): Unit =
     graft.sources.Writers.writeShards(
-      bandedSigs(docsBatch).withColumn("batch_id", lit(batchId)),
+      sigRows.withColumn("batch_id", lit(batchId)),
       new Path(root, "sigs.parquet").toString,
       partitionCols = Seq("band_id", "batch_id"),
       sortCols = Seq("band_bits"), mode = SaveMode.Overwrite,
@@ -306,12 +313,19 @@ object SigStore {
     * deltaOut a rewrite of identical rows.
     */
   private def contractDelta(s: SparkSession, root: String,
-      deltaDocs: DataFrame): (DataFrame, DataFrame) = {
+      deltaDocs: DataFrame): (DataFrame, DataFrame) =
+    contractDeltaSh(s, root, Dedup.simhash(deltaDocs).localCheckpoint(true))
+
+  /** [[contractDelta]] over an already-checkpointed (doc_id, simhash)
+    * frame — absorb computes the signatures ONCE and shares them with
+    * the sig-bank write.
+    */
+  private def contractDeltaSh(s: SparkSession, root: String,
+      deltaSh: DataFrame): (DataFrame, DataFrame) = {
     val baseLabels = effectiveLabels(s, root)
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
-    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
     // banded form recomputes from the checkpointed simhash per use — a
     // posexplode is cheaper than a materialization job
     val delta = Dedup.banded7(deltaSh)
@@ -458,18 +472,26 @@ object SigStore {
     * which already carries every absorbed batch — via [[buildLabels]].
     */
   private[graft] def absorbComponents(s: SparkSession, root: String,
-      deltaDocs: DataFrame, batchId: Long): Unit = {
+      deltaDocs: DataFrame, batchId: Long): Unit = synchronized {
     val f = fs(s, new Path(root))
     val ready = new Path(root, "_LABELS_READY")
-    require(f.exists(ready), s"labels must be built before absorbing: $root")
+    // self-heal instead of require: after a crash mid-absorb the marker
+    // is down, and the REPLAYED batch (structured-streaming recovery)
+    // lands right here — refixpoint from the sig bank (which holds any
+    // partially-appended dirs; the replay's dynamic overwrite rewrites
+    // them wholesale) and carry on. A require would wedge the stream.
+    if (!f.exists(ready)) buildLabels(s, root)
     def prof(tag: String)(body: => Unit): Unit = {
       val t = System.nanoTime(); body
       if (sys.env.contains("GRAFT_CC_PROF"))
         System.err.println(f"[ccprof] $tag: ${(System.nanoTime()-t)/1e9}%.2f s")
     }
-    // materialize the contraction BEFORE mutating the state it reads
+    // ONE simhash pass over the delta, shared by the contraction and the
+    // sig-bank write; materialize the contraction BEFORE mutating the
+    // state it reads
+    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
     var contractResult: (DataFrame, DataFrame) = null
-    prof("contractDelta") { contractResult = contractDelta(s, root, deltaDocs) }
+    prof("contractDelta") { contractResult = contractDeltaSh(s, root, deltaSh) }
     val (relabel, deltaOut) = contractResult
     val remapPath = new Path(root, "label_remap.parquet")
     val oldRemap =
@@ -496,7 +518,10 @@ object SigStore {
     // recovery to the full refixpoint, never leave stale labels looking
     // authoritative over a store that already holds the delta's sigs
     f.delete(ready, false)
-    prof("appendBatch")(appendBatch(s, root, deltaDocs, batchId))
+    prof("appendBatch")(appendSigRows(s, root,
+      Dedup.banded7(deltaSh)
+        .select(col("band_id"), col("band_bits"), col("doc_id"), col("simhash")),
+      batchId))
     prof("labelNodesWrite")(graft.sources.Writers.writeShards(
       deltaOut.withColumn("batch_id", lit(batchId)),
       new Path(root, "label_nodes.parquet").toString,
@@ -513,11 +538,17 @@ object SigStore {
 
   /** Components served straight from the persisted label state — the
     * post-absorb read path: narrow scans of base + patches with the
-    * broadcast remap hop, zero fixpoint, zero document reads.
+    * broadcast remap hop, zero fixpoint, zero document reads. The
+    * marker check fails fast during an in-flight absorb (the marker is
+    * down for exactly the mutation window) instead of silently serving
+    * torn label state.
     */
-  private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame =
+  private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame = {
+    require(fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY")),
+      s"label state not published (absorb in flight or torn): $root")
     withClusterShape(effectiveLabels(s, root)
       .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+  }
 
   /** Fold node patches and the remap into a fresh base generation (the
     * label analog of [[compactBands]]): reads effective labels once,

@@ -305,7 +305,7 @@ object TextOps {
     "text_bpe_tokens" -> {
       val (mergeCtes, last) = graft.functions.BpeMerges.duckdbMergeCtes("sp")
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
-         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') s FROM w),
+         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'gs') s FROM w),
          |$mergeCtes,
          |c AS (SELECT doc_id, length(s) - length(replace(s, ' ', '')) - 1 n FROM $last)
          |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) n_words,

@@ -422,7 +422,7 @@ object TrainingPipeline {
     "pack_chunks_bpe" -> {
       val (mergeCtes, last) = graft.functions.BpeMerges.duckdbMergeCtes("sp")
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
-         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') s FROM w),
+         |sp AS (SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'gs') s FROM w),
          |$mergeCtes,
          |pw AS (SELECT doc_id, length(s) - length(replace(s, ' ', '')) - 1 n FROM $last),
          |toks AS (SELECT doc_id, CAST(sum(n) AS BIGINT) n_tokens FROM pw GROUP BY doc_id),

@@ -90,9 +90,14 @@ object Upsert {
         dst.mkdirs()
         src.listFiles().foreach(c => rec(c, new java.io.File(dst, c.getName)))
       } else if (src.getName != "_READY") {
+        // a refused link on Linux surfaces as FileSystemException (EXDEV,
+        // fs.protected_hardlinks, overlayfs), not UnsupportedOperation —
+        // fall back to a byte copy on either
         try Files.createLink(Paths.get(dst.getPath), Paths.get(src.getPath))
-        catch { case _: UnsupportedOperationException =>
-          Files.copy(Paths.get(src.getPath), Paths.get(dst.getPath))
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(Paths.get(src.getPath), Paths.get(dst.getPath))
         }
       }
     }

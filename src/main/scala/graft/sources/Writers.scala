@@ -288,7 +288,11 @@ object Writers {
 
     // 3. survivors = touched-base rows whose key the delta does not carry
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
-    require(delta.count() == deltaKeys.count(),
+    // one aggregation job for the uniqueness check (two separate counts
+    // would run the arbitrary delta pipeline twice more per merge)
+    val kc = delta.agg(count(lit(1)).as("n"),
+      countDistinct(keyCols.head, keyCols.tail: _*).as("nk")).head()
+    require(kc.getLong(0) == kc.getLong(1),
       s"mergeUpsert: delta has duplicate keys on (${keyCols.mkString(",")}) — " +
         "one row per key required (last-writer-wins must be resolved upstream)")
     val merged =
