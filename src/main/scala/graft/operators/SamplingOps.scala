@@ -152,6 +152,48 @@ object SamplingOps {
         .withColumn("keep", col("bucket") < col("rate") * 10000)
         .select("doc_id", "quality_score", "band", "rate", "bucket", "keep")
     }),
+    "corpus_mixture_tokens" -> ((s, d) => {
+      // the mixture weighted by TOKEN MASS instead of document counts —
+      // what a budgeted pretraining mix actually allocates. Same scale
+      // shape as corpus_mixture: |langs|-row aggregate, broadcast
+      // normalizers, zero data-sized shuffles beyond the one groupBy.
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .localCheckpoint(true)
+      val tot = byLang.agg(sum("n_tokens").as("t_total"))
+      val withP = byLang.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tokens") / col("t_total"))
+        .withColumn("w_raw", pow(col("p"), Alpha))
+      val z = withP.agg(sum("w_raw").as("z"))
+      withP.crossJoin(broadcast(z))
+        .withColumn("weight", round(col("w_raw") / col("z"), 6))
+        .select(col("lang"), col("n_tokens"),
+          round(col("p"), 6).as("p"), col("weight"),
+          round(col("weight") / col("p"), 4).as("upsample"))
+    }),
+    "sample_manifest_upsampled" -> ((s, d) => {
+      // the mixture realized WITH upsampling: rare languages REPEAT
+      // (α-temperature multilingual mixes train low-resource docs
+      // several times per epoch), common ones thin. n_repeats =
+      // floor(rate) + a salted-hash bernoulli on the fractional part,
+      // so expected output mass is exactly n_total and the manifest is
+      // deterministic under reruns, appends, and repartitions —
+      // sample_manifest's accept/reject generalized past rate ≤ 1.
+      val rates = mixture(s, d)
+        .withColumn("rate",
+          round(col("weight") * col("n_total") / col("n_docs"), 6))
+        .select("lang", "rate")
+      Tables.documents(s, d)
+        .join(broadcast(rates), "lang")
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(concat('upsample:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 10000"))
+        .withColumn("n_repeats",
+          (floor(col("rate")) +
+            when(col("bucket") < (col("rate") - floor(col("rate"))) * 10000, 1L)
+              .otherwise(0L)).cast("long"))
+        .select("doc_id", "lang", "bucket", "rate", "n_repeats")
+    }),
     "sample_manifest" -> ((s, d) => {
       // per-lang acceptance rate realizing the mixture weights at
       // KeepFraction of the corpus, then a deterministic salted-hash
@@ -229,6 +271,27 @@ object SamplingOps {
          |SELECT lang, n_docs, round(p, 6) p, weight,
          |  round(weight / p, 4) upsample
          |FROM mix""".stripMargin,
+    "corpus_mixture_tokens" ->
+      s"""WITH bl AS (SELECT lang, sum(len(string_split(text, ' ')))::BIGINT n_tokens
+         |           FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_tokens)::BIGINT t_total FROM bl),
+         |wp AS (SELECT lang, n_tokens, n_tokens / t_total::DOUBLE p,
+         |         pow(n_tokens / t_total::DOUBLE, $Alpha) w_raw
+         |       FROM bl CROSS JOIN tot),
+         |z AS (SELECT sum(w_raw) z FROM wp)
+         |SELECT lang, n_tokens, round(p, 6) p, round(w_raw / z, 6) weight,
+         |  round(round(w_raw / z, 6) / p, 4) upsample
+         |FROM wp CROSS JOIN z""".stripMargin,
+    "sample_manifest_upsampled" ->
+      s"""WITH $mixtureCte,
+         |r AS (SELECT lang, round(weight * n_total / n_docs, 6) rate FROM mix),
+         |b AS (SELECT doc_id, lang,
+         |        ('0x' || substr(md5('upsample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 bucket
+         |      FROM documents)
+         |SELECT b.doc_id, b.lang, b.bucket, r.rate,
+         |  (floor(r.rate) + CASE WHEN b.bucket < (r.rate - floor(r.rate)) * 10000
+         |                        THEN 1 ELSE 0 END)::BIGINT n_repeats
+         |FROM b JOIN r USING (lang)""".stripMargin,
     "sample_manifest" ->
       s"""WITH $mixtureCte,
          |r AS (SELECT lang, round(least(1.0, weight * $KeepFraction * n_total / n_docs), 6) rate

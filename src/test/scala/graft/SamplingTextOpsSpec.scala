@@ -35,6 +35,35 @@ class SamplingTextOpsSpec extends AnyFunSuite {
     assert(rates.forall(r => r > 0.0 && r <= 1.0))
   }
 
+  test("sample_manifest_upsampled: repeats realize the mixture mass") {
+    val m = SamplingOps.queries("sample_manifest_upsampled")(spark, sf)
+      .localCheckpoint(true)
+    val nTotal = m.count()
+    // expected total repeats = Σ_l rate_l · n_l = Σ_l weight_l · n_total
+    // = n_total; the bernoulli realization must land within a few percent
+    val repeats = m.agg(sum("n_repeats")).head.getLong(0)
+    assert(math.abs(repeats - nTotal).toDouble / nTotal < 0.05,
+      s"repeats $repeats vs corpus $nTotal")
+    // rare languages upsample (rate > 1 → every doc kept at least once)
+    val rates = m.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.values.exists(_ > 1.0), s"no language upsampled: $rates")
+    assert(m.filter(col("rate") > 1.0 && col("n_repeats") < 1).count() == 0,
+      "an upsampled language must never drop a document")
+    // deterministic across runs
+    val again = SamplingOps.queries("sample_manifest_upsampled")(spark, sf)
+      .agg(sum("n_repeats")).head.getLong(0)
+    assert(again == repeats)
+  }
+
+  test("corpus_mixture_tokens: token-mass weights sum to 1, rare langs upsample") {
+    val rows = SamplingOps.queries("corpus_mixture_tokens")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    val byT = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byT.head.getAs[Double]("upsample") >= byT.last.getAs[Double]("upsample"))
+  }
+
   test("text_repetition: ratios bounded and consistent with distinct counts") {
     val rows = TextOps.queries("text_repetition")(spark, sf).collect()
     assert(rows.length > 0)
