@@ -143,7 +143,18 @@ object IncrementalStats {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_stats_incremental" -> ((s, d) => serveIncremental(s, d))
+    "corpus_stats_incremental" -> ((s, d) => serveIncremental(s, d)),
+    // mixture weights served from the SAME persisted partials: the
+    // per-lang doc counts come from stored state + one delta pass, then
+    // the |langs|-row temperature normalization — identical output (and
+    // oracle) to corpus_mixture, with no base-corpus scan in the plan
+    "corpus_mixture_incremental" -> ((s, d) => {
+      val root = ensureBuilt(s, d)
+      val delta = Tables.documents(s, d).filter(col("doc_id") % DeltaMod === 0)
+      SamplingOps.mixtureOutput(SamplingOps.mixtureFrom(
+        mergePartials(readState(s, root), partials(delta))
+          .select(col("lang"), col("n_docs"))))
+    })
   )
 
   /** The oracle recomputes the SAME stats over the full corpus in one
@@ -160,6 +171,9 @@ object IncrementalStats {
          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
          |  CAST(max(n_chars) AS BIGINT) AS max_chars
          |FROM t JOIN q USING (doc_id)
-         |GROUP BY lang""".stripMargin
+         |GROUP BY lang""".stripMargin,
+    // identical output to corpus_mixture — only the counts' provenance
+    // (persisted partials + delta) differs
+    "corpus_mixture_incremental" -> SamplingOps.oracleSql("corpus_mixture")
   )
 }

@@ -43,14 +43,15 @@ object SamplingOps {
 
   /** (lang, n_docs, n_total, p, weight) with weight rounded at 6 — the
     * rounded value is the published contract, so downstream consumers
-    * (sample_manifest, the oracle) agree bit-for-bit.
+    * (sample_manifest, the oracle) agree bit-for-bit. Takes any
+    * (lang, n_docs) frame so the counts can come from a corpus scan OR
+    * from persisted incremental partials (corpus_mixture_incremental).
     */
-  private def mixture(s: SparkSession, d: String): DataFrame = {
+  private[operators] def mixtureFrom(byLangRaw: DataFrame): DataFrame = {
     // materialize the (|langs|)-row aggregate once: every downstream
     // branch (total, z, the weight projection) otherwise re-runs the full
-    // corpus scan — Spark does not reuse exchanges across self-branches
-    val byLang = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint(true)
+    // input pipeline — Spark does not reuse exchanges across self-branches
+    val byLang = byLangRaw.localCheckpoint(true)
     val tot = byLang.agg(sum("n_docs").as("n_total"))
     val withP = byLang.crossJoin(broadcast(tot))
       .withColumn("p", col("n_docs") / col("n_total"))
@@ -60,6 +61,20 @@ object SamplingOps {
       .withColumn("weight", round(col("w_raw") / col("z"), 6))
       .select("lang", "n_docs", "n_total", "p", "weight")
   }
+
+  private def mixture(s: SparkSession, d: String): DataFrame =
+    mixtureFrom(
+      Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs")))
+
+  /** The corpus_mixture output projection over a [[mixtureFrom]] frame —
+    * shared with the incremental serve so both emit identical columns.
+    */
+  private[operators] def mixtureOutput(m: DataFrame): DataFrame =
+    m.select(
+      col("lang"), col("n_docs"),
+      round(col("p"), 6).as("p"),
+      col("weight"),
+      round(col("weight") / col("p"), 4).as("upsample"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_quantile_kmv" -> ((s, d) => {
@@ -130,13 +145,7 @@ object SamplingOps {
         pick(0.9).as("approx_p90"),
         max(col("n")).as("n_sample"))
     }),
-    "corpus_mixture" -> ((s, d) => {
-      mixture(s, d).select(
-        col("lang"), col("n_docs"),
-        round(col("p"), 6).as("p"),
-        col("weight"),
-        round(col("weight") / col("p"), 4).as("upsample"))
-    }),
+    "corpus_mixture" -> ((s, d) => mixtureOutput(mixture(s, d))),
     "curriculum_manifest" -> ((s, d) => {
       // curriculum sampling: acceptance grows linearly with the document's
       // quality band ("train on cleaner data more often"). The band is a

@@ -57,6 +57,19 @@ class IncrementalStatsSpec extends AnyFunSuite {
     assert(stateScans == 1, s"state must come from the store:\n$plan")
   }
 
+  test("incremental mixture serves from state + delta — exactly one documents scan") {
+    IncrementalStats.deleteState(spark, sf)
+    IncrementalStats.ensureBuilt(spark, sf)
+    val df = IncrementalStats.queries("corpus_mixture_incremental")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"base must not be re-counted for the mixture:\n$plan")
+    // output equals the full-scan mixture bit-for-bit
+    val full = graft.operators.SamplingOps.queries("corpus_mixture")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(df.collect().map(_.toString).toSet == full)
+  }
+
   test("a torn publish (no _STATE_READY) is rebuilt, not served") {
     val root = IncrementalStats.stateRoot(sf)
     IncrementalStats.deleteState(spark, sf)
