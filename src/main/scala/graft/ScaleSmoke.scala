@@ -63,7 +63,10 @@ object ScaleSmoke {
     "text_tfidf",
     "text_bpe_tokens",
     "pack_chunks_bpe",
-    "q_merge_upsert"
+    "q_merge_upsert",
+    "corpus_mixture_tokens",
+    "sample_manifest_upsampled",
+    "corpus_mixture_incremental"
   )
 
   def generate(spark: SparkSession, base: String, outDir: String,
