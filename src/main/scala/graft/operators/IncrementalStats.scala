@@ -150,10 +150,16 @@ object IncrementalStats {
     // oracle) to corpus_mixture, with no base-corpus scan in the plan
     "corpus_mixture_incremental" -> ((s, d) => {
       val root = ensureBuilt(s, d)
-      val delta = Tables.documents(s, d).filter(col("doc_id") % DeltaMod === 0)
-      SamplingOps.mixtureOutput(SamplingOps.mixtureFrom(
-        mergePartials(readState(s, root), partials(delta))
-          .select(col("lang"), col("n_docs"))))
+      // the mixture needs only per-lang COUNTS: a bare groupBy-count of
+      // the delta (not the full quality-scoring partials) merged with the
+      // stored counts
+      val deltaCounts = Tables.documents(s, d)
+        .filter(col("doc_id") % DeltaMod === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val byLang = readState(s, root).select(col("lang"), col("n_docs"))
+        .unionByName(deltaCounts)
+        .groupBy("lang").agg(sum("n_docs").as("n_docs"))
+      SamplingOps.mixtureOutput(SamplingOps.mixtureFrom(byLang))
     })
   )
 

@@ -163,23 +163,15 @@ object SamplingOps {
     }),
     "corpus_mixture_tokens" -> ((s, d) => {
       // the mixture weighted by TOKEN MASS instead of document counts —
-      // what a budgeted pretraining mix actually allocates. Same scale
-      // shape as corpus_mixture: |langs|-row aggregate, broadcast
-      // normalizers, zero data-sized shuffles beyond the one groupBy.
-      val byLang = Tables.documents(s, d)
+      // what a budgeted pretraining mix actually allocates. The shared
+      // normalization core does all the work; only the measure (token
+      // sums under the frame's count column) and the output column name
+      // differ.
+      val byTokens = Tables.documents(s, d)
         .groupBy("lang")
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-        .localCheckpoint(true)
-      val tot = byLang.agg(sum("n_tokens").as("t_total"))
-      val withP = byLang.crossJoin(broadcast(tot))
-        .withColumn("p", col("n_tokens") / col("t_total"))
-        .withColumn("w_raw", pow(col("p"), Alpha))
-      val z = withP.agg(sum("w_raw").as("z"))
-      withP.crossJoin(broadcast(z))
-        .withColumn("weight", round(col("w_raw") / col("z"), 6))
-        .select(col("lang"), col("n_tokens"),
-          round(col("p"), 6).as("p"), col("weight"),
-          round(col("weight") / col("p"), 4).as("upsample"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_docs"))
+      mixtureOutput(mixtureFrom(byTokens))
+        .withColumnRenamed("n_docs", "n_tokens")
     }),
     "sample_manifest_upsampled" -> ((s, d) => {
       // the mixture realized WITH upsampling: rare languages REPEAT

@@ -217,6 +217,8 @@ object SigStore {
     */
   private[graft] def buildLabels(s: SparkSession, root: String): Unit = {
     val f = fs(s, new Path(root))
+    require(f.exists(new Path(root, "sigs.parquet")),
+      s"no signature store at $root — run buildFrom before building labels")
     val store = s.read.parquet(s"$root/sigs.parquet")
     val a = store.select(col("doc_id").as("d1"), col("simhash").as("s1"),
       col("band_id"), col("band_bits"))
@@ -282,15 +284,25 @@ object SigStore {
     * run through the tiny cumulative remap (broadcast left join — a
     * corpus-sized SCAN, never a shuffle). The remap is kept FLAT by
     * [[absorbComponents]]'s composition, so one hop resolves any label.
+    *
+    * PATCHES WIN over the base generation (anti-join on the patch node
+    * set, bounded by absorbed-batch volume and reset by compactLabels):
+    * after a crash mid-absorb, the self-heal refixpoint may fold the
+    * torn batch's partially-appended sigs into a new BASE generation,
+    * and the replayed absorb then re-lands the same docs as a patch —
+    * newest-wins is what keeps that doc single-rowed and correctly
+    * labeled (the heal's labels can be under-merged if only some of a
+    * doc's band dirs survived the crash).
     */
   private[graft] def effectiveLabels(s: SparkSession, root: String): DataFrame = {
     val f = fs(s, new Path(root))
     val base = s.read.parquet(s"$root/labels.parquet").select("node", "label")
     val nodesDir = new Path(root, "label_nodes.parquet")
-    val all = if (f.exists(nodesDir))
-      base.unionByName(
-        s.read.parquet(nodesDir.toString).select("node", "label"))
-    else base
+    val all = if (f.exists(nodesDir)) {
+      val patches = s.read.parquet(nodesDir.toString).select("node", "label")
+      base.join(patches.select("node"), Seq("node"), "left_anti")
+        .unionByName(patches)
+    } else base
     val remapPath = new Path(root, "label_remap.parquet")
     if (f.exists(remapPath)) {
       val remap = s.read.parquet(remapPath.toString)
@@ -539,9 +551,12 @@ object SigStore {
   /** Components served straight from the persisted label state — the
     * post-absorb read path: narrow scans of base + patches with the
     * broadcast remap hop, zero fixpoint, zero document reads. The
-    * marker check fails fast during an in-flight absorb (the marker is
-    * down for exactly the mutation window) instead of silently serving
-    * torn label state.
+    * marker check is BEST-EFFORT fail-fast at DataFrame construction
+    * (the marker is down for exactly the mutation window); the frame is
+    * lazy, so a collect that races a concurrent same-store absorb can
+    * still observe mid-swap state — interleaving absorbs and serves on
+    * one store needs external coordination (the intended deployment is
+    * a single maintainComponents writer, with serves between batches).
     */
   private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame = {
     require(fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY")),

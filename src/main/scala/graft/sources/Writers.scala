@@ -288,10 +288,17 @@ object Writers {
 
     // 3. survivors = touched-base rows whose key the delta does not carry
     val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
-    // one aggregation job for the uniqueness check (two separate counts
-    // would run the arbitrary delta pipeline twice more per merge)
+    // one aggregation job for the key checks (separate counts would run
+    // the arbitrary delta pipeline twice more per merge). countDistinct
+    // drops null-keyed rows, so nulls are counted explicitly and get
+    // their own diagnosis instead of a misleading "duplicate keys".
+    val anyKeyNull = keyCols.map(col(_).isNull).reduce(_ || _)
     val kc = delta.agg(count(lit(1)).as("n"),
-      countDistinct(keyCols.head, keyCols.tail: _*).as("nk")).head()
+      countDistinct(keyCols.head, keyCols.tail: _*).as("nk"),
+      sum(when(anyKeyNull, 1L).otherwise(0L)).as("nulls")).head()
+    require(kc.getLong(2) == 0L,
+      s"mergeUpsert: ${kc.getLong(2)} delta rows carry a null key component " +
+        s"(${keyCols.mkString(",")}) — null keys are not mergeable")
     require(kc.getLong(0) == kc.getLong(1),
       s"mergeUpsert: delta has duplicate keys on (${keyCols.mkString(",")}) — " +
         "one row per key required (last-writer-wins must be resolved upstream)")

@@ -38,8 +38,11 @@ object SigStream {
     * land exactly-once under the batch's own dirs AND `labels.parquet`
     * republishes with the merged components (contracted fixpoint over
     * the batch + touched stored components, never the full graph).
-    * Requires labels built on the store before the stream starts.
-    * Serving between batches is a pure label read
+    * Labels SHOULD be pre-built on the store before the stream starts
+    * (SigStore.buildLabels) — a missing marker self-heals with a full
+    * refixpoint inside the first batch, which is correct (it is also the
+    * crash-recovery path) but attributes that one-time cost to the
+    * batch. Serving between batches is a pure label read
     * ([[SigStore.serveComponentsStored]]). A replayed micro-batch
     * resolves every one of its docs to its already-stored label, so the
     * republished table is unchanged — idempotent like the sig append.

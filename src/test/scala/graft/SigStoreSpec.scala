@@ -154,6 +154,37 @@ class SigStoreSpec extends AnyFunSuite {
       "full refixpoint from the sig bank must reproduce the absorbed labels")
   }
 
+  test("heal-then-replay after a mid-absorb crash yields no duplicate rows") {
+    import spark.implicits._
+    // crash window: marker dropped, batch sigs (partially) appended,
+    // label patch NOT yet written. The restart replays the batch; the
+    // self-heal folds the crashed batch's sigs into a NEW base
+    // generation, and the replayed patch must WIN over those base rows
+    // (effectiveLabels anti-join) — without it every batch doc serves
+    // twice with inflated cluster sizes.
+    val t1 = "hotel charlie kilo alpha sierra romeo zulu victor tango whiskey hotel lima"
+    val t2 = "november oscar papa quebec golf india mike foxtrot uniform bravo delta echo"
+    def docsOf(rows: (Long, String)*) = rows
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("cc_crash").toString + "/store"
+    SigStore.buildFrom(spark, root, docsOf(1L -> t1, 5L -> t2))
+    SigStore.buildLabels(spark, root)
+    // simulate the torn absorb of batch 0 = {10 -> t1 (dup of 1)}: sigs
+    // appended, marker down, NO patch/remap written
+    SigStore.appendBatch(spark, root, docsOf(10L -> t1), 0L)
+    assert(new java.io.File(s"$root/_LABELS_READY").delete())
+    // the streaming replay
+    SigStore.absorbComponents(spark, root, docsOf(10L -> t1), batchId = 0L)
+
+    val rows = SigStore.serveComponentsStored(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 3, s"every doc exactly once: ${rows.toSeq}")
+    assert(rows.toSet == Set(
+      (1L, 1L, 2L, true), (10L, 1L, 2L, false), (5L, 5L, 1L, true)),
+      s"healed clustering wrong: ${rows.toSeq}")
+  }
+
   test("dedup_components_stored warm serve reads persisted labels only") {
     SigStore.deleteStore(spark, sf)
     // first call builds base + absorbs the delta split; the second call's
