@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt-logger behaviors broke that in round 8: forked stdout
+// was wrapped as `[info] {...}`, and sbt appended a `[success] Total
+// time...` line after it. Pass forked output through verbatim and drop
+// the success banner so Bench's summary line is the literal final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by other settings —
+// exclude it from the unused-key lint so the warn doesn't precede runs.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

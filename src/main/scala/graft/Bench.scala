@@ -153,7 +153,9 @@ object Bench {
     // exactly what happened to BENCH_r07). Persist the full detail to a
     // file and keep the LAST stdout line a short, always-parseable summary.
     val detailPath = writeDetail("GRAFT_BENCH_DETAIL", "/tmp/graft_bench.json", Seq(full))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"sf":"$sfDir","detail":"$detailPath"}""")
+    // Stop Spark BEFORE printing the summary: anything the session's
+    // shutdown path logs must land above the one line the driver parses.
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

@@ -227,12 +227,23 @@ object Dedup {
   /** Edge-count ceiling for the driver union-find fast path. Honest
     * accounting at the cap: collected Rows + the tuple array + the boxed
     * union-find map + the local label relation total roughly 1 GB of
-    * transient driver heap — sized for a driver JVM provisioned for
-    * Spark driver duty (≥ 4 GB), with sf1's clique-dense 2.6 M pairs
-    * well inside. Beyond the cap the distributed fixpoint below takes
-    * over unchanged, with only scalar counts on the driver.
+    * transient driver heap at 3 M edges (~350 B/edge) — sized for a
+    * driver JVM provisioned for Spark driver duty, with sf1's
+    * clique-dense 2.6 M pairs well inside on the default 8 GB heap.
+    * Beyond the cap the distributed fixpoint below takes over unchanged,
+    * with only scalar counts on the driver.
+    *
+    * The cap SCALES DOWN with the actual heap (ADVICE r8: a 1 GB driver
+    * would OOM collecting 3 M edges where the distributed fixpoint kept
+    * only scalars): a third of `Runtime.maxMemory` at ~350 B/edge, never
+    * above 3 M. `GRAFT_CC_DRIVER_MAX_EDGES` overrides for tuning (0
+    * forces the distributed path — how ScaleSmoke measures it as
+    * primary).
     */
-  private[graft] val CcDriverMaxEdges = 3000000L
+  private[graft] val CcDriverMaxEdges: Long =
+    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map(_.toLong).getOrElse {
+      math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
+    }
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the

@@ -275,9 +275,12 @@ object SigStore {
     */
   /** Contracted graphs up to this many nodes run the driver union-find
     * fast path (≤ ~32 MB of longs at the cap); larger deltas fall back
-    * to the distributed min-label fixpoint.
+    * to the distributed min-label fixpoint. Heap-scaled like
+    * [[Dedup.CcDriverMaxEdges]] (ADVICE r8) and shares its env override
+    * so one knob forces the distributed path everywhere.
     */
-  private val SmallGraphNodes = 2000000L
+  private def SmallGraphNodes: Long =
+    math.min(2000000L, Dedup.CcDriverMaxEdges)
 
   /** The store's CURRENT effective labels: the immutable base
     * generation, plus per-batch node patches, with every stored label
@@ -299,7 +302,14 @@ object SigStore {
     val base = s.read.parquet(s"$root/labels.parquet").select("node", "label")
     val nodesDir = new Path(root, "label_nodes.parquet")
     val all = if (f.exists(nodesDir)) {
-      val patches = s.read.parquet(nodesDir.toString).select("node", "label")
+      // Newest batch wins WITHIN the patches too: a doc re-sent under a
+      // new batch_id lands a second patch row (the anti-join below only
+      // shadows BASE rows), and serving both would double the doc with a
+      // possibly-stale label. max_by(label, batch_id) keeps exactly the
+      // latest absorb's verdict; the aggregation is bounded by absorbed
+      // patch volume, never the corpus.
+      val patches = s.read.parquet(nodesDir.toString)
+        .groupBy("node").agg(expr("max_by(label, batch_id)").as("label"))
       base.join(patches.select("node"), Seq("node"), "left_anti")
         .unionByName(patches)
     } else base
@@ -353,8 +363,21 @@ object SigStore {
     // distinct AFTER contraction to label space: a delta doc hitting a
     // k-member dup family produces k raw hits but ONE (delta, label)
     // edge — without this the edge set is |delta|×|family|, which a
-    // 4000-doc family turns into millions of redundant edges
-    val db = baseLabels.join(broadcast(hits), col("base_id") === col("node"))
+    // 4000-doc family turns into millions of redundant edges.
+    //
+    // The raw hits are that |delta|×|family| shape, so they are NEVER
+    // broadcast (ADVICE r8: a dense-family delta could exceed the
+    // broadcast limit / driver heap). Checkpoint them once (so the store
+    // probe runs exactly once), broadcast only the DISTINCT touched base
+    // ids — bounded by docs-in-touched-families, not pairs — against the
+    // corpus-sized label scan, then map pairs→labels through that small
+    // projected table. The corpus label table is still only streamed.
+    val hitsCk = hits.localCheckpoint(true)
+    val touchedLabels = baseLabels
+      .join(broadcast(hitsCk.select("base_id").distinct()),
+        col("node") === col("base_id"))
+      .select("base_id", "label")
+    val db = hitsCk.join(touchedLabels, Seq("base_id"))
       .select(col("delta_id").as("d1"), col("label").as("d2"))
       .distinct()
     // delta↔delta edges (banded self-join, exact by pigeonhole)

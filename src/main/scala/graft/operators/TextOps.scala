@@ -75,7 +75,7 @@ object TextOps {
       // table, per-rule replace-to-fixpoint) — the token accounting a
       // training-data pipeline packs against, vs text_tokens' regex
       // approximation. The oracle twin is GENERATED from the same merge
-      // table (BpeMerges.duckdbTokenCountExpr), so the two engines apply
+      // table (BpeMerges.duckdbMergeCtes), so the two engines apply
       // the identical rule sequence.
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).select(

@@ -62,7 +62,11 @@ object Upsert {
     * marker inside, atomic rename. A crash mid-build leaves no marker →
     * next call rebuilds; a published base is never mutated.
     */
-  private[graft] def ensureBase(s: SparkSession, d: String): String = {
+  private[graft] def ensureBase(s: SparkSession, d: String): String = synchronized {
+    // object-level synchronized, same as SigStore.ensureBuilt /
+    // IncrementalStats.ensureBuilt (ADVICE r8): two concurrent
+    // q_merge_upsert calls in one JVM would otherwise race on the shared
+    // base.tmp stage dir and the rename, failing one publish spuriously.
     val base = new Path(layoutRoot(d), "base")
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(base, "_READY"))) {
