@@ -156,6 +156,28 @@ object Dedup {
     */
   private[graft] val JaccardPrefixThreshold = 0.6
 
+  /** Plan auto-select gate for dedup_ngram_jaccard_prefix: run the prefix
+    * pipeline only when the inverted-index candidate volume Σ df·(df−1)/2
+    * exceeds this multiple of the postings count — i.e. when the join is
+    * genuinely QUADRATIC in document frequency. Below it, the direct
+    * postings self-join + aggregate wins: prefix filtering pays ~4 extra
+    * shuffle stages (df join-back, per-doc window sort, candidate
+    * distinct, two verify joins), and on a low-df corpus those fixed
+    * stages cost more than the candidate rows they avoid. Measured on the
+    * r10 sf0.1 corpus (max df 25, ratio 4.9): prefix 5.6 s vs direct
+    * ~3 s; a boilerplate-heavy corpus (df in the thousands) sits orders
+    * of magnitude past this gate and flips to prefix. Overridable for
+    * A/B via GRAFT_JACCARD_PREFIX_RATIO (env) or the
+    * `graft.jaccard.prefix.ratio` system property (takes precedence; a
+    * `def` so in-JVM tests can exercise both plan branches — env vars
+    * are immutable per process).
+    */
+  private[graft] def PrefixPlanRatio: Long =
+    sys.props.get("graft.jaccard.prefix.ratio")
+      .orElse(sys.env.get("GRAFT_JACCARD_PREFIX_RATIO"))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(32L)
+
   private[graft] def requireAllPairsSafe(n: Long): Unit =
     require(n <= EmbTopkMaxRows,
       s"dedup_embedding_topk is the O(n^2) all-pairs CORRECTNESS BASELINE, fenced to" +
@@ -241,9 +263,14 @@ object Dedup {
     * primary).
     */
   private[graft] val CcDriverMaxEdges: Long =
-    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES").map(_.toLong).getOrElse {
-      math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
-    }
+    sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES")
+      // Tolerate a malformed override: this runs in object init, so a bare
+      // .toLong would surface as an opaque ExceptionInInitializerError on
+      // ANY Dedup use, far from the env var that caused it.
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse {
+        math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
+      }
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the
@@ -456,11 +483,21 @@ object Dedup {
       // quadratic keys, cutting far more than 60² % on boilerplate-heavy
       // corpora with ZERO recall loss. (At the exploratory 0.1 threshold
       // the prefix would be 90% of postings and prune nothing — that
-      // regime belongs to dedup_ngram_jaccard / _capped; measured 2.6×
-      // slower than the plain join at sf0.1 before this repositioning.)
+      // regime belongs to dedup_ngram_jaccard / _capped.)
       // Candidates re-verify against the full shingle arrays
       // (array_intersect on the checkpointed narrow frame), so no
       // approximation ever reaches the output.
+      //
+      // PLAN AUTO-SELECT (r10): prefix filtering is a bet that candidate
+      // volume is quadratic in df. The r10 corpus regeneration disproved
+      // it for THIS data (max df 25; Σ df·(df−1)/2 = 4.9× postings;
+      // prefix ran 5.6 s vs ~3 s direct because its 4 extra stages
+      // dominate), so the operator now reads the df histogram it already
+      // computes and picks: direct postings self-join + aggregate below
+      // [[PrefixPlanRatio]], the prefix pipeline above it. Both plans are
+      // EXACT at the same threshold — one oracle covers either choice —
+      // and the decision scalar is one tiny aggregate over the df frame,
+      // not a data scan.
       val t = JaccardPrefixThreshold
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
@@ -469,27 +506,51 @@ object Dedup {
       // df via map-side-combined aggregate + join back (not a window over
       // the skewed shingle key — same reasoning as the capped twin).
       val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      val byDocCanonical =
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-      val prefix = ex0.join(df, Seq("s"))
-        .withColumn("rk", row_number().over(byDocCanonical))
-        .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
-        .select("doc_id", "s")
-      val cand = prefix.select(col("doc_id").as("d1"), col("s"))
-        .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2")
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-          col("n_sh").as("n1")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-          col("n_sh").as("n2")), Seq("d2"))
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jaccard") > JaccardPrefixThreshold)
-        .select("d1", "d2", "jaccard")
+      val statsRow = df
+        // DIV, not `/`: Spark's `/` is double division, and the decision
+        // scalar must stay an exact long (Σ df² overflows double precision
+        // past 2^53 on a web-scale shingle universe).
+        .agg(sum(col("df")).as("postings"),
+          sum(expr("df * (df - 1) DIV 2")).as("cand"))
+        .head()
+      val postings = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+      val candVolume = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+      if (candVolume <= PrefixPlanRatio * postings) {
+        // Low-df regime: the exact inverted-index aggregate (the
+        // dedup_ngram_jaccard shape) at the high-confidence threshold.
+        val a = ex0.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
+        val b = ex0.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
+        a.join(b, Seq("s"))
+          .filter(col("d1") < col("d2"))
+          .groupBy("d1", "d2", "n1", "n2")
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+          .filter(col("jaccard") > t)
+          .select("d1", "d2", "jaccard")
+      } else {
+        val byDocCanonical =
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        val prefix = ex0.join(df, Seq("s"))
+          .withColumn("rk", row_number().over(byDocCanonical))
+          .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
+          .select("doc_id", "s")
+        val cand = prefix.select(col("doc_id").as("d1"), col("s"))
+          .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2")
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+            col("n_sh").as("n1")), Seq("d1"))
+          .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+            col("n_sh").as("n2")), Seq("d2"))
+          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+          .filter(col("jaccard") > t)
+          .select("d1", "d2", "jaccard")
+      }
     }),
     "dedup_substring" -> ((s, d) => {
       // Exact substring-duplication detection (the signal behind

@@ -354,6 +354,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s" extra=${pref.diff(truth).take(3)}")
   }
 
+  test("prefix auto-select: both plan branches produce identical output") {
+    // r10: the operator picks direct-aggregate vs prefix-pipeline from the
+    // df histogram (Dedup.PrefixPlanRatio). Force each branch via the
+    // system-property override and require bit-identical results — the
+    // plan choice must never be observable in the output.
+    def pairs(): Set[(Long, Long, Double)] =
+      Dedup.queries("dedup_ngram_jaccard_prefix")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val key = "graft.jaccard.prefix.ratio"
+    val old = sys.props.get(key)
+    try {
+      sys.props(key) = "0" // candVolume <= 0 is false on any nonempty corpus → prefix pipeline
+      val viaPrefix = pairs()
+      sys.props(key) = Long.MaxValue.toString // → direct aggregate
+      val viaDirect = pairs()
+      assert(viaPrefix.nonEmpty, "fixture should contain high-confidence pairs")
+      assert(viaPrefix == viaDirect,
+        s"plan branches diverge: prefixOnly=${viaPrefix.diff(viaDirect).take(3)}" +
+          s" directOnly=${viaDirect.diff(viaPrefix).take(3)}")
+    } finally {
+      old match { case Some(v) => sys.props(key) = v; case None => sys.props -= key }
+    }
+  }
+
   test("substring dedup finds planted verbatim spans, content-defined (alignment-free)") {
     import spark.implicits._
     val span = (1 to 40).map(i => s"sharedword$i").mkString(" ") // ~600 chars
