@@ -155,7 +155,13 @@ object Bench {
     val detailPath = writeDetail("GRAFT_BENCH_DETAIL", "/tmp/graft_bench.json", Seq(full))
     // Stop Spark BEFORE printing the summary: anything the session's
     // shutdown path logs must land above the one line the driver parses.
-    spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"sf":"$sfDir","detail":"$detailPath"}""")
+    // A throwing stop() must not eat that line — it is the whole artifact.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: $e") }
+    // `gate` lets the driver (and a human eyeballing the artifact) see a
+    // run with broken queries without parsing the errors array — rc is 0
+    // either way because partial timings are still worth recording.
+    val gate = if (errors.isEmpty) "pass" else "fail"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

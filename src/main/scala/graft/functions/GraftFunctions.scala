@@ -423,8 +423,9 @@ object GraftFunctions {
   def registerIvf(spark: SparkSession, cents: Array[Array[Double]], k: Int): String = {
     // Full-width md5 of the (k, centroids) bytes: a 31-bit rolling hash
     // could collide two different centroid matrices and silently evaluate
-    // queries with the wrong index. Registration is cheap, so always
-    // createOrReplace — no exists-check to get stale under a collision.
+    // queries with the wrong index. The full digest is what makes
+    // registerOnce's exists-check safe: same name ⇒ same content, so a
+    // prior registration is never stale.
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     md.update(buf.putLong(0, k.toLong).array())

@@ -275,12 +275,17 @@ object SigStore {
     */
   /** Contracted graphs up to this many nodes run the driver union-find
     * fast path (≤ ~32 MB of longs at the cap); larger deltas fall back
-    * to the distributed min-label fixpoint. Heap-scaled like
-    * [[Dedup.CcDriverMaxEdges]] (ADVICE r8) and shares its env override
-    * so one knob forces the distributed path everywhere.
+    * to the distributed min-label fixpoint. Heap-scaled against its OWN
+    * footprint — ~24 B/entry of driver longs (node id + parent + an edge
+    * endpoint pair amortized), not [[Dedup.CcDriverMaxEdges]]'s ~350
+    * B/edge row-object budget, which is a different unit and made this
+    * gate ~20× too conservative on small heaps (ADVICE r9). The
+    * `GRAFT_CC_DRIVER_MAX_EDGES=0` force-distributed override stays
+    * shared so one knob disables every driver fast path.
     */
   private def SmallGraphNodes: Long =
-    math.min(2000000L, Dedup.CcDriverMaxEdges)
+    if (Dedup.CcDriverMaxEdges == 0L) 0L
+    else math.min(2000000L, Runtime.getRuntime.maxMemory / 3 / 24)
 
   /** The store's CURRENT effective labels: the immutable base
     * generation, plus per-batch node patches, with every stored label
