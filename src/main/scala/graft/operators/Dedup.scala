@@ -216,9 +216,10 @@ object Dedup {
     * hop (label ← label(label), i.e. path halving), so convergence is
     * O(log diameter) rounds — the sf0.1 corpus has a 4486-doc component
     * whose diameter would cost ~3× the rounds with relaxation alone.
-    * `localCheckpoint` truncates lineage so plans don't grow with
-    * iterations. The driver-side loop condition is a scalar count — no
-    * row data ever reaches the driver.
+    * [[Materialize.once]] truncates lineage so plans don't grow with
+    * iterations (reliable checkpoint when a checkpoint dir is set,
+    * localCheckpoint otherwise). The driver-side loop condition is a
+    * scalar count — no row data ever reaches the driver.
     */
   /** Path-halving union-by-min over a collected edge list: every node's
     * root converges to the min node id in its component — the exact
@@ -275,7 +276,7 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the
     // symmetric union references it twice
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(Materialize.once)
     // Fast path: the TOUCHED subgraph (edge endpoints only — isolated
     // nodes never enter) is usually tiny relative to the corpus even
     // when the corpus is huge, because edges are near-dup pairs. A
@@ -297,7 +298,7 @@ object Dedup {
     }
     val sym = e.select(col("d1").as("u"), col("d2").as("v"))
       .union(e.select(col("d2").as("u"), col("d1").as("v")))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     // Only edge-touched nodes iterate. Isolated nodes — the overwhelming
     // majority of a lightly-duplicated corpus — are their own component by
     // definition and join back after the fixpoint, so every per-round
@@ -307,7 +308,7 @@ object Dedup {
     // aggregation that enumerates the touched nodes.
     var labels = sym.groupBy("u").agg(min("v").as("nbr_min"))
       .select(col("u").as("node"), least(col("u"), col("nbr_min")).as("label"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     var changed = 1L
     while (changed > 0) {
       val tRound = System.nanoTime()
@@ -320,7 +321,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("prev"))
-        .localCheckpoint(true) // both consumers below read it; un-checkpointed
+        .transform(Materialize.once) // both consumers below read it; un-checkpointed
                                // self-join branches each recompute the subtree
       // pointer jumping: label <- label(label); labels always point at
       // reachable nodes, so the fixpoint (component min) is unchanged but
@@ -330,7 +331,7 @@ object Dedup {
       val jump = relaxed.select(col("node").as("label"), col("label").as("label2"))
       val next = relaxed.join(jump, Seq("label"))
         .select(col("node"), col("label2").as("label"), col("prev"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.select("node", "label")
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
@@ -354,7 +355,7 @@ object Dedup {
       "cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
     val sh = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("sh"), bucket.as("bucket"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     // val-split docs (80 ≤ bucket < 90) participate in neither side:
     // skip their signature build entirely (output-invariant, ~10% less
     // minhash work)
@@ -424,7 +425,7 @@ object Dedup {
       // inverted index IS a materialized structure — narrow (id, count,
       // shingle) rows, not document payloads.
       val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
       val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
       a.join(b, Seq("s"))
@@ -455,7 +456,7 @@ object Dedup {
       val ex = ex0.join(kept, Seq("s"))
         .withColumn("n_sh", count(lit(1)).over(byDoc))
         .select("doc_id", "n_sh", "s")
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       val a = ex.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
       val b = ex.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
       a.join(b, Seq("s"))
@@ -489,10 +490,16 @@ object Dedup {
       // approximation ever reaches the output.
       //
       // PLAN AUTO-SELECT (r10): prefix filtering is a bet that candidate
-      // volume is quadratic in df. The r10 corpus regeneration disproved
-      // it for THIS data (max df 25; Σ df·(df−1)/2 = 4.9× postings;
-      // prefix ran 5.6 s vs ~3 s direct because its 4 extra stages
-      // dominate), so the operator now reads the df histogram it already
+      // volume is quadratic in df, and the sf corpus is NOT in that
+      // regime (max df 25; Σ df·(df−1)/2 = 4.9× postings) — measured
+      // there, the two plans are within noise of each other (prefix
+      // 2.7–5.6 s vs direct ~3 s across quiet/contended boxes; the r9
+      // "5.5× prefix regression" turned out to be box contention, not
+      // data). The auto-select exists for the 100 TB asymmetry the sf
+      // data can't show: at high df the direct join detonates as Σ df²
+      // while prefix prunes exactly those keys, and at low df prefix
+      // pays 4 extra shuffle stages for candidates the direct aggregate
+      // absorbs linearly. The operator reads the df histogram it already
       // computes and picks: direct postings self-join + aggregate below
       // [[PrefixPlanRatio]], the prefix pipeline above it. Both plans are
       // EXACT at the same threshold — one oracle covers either choice —
@@ -501,7 +508,7 @@ object Dedup {
       val t = JaccardPrefixThreshold
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-        .localCheckpoint(true) // feeds the postings build AND the verify join
+        .transform(Materialize.once) // feeds the postings build AND the verify join
       val ex0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       // df via map-side-combined aggregate + join back (not a window over
       // the skewed shingle key — same reasoning as the capped twin).
@@ -582,7 +589,7 @@ object Dedup {
         .distinct()
         // both self-join sides consume this: materialize the exploded
         // window scan + md5 pass ONCE (narrow (doc_id, h) rows only)
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       wins.select(col("doc_id").as("d1"), col("h"))
         .join(wins.select(col("doc_id").as("d2"), col("h")), Seq("h"))
         .filter(col("d1") < col("d2"))
@@ -628,7 +635,7 @@ object Dedup {
       // exact-Jaccard confirm — un-checkpointed, each consumer re-ran the
       // WordShingles expression over the whole corpus.
       val sh = withShingles(Tables.documents(s, d))
-        .select("doc_id", "sh").localCheckpoint(true)
+        .select("doc_id", "sh").transform(Materialize.once)
       minhashCandidates(sh)
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
@@ -647,7 +654,7 @@ object Dedup {
       // j=0.8) — the number that decides the band/row tradeoff before
       // a 100 TB run, measured here on the corpus itself.
       val sh = withShingles(Tables.documents(s, d))
-        .select("doc_id", "sh").localCheckpoint(true)
+        .select("doc_id", "sh").transform(Materialize.once)
       val truth = queries("dedup_ngram_jaccard")(s, d)
         .filter(col("jaccard") >= 0.8).select("d1", "d2")
         .withColumn("in_truth", lit(1))
@@ -731,7 +738,7 @@ object Dedup {
       // from the same 7-band pigeonhole equi-join as dedup_simhash_pairs,
       // so the join fans out with |delta|, never |base|², and the verdict
       // (dup count, closest hamming, novelty) aggregates per delta doc.
-      val sh = simhash(Tables.documents(s, d)).localCheckpoint(true)
+      val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
       val base = banded7(sh.filter(col("doc_id") % 10 =!= 0))
         .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
           col("band_id"), col("band_bits"))

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** One materialization policy for every "compute this subplan exactly once,
+  * then reuse it" site in the engine (inverted-index postings, banded
+  * probes, edge pipelines, fixpoint iterations).
+  *
+  * The engine needs two properties from these sites: (1) the upstream plan
+  * runs ONCE even with multiple downstream consumers, and (2) lineage is
+  * TRUNCATED so iterative algorithms (connected-components fixpoints,
+  * incremental-absorb loops) don't grow their plans without bound.
+  * `localCheckpoint(eager = true)` provides both cheaply — but it pins the
+  * materialized blocks to executors and is NOT fault-tolerant: on a real
+  * cluster, losing one executor mid-job kills every job that reads the
+  * checkpointed frame (VERDICT r9 #3). That is an acceptable trade for
+  * micro-batch-sized deltas and local runs, and a bad one for long-running
+  * maintained stores on preemptible fleets.
+  *
+  * Policy: if the session has a RELIABLE checkpoint directory configured
+  * (`sparkContext.setCheckpointDir`, standard practice on clusters — an
+  * HDFS/S3 path), use `checkpoint(eager = true)`: same once-and-truncate
+  * semantics, storage-backed, survives executor loss. Otherwise fall back
+  * to `localCheckpoint`. Cluster operators opt in to fault tolerance with
+  * the one line they already know; local/test runs keep the fast path with
+  * zero configuration.
+  */
+private[graft] object Materialize {
+  def once(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else
+      df.localCheckpoint(eager = true)
+}

@@ -51,7 +51,7 @@ object SamplingOps {
     // materialize the (|langs|)-row aggregate once: every downstream
     // branch (total, z, the weight projection) otherwise re-runs the full
     // input pipeline — Spark does not reuse exchanges across self-branches
-    val byLang = byLangRaw.localCheckpoint(true)
+    val byLang = byLangRaw.transform(Materialize.once)
     val tot = byLang.agg(sum("n_docs").as("n_total"))
     val withP = byLang.crossJoin(broadcast(tot))
       .withColumn("p", col("n_docs") / col("n_total"))

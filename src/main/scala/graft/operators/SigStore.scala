@@ -152,7 +152,7 @@ object SigStore {
 
   /** dedup_incremental served from the persisted store: identical output,
     * but the base side is the narrow banked table — the only access to
-    * `documents` is the one delta-side simhash pass (localCheckpointed,
+    * `documents` is the one delta-side simhash pass (materialized once,
     * so the serving plan itself contains NO documents scan at all).
     */
   private[graft] def serveIncremental(s: SparkSession, d: String): DataFrame =
@@ -167,7 +167,7 @@ object SigStore {
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
-    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
+    val deltaSh = Dedup.simhash(deltaDocs).transform(Materialize.once)
     val delta = Dedup.banded7(deltaSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))
@@ -341,7 +341,7 @@ object SigStore {
     */
   private def contractDelta(s: SparkSession, root: String,
       deltaDocs: DataFrame): (DataFrame, DataFrame) =
-    contractDeltaSh(s, root, Dedup.simhash(deltaDocs).localCheckpoint(true))
+    contractDeltaSh(s, root, Dedup.simhash(deltaDocs).transform(Materialize.once))
 
   /** [[contractDelta]] over an already-checkpointed (doc_id, simhash)
     * frame — absorb computes the signatures ONCE and shares them with
@@ -377,7 +377,7 @@ object SigStore {
     // ids — bounded by docs-in-touched-families, not pairs — against the
     // corpus-sized label scan, then map pairs→labels through that small
     // projected table. The corpus label table is still only streamed.
-    val hitsCk = hits.localCheckpoint(true)
+    val hitsCk = hits.transform(Materialize.once)
     val touchedLabels = baseLabels
       .join(broadcast(hitsCk.select("base_id").distinct()),
         col("node") === col("base_id"))
@@ -402,7 +402,7 @@ object SigStore {
     val tProf0 = System.nanoTime()
     val edges = db.withColumn("from_store", lit(true))
       .unionByName(dd.withColumn("from_store", lit(false)))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     if (sys.env.contains("GRAFT_CC_PROF"))
       System.err.println(f"[ccprof] edges ckpt: ${(System.nanoTime() - tProf0) / 1e9}%.2f s")
     // The contracted graph is |delta|-bounded BY CONSTRUCTION (delta ids
@@ -447,7 +447,7 @@ object SigStore {
         val deltaOut = contracted
           .join(deltaSh.select(col("doc_id")), col("node") === col("doc_id"))
           .select(col("doc_id").as("node"), col("label"))
-        (relabel.localCheckpoint(true), deltaOut.localCheckpoint(true))
+        (relabel.transform(Materialize.once), deltaOut.transform(Materialize.once))
       }
     if (sys.env.contains("GRAFT_CC_PROF"))
       System.err.println(f"[ccprof] contract ($nDelta d/$nEdges e): ${(System.nanoTime() - tProf1) / 1e9}%.2f s")
@@ -529,7 +529,7 @@ object SigStore {
     // ONE simhash pass over the delta, shared by the contraction and the
     // sig-bank write; materialize the contraction BEFORE mutating the
     // state it reads
-    val deltaSh = Dedup.simhash(deltaDocs).localCheckpoint(true)
+    val deltaSh = Dedup.simhash(deltaDocs).transform(Materialize.once)
     var contractResult: (DataFrame, DataFrame) = null
     prof("contractDelta") { contractResult = contractDeltaSh(s, root, deltaSh) }
     val (relabel, deltaOut) = contractResult
@@ -552,7 +552,7 @@ object SigStore {
         coalesce(col("r.new_label"), col("o.new_label")).as("new_label"))
     var newRemap: DataFrame = null
     prof("remapCompose") {
-      newRemap = composed.unionByName(relabel).localCheckpoint(true)
+      newRemap = composed.unionByName(relabel).transform(Materialize.once)
     }
     // marker drops BEFORE any mutation: a crash mid-absorb must route
     // recovery to the full refixpoint, never leave stale labels looking
@@ -602,7 +602,7 @@ object SigStore {
     val f = fs(s, new Path(root))
     require(f.exists(new Path(root, "_LABELS_READY")),
       s"no published labels to compact: $root")
-    publishLabels(s, root, effectiveLabels(s, root).localCheckpoint(true))
+    publishLabels(s, root, effectiveLabels(s, root).transform(Materialize.once))
   }
 
   /** Build-absorb-serve, end to end, as a pure function of the dataset

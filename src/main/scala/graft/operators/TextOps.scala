@@ -236,7 +236,7 @@ object TextOps {
       // otherwise rescan + re-explode the whole corpus (no cross-branch
       // exchange reuse), and the vocab is bounded by distinct tokens
       val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       val total = vocab.agg(sum("cnt").as("total"))
       toks.join(vocab, "token")
         .crossJoin(broadcast(total))

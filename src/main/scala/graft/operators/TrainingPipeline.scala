@@ -66,15 +66,17 @@ object TrainingPipeline {
     * a two-stage distributed prefix sum over (doc_id, n_tokens) — range-
     * partition by doc_id, per-partition running sums in parallel, then a
     * partition-count-sized offset table (32 rows) broadcast back. The
-    * localCheckpoint freezes partition ids so the offsets branch and the
-    * within-partition branch see identical pids (range-boundary sampling
-    * is not stable across separate jobs), and truncates lineage — at
-    * 100 TB this materializes 3 longs/doc, never the text.
+    * [[Materialize.once]] freezes partition ids so the offsets branch and
+    * the within-partition branch see identical pids (range-boundary
+    * sampling is not stable across separate jobs; the pid column is
+    * computed during the one materialization and stored, under either
+    * checkpoint flavor), and truncates lineage — at 100 TB this
+    * materializes 3 longs/doc, never the text.
     */
   private def packOn(toks: DataFrame): DataFrame = {
     val parts = toks.repartitionByRange(32, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val offsets = parts.groupBy("pid").agg(sum("n_tokens").as("pt"))
       .withColumn("offset", coalesce(
         sum("pt").over(Window.orderBy("pid")
@@ -224,7 +226,7 @@ object TrainingPipeline {
       // small side materialized once: it feeds the filter build AND the
       // exact confirm join
       val evalFps = fps.filter(col("doc_id") % 20 === 0)
-        .select("fp").distinct().localCheckpoint(true)
+        .select("fp").distinct().transform(Materialize.once)
       val bloom = graft.functions.GraftFunctions.buildBloom(
         evalFps, "fp", expectedItems = 100000L, numBits = 1L << 21)
       val probe = graft.functions.GraftFunctions.registerBloomProbe(s, bloom)

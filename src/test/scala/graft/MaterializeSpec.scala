@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** [[graft.operators.Materialize.once]] routes every compute-once site
+  * through reliable `checkpoint()` when the session has a checkpoint dir
+  * (the fault-tolerant cluster path, VERDICT r9 #3) and `localCheckpoint`
+  * otherwise. The rest of the suite exercises the local flavor; this spec
+  * pins the reliable flavor to identical results on the heaviest
+  * checkpoint user (connected components: iterative fixpoint + edge
+  * materialization + driver fast path all behind Materialize.once).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("reliable-checkpoint flavor produces identical dedup components") {
+    val spark = TestSpark.spark
+    def labels(): Map[Long, Long] =
+      Dedup.queries("dedup_components")(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLocal = labels()
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val viaReliable = labels()
+      assert(viaReliable == viaLocal)
+      // the reliable path actually ran: checkpoint data landed in the dir
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no checkpoint data written")
+    } finally {
+      // restore the default local flavor for the rest of the shared JVM
+      org.apache.spark.CheckpointDirReset.clear(spark.sparkContext)
+    }
+  }
+}
