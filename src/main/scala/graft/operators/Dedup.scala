@@ -175,7 +175,13 @@ object Dedup {
   private[graft] def PrefixPlanRatio: Long =
     sys.props.get("graft.jaccard.prefix.ratio")
       .orElse(sys.env.get("GRAFT_JACCARD_PREFIX_RATIO"))
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.toLong).toOption
+        if (parsed.isEmpty)
+          System.err.println(
+            s"[graft] ignoring malformed jaccard prefix ratio override '$v' (not a long); using default 32")
+        parsed
+      }
       .getOrElse(32L)
 
   private[graft] def requireAllPairsSafe(n: Long): Unit =
@@ -191,14 +197,16 @@ object Dedup {
   private val fenceCounts =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  /** (postings, candidate-volume) decision scalars for the prefix plan
-    * auto-select, cached per dataset dir like [[fenceCounts]] — the df
-    * histogram of a static corpus doesn't change between invocations, so
-    * the one tiny aggregate job runs once per JVM, not once per call
-    * (the bench alone invokes the builder 3×).
+  /** (postings, doubled-candidate-volume Σ df·(df−1)) decision scalars
+    * for the prefix plan auto-select, cached per dataset dir like
+    * [[fenceCounts]] — the df histogram of a static corpus doesn't change
+    * between invocations, so the one tiny aggregate job runs once per
+    * JVM, not once per call (the bench alone invokes the builder 3×).
+    * The candidate side is BigDecimal: it is quadratic in df and a long
+    * wraps silently at web scale (self-review r10).
     */
   private val prefixPlanStats =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, BigDecimal)]
 
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -272,15 +280,31 @@ object Dedup {
     * forces the distributed path — how ScaleSmoke measures it as
     * primary).
     */
-  private[graft] val CcDriverMaxEdges: Long =
+  /** The raw env override, exposed so [[SigStore]]'s small-graph gate can
+    * honor an operator-set bound (any value, not just the 0
+    * force-distributed sentinel) while sizing its default from its own
+    * footprint (self-review r10).
+    */
+  private[graft] val CcDriverMaxEdgesEnv: Option[Long] =
     sys.env.get("GRAFT_CC_DRIVER_MAX_EDGES")
       // Tolerate a malformed override: this runs in object init, so a bare
       // .toLong would surface as an opaque ExceptionInInitializerError on
-      // ANY Dedup use, far from the env var that caused it.
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse {
-        math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
+      // ANY Dedup use, far from the env var that caused it. Warn rather
+      // than swallow (self-review r10): an operator who typo'd the cap
+      // they set to BOUND a driver collect must not silently get the
+      // unbounded-feeling default back.
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.toLong).toOption
+        if (parsed.isEmpty)
+          System.err.println(
+            s"[graft] ignoring malformed GRAFT_CC_DRIVER_MAX_EDGES='$v' (not a long); using heap-scaled default")
+        parsed
       }
+
+  private[graft] val CcDriverMaxEdges: Long =
+    CcDriverMaxEdgesEnv.getOrElse {
+      math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
+    }
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the
@@ -518,22 +542,44 @@ object Dedup {
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
         .transform(Materialize.once) // feeds the postings build AND the verify join
+      // Three consumers read the postings (df aggregate + both self-join
+      // sides in whichever branch wins): materialize the explode once —
+      // narrow (doc_id, n_sh, s) rows, the same reasoning as the sibling
+      // queries' checkpointed `ex` (self-review r10: the first cut
+      // re-exploded from `sh` per consumer).
       val ex0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+        .transform(Materialize.once)
       // df via map-side-combined aggregate + join back (not a window over
       // the skewed shingle key — same reasoning as the capped twin).
       val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      val (postings, candVolume) = prefixPlanStats.getOrElseUpdate(d, {
+      val (postings, candVolume2x) = prefixPlanStats.getOrElseUpdate(d, {
         val statsRow = df
-          // DIV, not `/`: Spark's `/` is double division, and the decision
-          // scalar must stay an exact long (Σ df² overflows double precision
-          // past 2^53 on a web-scale shingle universe).
+          // The DOUBLED candidate sum Σ df·(df−1) aggregates as
+          // DECIMAL(38,0): a single shingle with df > ~4.3e9 overflows
+          // df·(df−1) in a long, and Spark's non-ANSI long sum wraps
+          // SILENTLY — a wrapped negative would select the direct plan in
+          // exactly the ultra-high-df regime the gate exists to route
+          // away from it. (The doubled form avoids decimal division's
+          // fractional result scale; the comparison below doubles the
+          // other side instead.) Postings is bounded by total row count
+          // and stays long.
           .agg(sum(col("df")).as("postings"),
-            sum(expr("df * (df - 1) DIV 2")).as("cand"))
+            sum(expr("cast(df as decimal(38,0)) * (df - 1)")).as("cand2"))
           .head()
-        (if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0),
-          if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1))
+        val cand2 =
+          if (statsRow.isNullAt(1)) BigDecimal(0)
+          else BigDecimal(statsRow.getDecimal(1))
+        (if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0), cand2)
       })
-      if (candVolume <= PrefixPlanRatio * postings) {
+      // Overflow-safe comparison of candVolume ≤ ratio·postings (both
+      // sides doubled): ratio × postings can wrap a long for large
+      // overrides (self-review r10 — Long.MaxValue × even postings wraps
+      // NEGATIVE and silently flips the plan choice, which also made the
+      // branch-parity spec vacuous). BigDecimal on both sides; a NEGATIVE
+      // ratio force-selects the prefix pipeline (the candidate sum is
+      // never negative), the test hook's counterpart to huge-ratio
+      // force-direct.
+      if (candVolume2x <= BigDecimal(2) * BigDecimal(PrefixPlanRatio) * BigDecimal(postings)) {
         // Low-df regime: the exact inverted-index aggregate (the
         // dedup_ngram_jaccard shape) at the high-confidence threshold.
         val a = ex0.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))

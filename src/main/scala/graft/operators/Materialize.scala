@@ -24,11 +24,27 @@ import org.apache.spark.sql.DataFrame
   * to `localCheckpoint`. Cluster operators opt in to fault tolerance with
   * the one line they already know; local/test runs keep the fast path with
   * zero configuration.
+  *
+  * Two operational notes for the reliable flavor (self-review r10):
+  *
+  *   - The frame is persisted around the checkpoint: a bare reliable
+  *     `checkpoint(eager = true)` runs the plan TWICE (once for the eager
+  *     count, once in the separate checkpoint-write job). The transient
+  *     persist makes the write job read the cached result instead, and is
+  *     released immediately after.
+  *   - Reliable checkpoint files are deleted by the ContextCleaner only
+  *     when `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off
+  *     by default, settable only at context creation). Long-running jobs
+  *     that set a checkpoint dir should set that conf alongside it, or
+  *     sweep the checkpoint dir between batches — otherwise each
+  *     materialization leaves its files behind for the life of the app.
   */
 private[graft] object Materialize {
   def once(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else
       df.localCheckpoint(eager = true)
 }

@@ -274,18 +274,22 @@ object SigStore {
     * row-identical to the one-shot `dedup_components` (same oracle).
     */
   /** Contracted graphs up to this many nodes run the driver union-find
-    * fast path (≤ ~32 MB of longs at the cap); larger deltas fall back
-    * to the distributed min-label fixpoint. Heap-scaled against its OWN
-    * footprint — ~24 B/entry of driver longs (node id + parent + an edge
-    * endpoint pair amortized), not [[Dedup.CcDriverMaxEdges]]'s ~350
-    * B/edge row-object budget, which is a different unit and made this
-    * gate ~20× too conservative on small heaps (ADVICE r9). The
-    * `GRAFT_CC_DRIVER_MAX_EDGES=0` force-distributed override stays
-    * shared so one knob disables every driver fast path.
+    * fast path; larger deltas fall back to the distributed min-label
+    * fixpoint. Heap-scaled against its OWN footprint, not
+    * [[Dedup.CcDriverMaxEdges]]'s ~350 B/edge budget, which is a
+    * different unit and made this gate ~20× too conservative on small
+    * heaps (ADVICE r9). The per-entry budget is ~256 B — not the ~24 B
+    * of settled primitive longs, because the PEAK is the transient
+    * `collect()` of boxed 2-field Rows plus the union-find's boxed
+    * HashMap entries (self-review r10 caught the 24 B estimate
+    * re-admitting the small-heap OOM the gate exists to prevent). An
+    * operator-set `GRAFT_CC_DRIVER_MAX_EDGES` bounds this path too —
+    * any value, with 0 forcing the distributed fixpoint everywhere —
+    * so one knob governs every driver collect.
     */
   private def SmallGraphNodes: Long =
-    if (Dedup.CcDriverMaxEdges == 0L) 0L
-    else math.min(2000000L, Runtime.getRuntime.maxMemory / 3 / 24)
+    Dedup.CcDriverMaxEdgesEnv.getOrElse(
+      math.min(2000000L, Runtime.getRuntime.maxMemory / 3 / 256))
 
   /** The store's CURRENT effective labels: the immutable base
     * generation, plus per-batch node patches, with every stored label

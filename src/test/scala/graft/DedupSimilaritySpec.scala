@@ -359,16 +359,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // df histogram (Dedup.PrefixPlanRatio). Force each branch via the
     // system-property override and require bit-identical results — the
     // plan choice must never be observable in the output.
-    def pairs(): Set[(Long, Long, Double)] =
-      Dedup.queries("dedup_ngram_jaccard_prefix")(spark, sf).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def build() = Dedup.queries("dedup_ngram_jaccard_prefix")(spark, sf)
+    def collectPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the prefix pipeline is the only branch with a row_number window —
+    // assert each leg actually took its branch, so a gate bug that routes
+    // both legs the same way fails HERE instead of vacuously passing the
+    // equality below (exactly what the pre-BigDecimal overflow did:
+    // Long.MaxValue × even postings wrapped negative and both legs ran
+    // prefix, self-review r10)
+    def isPrefixPlan(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("row_number")
     val key = "graft.jaccard.prefix.ratio"
     val old = sys.props.get(key)
     try {
-      sys.props(key) = "0" // candVolume <= 0 is false on any nonempty corpus → prefix pipeline
-      val viaPrefix = pairs()
+      // NEGATIVE ratio → comparison always false → prefix pipeline; a huge
+      // ratio forces direct (the gate compares in BigDecimal so
+      // Long.MaxValue cannot wrap).
+      sys.props(key) = "-1"
+      val prefixDf = build()
+      assert(isPrefixPlan(prefixDf), "ratio=-1 leg did not take the prefix pipeline")
+      val viaPrefix = collectPairs(prefixDf)
       sys.props(key) = Long.MaxValue.toString // → direct aggregate
-      val viaDirect = pairs()
+      val directDf = build()
+      assert(!isPrefixPlan(directDf), "huge-ratio leg did not take the direct plan")
+      val viaDirect = collectPairs(directDf)
       assert(viaPrefix.nonEmpty, "fixture should contain high-confidence pairs")
       assert(viaPrefix == viaDirect,
         s"plan branches diverge: prefixOnly=${viaPrefix.diff(viaDirect).take(3)}" +

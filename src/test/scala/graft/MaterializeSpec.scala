@@ -25,9 +25,15 @@ class MaterializeSpec extends AnyFunSuite {
     try {
       val viaReliable = labels()
       assert(viaReliable == viaLocal)
-      // the reliable path actually ran: checkpoint data landed in the dir
-      val wrote = new java.io.File(dir).listFiles()
-      assert(wrote != null && wrote.nonEmpty, "no checkpoint data written")
+      // The reliable path actually ran: checkpoint PART FILES landed under
+      // the dir. A bare listFiles() non-empty check is vacuous —
+      // setCheckpointDir itself pre-creates a UUID subdirectory before any
+      // checkpoint happens (self-review r10) — so walk for regular files
+      // (rdd-*/part-*), which only a real checkpoint write produces.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .count()
+      assert(wrote > 0, "no checkpoint part files written — reliable flavor did not run")
     } finally {
       // restore the default local flavor for the rest of the shared JVM
       org.apache.spark.CheckpointDirReset.clear(spark.sparkContext)
