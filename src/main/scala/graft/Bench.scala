@@ -62,6 +62,7 @@ object Bench {
     "dedup_components_stored",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_fine",
+    "dedup_semantic",
     "decontam_bloom",
     "decontam_neardup",
     "ann_bruteforce_topk",

@@ -34,6 +34,7 @@ object ScaleSmoke {
     "dedup_components",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_fine",
+    "dedup_semantic",
     "decontam_neardup",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

@@ -49,6 +49,15 @@ object Similarity {
   val KmeansIters = 3
   val KmeansQuant = 1048576.0
 
+  /** dedup_semantic output size (per-cluster top pairs) and the SemDeDup
+    * keep/drop cosine threshold. The fixture embeddings are random (max
+    * pairwise cosine ≈ 0.5), so the rank-based output keeps the oracle
+    * non-vacuous while `is_dup` carries the actual dedup verdict; a
+    * production corpus tunes the ε to its embedding model.
+    */
+  val SemanticTopK = 5
+  val SemanticDupThreshold = 0.9
+
   /** Metadata predicate for ann_ivfpq_filtered_topk: labels 0-9 are
     * ~uniform, so `label < 3` keeps ~30% of the corpus — selective enough
     * that pre- vs post-filtering provably differ, dense enough that most
@@ -127,6 +136,48 @@ object Similarity {
       .orderBy(col("h"), col("vec_id")).limit(n)
       .select("emb").collect()
       .map(_.getSeq[Double](0).toArray)
+
+  /** Trained Lloyd's k-means centroids (K=[[KmeansK]], [[KmeansIters]]
+    * fixed iterations, cosine assignment), shared by embedding_kmeans and
+    * dedup_semantic and cached per dataset dir (deterministic given the
+    * data, so the 3 bounded collect iterations run once per JVM). Still
+    * bit-exact across engines: element-wise centroid means are computed
+    * over 2^-20-quantized values, so the per-dimension sums are integers
+    * (order-independent), where raw double summation order would diverge
+    * between Spark's partial aggregation and DuckDB. Each iteration is
+    * one assignment pass (IvfTopCells loop, no shuffle) + a
+    * (K × dims)-row aggregate — the collect is the bounded model-update
+    * step, 256 rows, never data. An emptied cluster keeps its previous
+    * centroid (defined in both engines via LEFT JOIN + coalesce).
+    */
+  private val kmeansCents =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  private def trainedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    kmeansCents.getOrElseUpdate(d, {
+      val e = withEmb(s, d)
+      // k-means init = KmeansK-prefix of the shared 8-sample (the hash
+      // order is total, so the prefix IS hashSample(e, KmeansK)); the
+      // Lloyd loop never mutates these arrays (next is built from clones)
+      var cents: Array[Array[Double]] = annIndex(e, d).centroids.take(KmeansK)
+      for (_ <- 1 to KmeansIters) {
+        val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+        val sums = e
+          .select(expr(s"element_at($fn(emb), 1)").as("cell"),
+            posexplode(col("emb")).as(Seq("pos", "x")))
+          .withColumn("q", round(col("x") * KmeansQuant).cast("long"))
+          .groupBy("cell", "pos")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone()) // empty cluster -> previous centroid
+        sums.foreach { r =>
+          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+            (r.getAs[Long]("sq").toDouble / r.getAs[Long]("n")) / KmeansQuant
+        }
+        cents = next
+      }
+      cents
+    })
 
   /** Trained-index artifacts shared by the ANN family: the 8-vector
     * hash-ordered sample (IVF centroids; its 4-prefix is the PQ codeword
@@ -440,43 +491,53 @@ object Similarity {
           round(col("approx_dist"), 4).as("approx_dist"))
     }),
     "embedding_kmeans" -> ((s, d) => {
-      // Lloyd's k-means (K=4, 3 fixed iterations, cosine assignment) — the
-      // TRAINED coarse quantizer complementing the training-free LSH/IVF
-      // hash paths, and still bit-exact across engines: element-wise
-      // centroid means are computed over 2^-20-quantized values, so the
-      // per-dimension sums are integers (order-independent), where raw
-      // double summation order would diverge between Spark's partial
-      // aggregation and DuckDB. Each iteration is one assignment pass
-      // (IvfTopCells loop, no shuffle) + a (K × dims)-row aggregate — the
-      // collect is the bounded model-update step, 256 rows, never data.
-      // An emptied cluster keeps its previous centroid (defined in both
-      // engines via LEFT JOIN + coalesce).
-      val e = withEmb(s, d)
-      // k-means init = KmeansK-prefix of the shared 8-sample (the hash
-      // order is total, so the prefix IS hashSample(e, KmeansK)); the
-      // Lloyd loop never mutates these arrays (next is built from clones)
-      var cents: Array[Array[Double]] = annIndex(e, d).centroids.take(KmeansK)
-      for (_ <- 1 to KmeansIters) {
-        val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
-        val sums = e
-          .select(expr(s"element_at($fn(emb), 1)").as("cell"),
-            posexplode(col("emb")).as(Seq("pos", "x")))
-          .withColumn("q", round(col("x") * KmeansQuant).cast("long"))
-          .groupBy("cell", "pos")
-          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-          .collect()
-        val next = cents.map(_.clone()) // empty cluster -> previous centroid
-        sums.foreach { r =>
-          next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-            (r.getAs[Long]("sq").toDouble / r.getAs[Long]("n")) / KmeansQuant
-        }
-        cents = next
-      }
-      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      val fn = graft.functions.GraftFunctions.registerIvf(s, trainedCentroids(s, d), 1)
       val w = Window.partitionBy(col("cluster_id"))
-      e.select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"))
+      withEmb(s, d)
+        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"))
         .withColumn("cluster_size", count(lit(1)).over(w))
         .select("vec_id", "cluster_id", "cluster_size")
+    }),
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup-style semantic dedup (Abbas et al. 2023,
+      // arXiv:2303.09540): near-duplicate discovery SCOPED to the trained
+      // k-means clusters — pairwise cosine runs only within a cluster, so
+      // candidate volume is Σ |cluster|² instead of the n² all-pairs that
+      // dedup_embedding_topk fences off. That is the published recipe for
+      // embedding-level dedup at web scale: k grows with the corpus
+      // (k ≈ n / target-cluster-size) and the per-cluster work stays
+      // bounded; the fixture-sized K=4 here exercises the identical plan.
+      // Output: per-cluster top-SemanticTopK pairs by cosine with the
+      // SemDeDup keep/drop verdict (`is_dup` at SemanticDupThreshold) —
+      // rank-based output keeps the oracle non-vacuous on the random
+      // fixture embeddings, where a threshold alone would select nothing.
+      // The per-cluster ranking is the salted two-stage top-k (same
+      // argument as [[twoStageTopK]]: a bare PARTITION BY cluster window
+      // caps the final stage at k tasks on a real cluster; salt groups
+      // rank locally first and provably never drop a global winner).
+      val cents = trainedCentroids(s, d)
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      val assigned = withEmb(s, d)
+        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"), col("emb"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"), col("emb").as("e1"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("id2"), col("emb").as("e2"))
+      val pairs = a.join(b, Seq("cluster_id"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("cosine", round(expr("dot_double(e1, e2)") /
+          (sqrt(expr("dot_double(e1, e1)")) * sqrt(expr("dot_double(e2, e2)"))), 4))
+      // total order (rounded cosine desc, then the unique id pair) — the
+      // same tie-break discipline as every other hash-checked ranking
+      val order = Seq(col("cosine").desc, col("id1"), col("id2"))
+      val w1 = Window.partitionBy(col("cluster_id"), col("salt")).orderBy(order: _*)
+      val w2 = Window.partitionBy(col("cluster_id")).orderBy(order: _*)
+      pairs
+        .withColumn("salt", pmod(xxhash64(col("id1"), col("id2")), lit(64)))
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= SemanticTopK)
+        .withColumn("rank", row_number().over(w2).cast("int"))
+        .filter(col("rank") <= SemanticTopK)
+        .withColumn("is_dup", col("cosine") >= SemanticDupThreshold)
+        .select("cluster_id", "rank", "id1", "id2", "cosine", "is_dup")
     }),
     "ann_recall" -> ((s, d) => {
       // Recall@5 of each approximate index vs the bruteforce ground truth —
@@ -747,35 +808,56 @@ object Similarity {
          |  round(min(sqrt(list_dot_product(emb, emb))), 4) min_norm,
          |  round(max(sqrt(list_dot_product(emb, emb))), 4) max_norm
          |FROM e GROUP BY label""".stripMargin,
-    "embedding_kmeans" -> {
-      // the same 3 unrolled Lloyd iterations: cosine assignment (ranked
-      // cos DESC, cell DESC like IvfTopCells), integer-quantized
-      // element-wise means, empty cluster keeps its previous centroid
-      def assign(name: String, cents: String) =
-        s"""$name AS (SELECT vec_id, emb, cell FROM (
-           |  SELECT e.vec_id, e.emb, c.cell,
-           |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |      list_dot_product(e.emb, c.cv) /
-           |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-           |      c.cell DESC) r
-           |  FROM e CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
-      val iters = (1 to KmeansIters).map { i =>
-        val prev = s"c${i - 1}"
-        s"""${assign(s"a$i", prev)},
-           |s$i AS (SELECT cell, i, sum(CAST(round(emb[i] * $KmeansQuant) AS BIGINT)) sq, count(*) n
-           |        FROM a$i, unnest(range(1, 65)) t(i) GROUP BY cell, i),
-           |n$i AS (SELECT cell, list(sq::DOUBLE / n / $KmeansQuant ORDER BY i) cv FROM s$i GROUP BY cell),
-           |c$i AS (SELECT p.cell, coalesce(n$i.cv, p.cv) cv FROM $prev p LEFT JOIN n$i USING (cell))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $embCte,
-         |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell, emb cv
-         |       FROM h ORDER BY h, vec_id LIMIT $KmeansK),
-         |$iters,
-         |${assign("af", s"c$KmeansIters")}
+    "embedding_kmeans" ->
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cell AS cluster_id,
          |  count(*) OVER (PARTITION BY cell) cluster_size
-         |FROM af""".stripMargin
-    }
+         |FROM af""".stripMargin,
+    // cluster-scoped pairwise cosine + per-cluster ranked head — composes
+    // the proven kmeans assignment CTE (`af`) with the dedup_embedding
+    // cosine formulation, so both halves are already individually
+    // hash-matched
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         |p AS (SELECT a.cell AS cluster_id, a.vec_id id1, b.vec_id id2,
+         |  round(list_dot_product(a.emb, b.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) cosine
+         |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY cosine DESC, id1, id2) AS INT) AS rank FROM p)
+         |SELECT cluster_id, rank, id1, id2, cosine,
+         |  cosine >= $SemanticDupThreshold AS is_dup
+         |FROM r WHERE rank <= $SemanticTopK""".stripMargin
   )
+
+  /** The kmeans WITH-body up to `af` (final cluster assignment): the same
+    * 3 unrolled Lloyd iterations as the Spark side — cosine assignment
+    * (ranked cos DESC, cell DESC like IvfTopCells), integer-quantized
+    * element-wise means, empty cluster keeps its previous centroid —
+    * shared by the embedding_kmeans and dedup_semantic oracles.
+    */
+  private def kmeansCtes: String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, emb, cell FROM (
+         |  SELECT e.vec_id, e.emb, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.emb, c.cv) /
+         |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |      c.cell DESC) r
+         |  FROM e CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+    val iters = (1 to KmeansIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""${assign(s"a$i", prev)},
+         |s$i AS (SELECT cell, i, sum(CAST(round(emb[i] * $KmeansQuant) AS BIGINT)) sq, count(*) n
+         |        FROM a$i, unnest(range(1, 65)) t(i) GROUP BY cell, i),
+         |n$i AS (SELECT cell, list(sq::DOUBLE / n / $KmeansQuant ORDER BY i) cv FROM s$i GROUP BY cell),
+         |c$i AS (SELECT p.cell, coalesce(n$i.cv, p.cv) cv FROM $prev p LEFT JOIN n$i USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""$embCte,
+       |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell, emb cv
+       |       FROM h ORDER BY h, vec_id LIMIT $KmeansK),
+       |$iters,
+       |${assign("af", s"c$KmeansIters")}""".stripMargin
+  }
 }

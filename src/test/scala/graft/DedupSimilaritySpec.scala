@@ -486,6 +486,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic surfaces planted near-dups inside their cluster with is_dup") {
+    import spark.implicits._
+    // same planted regime as the LSH fine test: 10 pairs at cosine ≈ 1 on
+    // an otherwise-random corpus. SemDeDup's cluster scoping must not lose
+    // them: a planted near-identical pair lands in the SAME kmeans cluster
+    // (cosine assignment; the two vectors are ~identical so they rank the
+    // same centroid first), so each must surface in its cluster's ranked
+    // head with is_dup = true at the 0.9 threshold.
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 50).map(i => (i.toLong, vec()))
+    val dups = bases.take(10).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    (bases ++ dups).map { case (id, v) => (id, "x", v) }
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    val planted = (0 until 10).map(i => (i.toLong, i + 1000L)).toSet
+    val flagged = out.filter(_._4).map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(flagged),
+      s"cluster scoping lost planted pairs: ${planted.diff(flagged)}")
+    // nothing random should clear the 0.9 bar
+    assert(flagged == planted, s"spurious is_dup pairs: ${flagged.diff(planted)}")
+    // per-cluster head is bounded and ranks are 1-based contiguous per cluster
+    val byCluster = Similarity.queries("dedup_semantic")(spark, dir).collect()
+      .groupBy(_.getInt(0))
+    byCluster.foreach { case (c, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted
+      assert(ranks.length <= Similarity.SemanticTopK, s"cluster $c head too large")
+      assert(ranks.toSeq == (1 to ranks.length), s"cluster $c ranks not contiguous")
+    }
+    // determinism
+    assert(out.toSeq == Similarity.queries("dedup_semantic")(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq)
+  }
+
   test("decontam_neardup: sound verdicts, full eval coverage, exact-dup completeness") {
     import org.apache.spark.sql.functions.{col, expr}
     def bucket(id: Long): Long =
