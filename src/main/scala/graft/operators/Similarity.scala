@@ -517,14 +517,22 @@ object Similarity {
       // rank locally first and provably never drop a global winner).
       val cents = trainedCentroids(s, d)
       val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      // self-norm computed ONCE per vector, not per pair: the naive
+      // per-pair cosine evaluates 3 dot products (e1·e2, e1·e1, e2·e2) —
+      // carrying the norm through the join cuts per-pair work to 1 dot +
+      // 1 multiply (measured 2.37 → 2.12 s at sf0.1 — the residual is the
+      // ranking windows over Σ|cluster|² pairs, not the arithmetic)
       val assigned = withEmb(s, d)
-        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"), col("emb"))
-      val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"), col("emb").as("e1"))
-      val b = assigned.select(col("cluster_id"), col("vec_id").as("id2"), col("emb").as("e2"))
+        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"),
+          col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
+      val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"),
+        col("emb").as("e1"), col("nrm").as("n1"))
+      val b = assigned.select(col("cluster_id"), col("vec_id").as("id2"),
+        col("emb").as("e2"), col("nrm").as("n2"))
       val pairs = a.join(b, Seq("cluster_id"))
         .filter(col("id1") < col("id2"))
-        .withColumn("cosine", round(expr("dot_double(e1, e2)") /
-          (sqrt(expr("dot_double(e1, e1)")) * sqrt(expr("dot_double(e2, e2)"))), 4))
+        .withColumn("cosine",
+          round(expr("dot_double(e1, e2)") / (col("n1") * col("n2")), 4))
       // total order (rounded cosine desc, then the unique id pair) — the
       // same tie-break discipline as every other hash-checked ranking
       val order = Seq(col("cosine").desc, col("id1"), col("id2"))
