@@ -208,6 +208,18 @@ object Dedup {
   private val prefixPlanStats =
     scala.collection.concurrent.TrieMap.empty[String, (Long, BigDecimal)]
 
+  /** Invalidation seam matching [[Similarity.clearAnnIndexCache]]: a dir
+    * whose documents change IN PLACE (long-running JVM, tests reusing a
+    * path) must clear, or the prefix-vs-direct gate keeps deciding on the
+    * old corpus's df histogram — output stays exact either way (both
+    * plans are), but a corpus that moved into the high-df regime would
+    * keep the detonating direct join.
+    */
+  private[graft] def clearPlanStatsCache(): Unit = {
+    prefixPlanStats.clear()
+    fenceCounts.clear()
+  }
+
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // float→double widening is exact, and Cast on arrays is codegen'd —
@@ -566,10 +578,18 @@ object Dedup {
           .agg(sum(col("df")).as("postings"),
             sum(expr("cast(df as decimal(38,0)) * (df - 1)")).as("cand2"))
           .head()
+        val p = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+        // A NULL candidate sum with nonzero postings is decimal(38,0)
+        // OVERFLOW (Spark's non-ANSI decimal sum nulls out past 10^38),
+        // which only a cataclysmically high-df corpus can produce —
+        // treat it as +infinity so the gate picks the prefix plan, not
+        // as the empty-corpus 0 that would pick the direct join in
+        // exactly that regime (second self-review pass).
         val cand2 =
-          if (statsRow.isNullAt(1)) BigDecimal(0)
+          if (statsRow.isNullAt(1))
+            if (p > 0L) BigDecimal(10).pow(39) else BigDecimal(0)
           else BigDecimal(statsRow.getDecimal(1))
-        (if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0), cand2)
+        (p, cand2)
       })
       // Overflow-safe comparison of candVolume ≤ ratio·postings (both
       // sides doubled): ratio × postings can wrap a long for large

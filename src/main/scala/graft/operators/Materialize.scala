@@ -42,9 +42,16 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Materialize {
   def once(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Only manage the persist lifecycle if the CALLER hasn't: persist on
+      // an already-persisted frame is a no-op warning (the level can't
+      // change), and the finally-unpersist would silently evict the
+      // caller's cache out from under them (self-review r10).
+      val ourPersist =
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (ourPersist)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try df.checkpoint(eager = true)
-      finally df.unpersist(blocking = false)
+      finally if (ourPersist) df.unpersist(blocking = false)
     } else
       df.localCheckpoint(eager = true)
 }

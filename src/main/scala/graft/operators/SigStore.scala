@@ -283,13 +283,17 @@ object SigStore {
     * `collect()` of boxed 2-field Rows plus the union-find's boxed
     * HashMap entries (self-review r10 caught the 24 B estimate
     * re-admitting the small-heap OOM the gate exists to prevent). An
-    * operator-set `GRAFT_CC_DRIVER_MAX_EDGES` bounds this path too —
-    * any value, with 0 forcing the distributed fixpoint everywhere —
-    * so one knob governs every driver collect.
+    * operator-set `GRAFT_CC_DRIVER_MAX_EDGES` can only LOWER this gate
+    * (min with the heap cap, second self-review pass): the knob is
+    * calibrated in Dedup's ~350 B/edge units, so a value RAISED to widen
+    * that path's collect must not transitively lift this one past its
+    * own safe budget — 0 still forces the distributed fixpoint
+    * everywhere.
     */
-  private def SmallGraphNodes: Long =
-    Dedup.CcDriverMaxEdgesEnv.getOrElse(
-      math.min(2000000L, Runtime.getRuntime.maxMemory / 3 / 256))
+  private def SmallGraphNodes: Long = {
+    val heapCap = math.min(2000000L, Runtime.getRuntime.maxMemory / 3 / 256)
+    Dedup.CcDriverMaxEdgesEnv.fold(heapCap)(math.min(_, heapCap))
+  }
 
   /** The store's CURRENT effective labels: the immutable base
     * generation, plus per-batch node patches, with every stored label

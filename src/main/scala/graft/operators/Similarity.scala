@@ -214,6 +214,11 @@ object Similarity {
   private[graft] def clearAnnIndexCache(): Unit = {
     annIndexCache.clear()
     annTrainBuilds.clear()
+    // the trained kmeans centroids derive from the same per-dir content
+    // and must drop with the index cache — a dir overwritten in place
+    // would otherwise keep assigning clusters from stale centroids while
+    // the DuckDB oracle retrains on the current data (self-review r10)
+    kmeansCents.clear()
   }
 
   private[operators] def annIndex(e: DataFrame, d: String): AnnIndex =
@@ -282,11 +287,22 @@ object Similarity {
     * top-k, so stage 1 never drops a winner.
     */
   private[operators] def twoStageTopK(df: DataFrame, k: Int,
-      orderCols: org.apache.spark.sql.Column*): DataFrame = {
-    val order = orderCols :+ col("vec_id")
-    val w1 = Window.partitionBy(col("query_id"), col("salt")).orderBy(order: _*)
-    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    df.withColumn("salt", pmod(xxhash64(col("vec_id")), lit(64)))
+      orderCols: org.apache.spark.sql.Column*): DataFrame =
+    twoStageTopKBy(df, k, col("query_id"), xxhash64(col("vec_id")),
+      orderCols :+ col("vec_id"))
+
+  /** The general form: top-k per `part` group under the total order
+    * `orderCols` (which MUST be total — include unique tie-break columns),
+    * salted by `saltSrc` for stage-1 parallelism. Shared by the per-query
+    * ANN rankings (via [[twoStageTopK]]) and dedup_semantic's per-cluster
+    * ranking — one copy of the never-drops-a-winner argument above.
+    */
+  private[operators] def twoStageTopKBy(df: DataFrame, k: Int,
+      part: org.apache.spark.sql.Column, saltSrc: org.apache.spark.sql.Column,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w1 = Window.partitionBy(part, col("salt")).orderBy(orderCols: _*)
+    val w2 = Window.partitionBy(part).orderBy(orderCols: _*)
+    df.withColumn("salt", pmod(saltSrc, lit(64)))
       .withColumn("r1", row_number().over(w1))
       .filter(col("r1") <= k)
       .withColumn("rank", row_number().over(w2).cast("int"))
@@ -522,9 +538,13 @@ object Similarity {
       // carrying the norm through the join cuts per-pair work to 1 dot +
       // 1 multiply (measured 2.37 → 2.12 s at sf0.1 — the residual is the
       // ranking windows over Σ|cluster|² pairs, not the arithmetic)
+      // both self-join sides (and only they) consume the assignment +
+      // norm pass: materialize it once — the convention every sibling
+      // self-join follows (second self-review pass caught the miss)
       val assigned = withEmb(s, d)
         .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"),
           col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
+        .transform(Materialize.once)
       val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"),
         col("emb").as("e1"), col("nrm").as("n1"))
       val b = assigned.select(col("cluster_id"), col("vec_id").as("id2"),
@@ -535,15 +555,9 @@ object Similarity {
           round(expr("dot_double(e1, e2)") / (col("n1") * col("n2")), 4))
       // total order (rounded cosine desc, then the unique id pair) — the
       // same tie-break discipline as every other hash-checked ranking
-      val order = Seq(col("cosine").desc, col("id1"), col("id2"))
-      val w1 = Window.partitionBy(col("cluster_id"), col("salt")).orderBy(order: _*)
-      val w2 = Window.partitionBy(col("cluster_id")).orderBy(order: _*)
-      pairs
-        .withColumn("salt", pmod(xxhash64(col("id1"), col("id2")), lit(64)))
-        .withColumn("r1", row_number().over(w1))
-        .filter(col("r1") <= SemanticTopK)
-        .withColumn("rank", row_number().over(w2).cast("int"))
-        .filter(col("rank") <= SemanticTopK)
+      twoStageTopKBy(pairs, SemanticTopK, col("cluster_id"),
+        xxhash64(col("id1"), col("id2")),
+        Seq(col("cosine").desc, col("id1"), col("id2")))
         .withColumn("is_dup", col("cosine") >= SemanticDupThreshold)
         .select("cluster_id", "rank", "id1", "id2", "cosine", "is_dup")
     }),

@@ -30,9 +30,10 @@ class MaterializeSpec extends AnyFunSuite {
       // setCheckpointDir itself pre-creates a UUID subdirectory before any
       // checkpoint happens (self-review r10) — so walk for regular files
       // (rdd-*/part-*), which only a real checkpoint write produces.
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close() // walk streams hold directory handles open
       assert(wrote > 0, "no checkpoint part files written — reliable flavor did not run")
     } finally {
       // restore the default local flavor for the rest of the shared JVM
