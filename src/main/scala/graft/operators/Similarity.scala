@@ -58,6 +58,21 @@ object Similarity {
   val SemanticTopK = 5
   val SemanticDupThreshold = 0.9
 
+  /** Broadcast gate for dedup_semantic's pair join: assignment tables up
+    * to this many vectors (~100 MB at 64-dim doubles + norm) broadcast —
+    * the measured-fastest plan (see the operator comment) — larger
+    * corpora fall back to the shuffled join + AQE skew splitting.
+    */
+  val SemanticBroadcastMaxRows = 200000L
+
+  /** Embedding row counts per dataset dir (counted on the already-
+    * materialized assignment frame, so the job reads checkpointed blocks;
+    * one count per dir per JVM), gating the dedup_semantic broadcast.
+    * Cleared by [[clearAnnIndexCache]] with the other per-dir caches.
+    */
+  private val embCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** Metadata predicate for ann_ivfpq_filtered_topk: labels 0-9 are
     * ~uniform, so `label < 3` keeps ~30% of the corpus — selective enough
     * that pre- vs post-filtering provably differ, dense enough that most
@@ -214,11 +229,13 @@ object Similarity {
   private[graft] def clearAnnIndexCache(): Unit = {
     annIndexCache.clear()
     annTrainBuilds.clear()
-    // the trained kmeans centroids derive from the same per-dir content
-    // and must drop with the index cache — a dir overwritten in place
-    // would otherwise keep assigning clusters from stale centroids while
-    // the DuckDB oracle retrains on the current data (self-review r10)
+    // the trained kmeans centroids and the embedding counts derive from
+    // the same per-dir content and must drop with the index cache — a dir
+    // overwritten in place would otherwise keep assigning clusters from
+    // stale centroids while the DuckDB oracle retrains on the current
+    // data (self-review r10)
     kmeansCents.clear()
+    embCounts.clear()
   }
 
   private[operators] def annIndex(e: DataFrame, d: String): AnnIndex =
@@ -545,10 +562,29 @@ object Similarity {
         .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"),
           col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
         .transform(Materialize.once)
+      // Deliberately UNSALTED pair join, measured decision: the K-distinct
+      // join key looks like a K-task funnel, but when the build side
+      // BROADCASTS, a broadcast hash join's parallelism is the PROBE
+      // side's partitioning — every a-partition enumerates its rows'
+      // pairs locally, no shuffle, no funnel. A/B at sf1 (20k vectors,
+      // 50M pairs): unsalted 67 s vs hand-salted 186 s — the ×16
+      // id2-side replication pushed the build side out of broadcast range
+      // into a sort-merge join, strictly worse. The broadcast is
+      // COUNT-GATED (footer-cheap, cached), not an unconditional hint: a
+      // hint would force-broadcast an arbitrarily large assignment table
+      // and OOM exactly at scale; the count reads the already-checkpointed
+      // assignment blocks. Past the gate the funnel is real, and
+      // the adaptive answer is AQE skew-join, which applies exactly the
+      // replicate-one-side split but only to partitions that measure
+      // skewed — keep spark.sql.adaptive.skewJoin.enabled on rather than
+      // hand-salting what the broadcast plan already solves below the
+      // gate.
       val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"),
         col("emb").as("e1"), col("nrm").as("n1"))
-      val b = assigned.select(col("cluster_id"), col("vec_id").as("id2"),
+      val b0 = assigned.select(col("cluster_id"), col("vec_id").as("id2"),
         col("emb").as("e2"), col("nrm").as("n2"))
+      val nVec = embCounts.getOrElseUpdate(d, assigned.count())
+      val b = if (nVec <= SemanticBroadcastMaxRows) broadcast(b0) else b0
       val pairs = a.join(b, Seq("cluster_id"))
         .filter(col("id1") < col("id2"))
         .withColumn("cosine",
