@@ -32,8 +32,17 @@ object ScaleSmoke {
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
     "dedup_components",
-    "dedup_embedding_lsh",
+    // the RECOMMENDED embedding-LSH variant (2×8-bit bands); the coarse
+    // 4×4-bit `dedup_embedding_lsh` stays registered for the oracle but
+    // out of the headline — its Σ bucket² blowup on clique-dense data is
+    // documented (VERDICT r10 #2) and the fine re-banding is the answer,
+    // so the headline measures the path a 100 TB user should run
     "dedup_embedding_lsh_fine",
+    // embedding_kmeans FIRST: it pays the shared one-time Lloyd trainer
+    // (K derived from the corpus), so the dedup_semantic row right after
+    // it reads as the operator's marginal cost — same attribution idiom
+    // as ann_ivfpq_served_topk below
+    "embedding_kmeans",
     "dedup_semantic",
     "decontam_neardup",
     "ann_bruteforce_topk",
@@ -41,6 +50,10 @@ object ScaleSmoke {
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    // filtered ANN (predicate pushed below ADC scoring) — the query shape
+    // real retrieval serves most; plan pruning is spec-asserted in
+    // SimilarityFilterSpec (a plan property, scale-independent)
+    "ann_ivfpq_filtered_topk",
     // first run pays the one-time index build; the serve cost is the gap
     // vs ann_ivfpq_topk (which re-derives from the in-memory train cache)
     "ann_ivfpq_served_topk",

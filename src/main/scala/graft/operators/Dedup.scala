@@ -220,6 +220,17 @@ object Dedup {
     fenceCounts.clear()
   }
 
+  /** Content-keyed cache keys (ADVICE r10): like
+    * [[Similarity]]'s caches, the plan-decision scalars key on
+    * dir@fingerprint of the table they were measured on, so an in-place
+    * fixture rewrite re-measures instead of serving a stale df histogram;
+    * [[clearPlanStatsCache]] stays as the test seam.
+    */
+  private def embKey(d: String): String =
+    s"$d@${Tables.tableFingerprint(d, "embeddings")}"
+  private def docKey(d: String): String =
+    s"$d@${Tables.tableFingerprint(d, "documents")}"
+
   private def embPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // float→double widening is exact, and Cast on arrays is codegen'd —
@@ -229,7 +240,7 @@ object Dedup {
     // runtime fence, not just a doc comment: one count on the frame
     // already in hand (column-pruned to zero columns → parquet footer
     // row counts), cached per dir so the fence costs one job ever
-    requireAllPairsSafe(fenceCounts.getOrElseUpdate(d, e.count()))
+    requireAllPairsSafe(fenceCounts.getOrElseUpdate(embKey(d), e.count()))
     val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"))
     val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"))
     a.join(b, col("id1") < col("id2"))
@@ -564,7 +575,7 @@ object Dedup {
       // df via map-side-combined aggregate + join back (not a window over
       // the skewed shingle key — same reasoning as the capped twin).
       val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      val (postings, candVolume2x) = prefixPlanStats.getOrElseUpdate(d, {
+      val (postings, candVolume2x) = prefixPlanStats.getOrElseUpdate(docKey(d), {
         val statsRow = df
           // The DOUBLED candidate sum Σ df·(df−1) aggregates as
           // DECIMAL(38,0): a single shingle with df > ~4.3e9 overflows

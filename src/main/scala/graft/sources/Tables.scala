@@ -44,6 +44,30 @@ object Tables {
     }
   }
 
+  /** Cheap content fingerprint of one table's backing files (name, length,
+    * mtime per part file — no data read). Per-dir model caches
+    * ([[graft.operators.Similarity]]'s trained index/centroids/counts,
+    * [[graft.operators.Dedup]]'s plan-stats scalars) key on
+    * `dir@fingerprint` instead of the bare dir path, so a dataset dir
+    * REWRITTEN IN PLACE (long-running JVM serving a refreshed corpus,
+    * tests reusing a temp path) naturally misses the cache and retrains —
+    * previously the only invalidation path was the manual test seam
+    * (ADVICE r10). Listing a handful of part files is microseconds; the
+    * caches' getOrElseUpdate still bounds real work to once per content
+    * version.
+    */
+  def tableFingerprint(sfDir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+      if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+    }
+    val root = new java.io.File(s"$sfDir/$name.parquet")
+    val parts =
+      if (root.exists()) walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      else Seq("absent")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.orderedHash(parts))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
