@@ -343,6 +343,9 @@ object Dedup {
     // by the guard, never O(corpus).
     if (e.count() <= CcDriverMaxEdges) {
       val edgeArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // edges are fully collected; the returned plan reads only the
+      // broadcast local labels — free the edge checkpoint now
+      Materialize.drop(e)
       val touched = (edgeArr.map(_._1) ++ edgeArr.map(_._2)).distinct
       val find = driverFindMin(touched, edgeArr)
       val s = nodes.sparkSession
@@ -355,6 +358,8 @@ object Dedup {
     val sym = e.select(col("d1").as("u"), col("d2").as("v"))
       .union(e.select(col("d2").as("u"), col("d1").as("v")))
       .transform(Materialize.once)
+    // both reads of `e` (the count and sym's materialization) are done
+    Materialize.drop(e)
     // Only edge-touched nodes iterate. Isolated nodes — the overwhelming
     // majority of a lightly-duplicated corpus — are their own component by
     // definition and join back after the fixpoint, so every per-round
@@ -365,6 +370,11 @@ object Dedup {
     var labels = sym.groupBy("u").agg(min("v").as("nbr_min"))
       .select(col("u").as("node"), least(col("u"), col("nbr_min")).as("label"))
       .transform(Materialize.once)
+    // the checkpoint-backed frame behind `labels`, droppable once the NEXT
+    // round's frame is materialized (the final round's stays alive — the
+    // returned plan reads it); keeps a reliable-checkpoint fixpoint at
+    // O(1) files on disk instead of O(iterations) (ADVICE r11)
+    var prevBack = labels
     var changed = 1L
     while (changed > 0) {
       val tRound = System.nanoTime()
@@ -389,10 +399,18 @@ object Dedup {
         .select(col("node"), col("label2").as("label"), col("prev"))
         .transform(Materialize.once)
       changed = next.filter(col("label") < col("prev")).count()
+      // superseded this round: `relaxed` (consumed only by next's
+      // materialization) and the frame behind the previous `labels`
+      Materialize.drop(relaxed)
+      Materialize.drop(prevBack)
+      prevBack = next
       labels = next.select("node", "label")
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(f"[cc] round changed=$changed wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
+    // the returned plan reads only `labels` (backed by the final round's
+    // checkpoint, kept) and `nodes`
+    Materialize.drop(sym)
     nodes.join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }

@@ -34,12 +34,47 @@ import org.apache.spark.sql.DataFrame
   *     released immediately after.
   *   - Reliable checkpoint files are deleted by the ContextCleaner only
   *     when `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off
-  *     by default, settable only at context creation). Long-running jobs
-  *     that set a checkpoint dir should set that conf alongside it, or
-  *     sweep the checkpoint dir between batches — otherwise each
-  *     materialization leaves its files behind for the life of the app.
+  *     by default, settable only at context creation). The ITERATIVE
+  *     loops (connected-components fixpoint, incremental absorb) handle
+  *     this themselves: each round calls [[drop]] on the frames the new
+  *     round supersedes, so a long fixpoint holds O(1) checkpoints on
+  *     disk instead of O(iterations × labels) (ADVICE r11). One-shot
+  *     materializations still rely on the conf / a dir sweep.
   */
 private[graft] object Materialize {
+
+  /** Observability probes for specs: how many reliable checkpoints were
+    * written / had their files freed in this JVM. The MaterializeSpec
+    * file-presence check became vacuous once loops started cleaning up
+    * after themselves — these count the events instead.
+    */
+  private[graft] val reliableWrites = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val reliableDrops = new java.util.concurrent.atomic.AtomicLong
+
+  /** Delete the reliable-checkpoint files behind `df`, for frames a loop
+    * has PROVABLY finished with (every consumer already materialized —
+    * after this the frame must never be computed again). No-op for the
+    * localCheckpoint flavor: its blocks are executor-cached, evicted LRU
+    * and GC'd by the ContextCleaner when the RDD is unreferenced, so
+    * there is no on-disk accumulation to manage there.
+    */
+  def drop(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile.foreach { path =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          try {
+            val fs =
+              p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            if (fs.delete(p, true)) reliableDrops.incrementAndGet()
+          } catch {
+            // best-effort: a failed delete leaves garbage, never kills the job
+            case e: java.io.IOException =>
+              System.err.println(s"[materialize] checkpoint cleanup failed for $path: $e")
+          }
+        }
+      case _ => ()
+    }
   def once(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // Only manage the persist lifecycle if the CALLER hasn't: persist on
@@ -50,8 +85,11 @@ private[graft] object Materialize {
         df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
       if (ourPersist)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try df.checkpoint(eager = true)
-      finally if (ourPersist) df.unpersist(blocking = false)
+      try {
+        val out = df.checkpoint(eager = true)
+        reliableWrites.incrementAndGet()
+        out
+      } finally if (ourPersist) df.unpersist(blocking = false)
     } else
       df.localCheckpoint(eager = true)
 }

@@ -348,8 +348,16 @@ object SigStore {
     * deltaOut a rewrite of identical rows.
     */
   private def contractDelta(s: SparkSession, root: String,
-      deltaDocs: DataFrame): (DataFrame, DataFrame) =
-    contractDeltaSh(s, root, Dedup.simhash(deltaDocs).transform(Materialize.once))
+      deltaDocs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = Dedup.simhash(deltaDocs).transform(Materialize.once)
+    val result = contractDeltaSh(s, root, sh)
+    // both returned frames are self-contained (local relations on the
+    // driver fast path, their own checkpoints on the distributed one), so
+    // this call-local signature checkpoint is dead — free its files
+    // (ADVICE r11: serve loops must not accrete checkpoints per call)
+    Materialize.drop(sh)
+    result
+  }
 
   /** [[contractDelta]] over an already-checkpointed (doc_id, simhash)
     * frame — absorb computes the signatures ONCE and shares them with
@@ -459,6 +467,15 @@ object SigStore {
       }
     if (sys.env.contains("GRAFT_CC_PROF"))
       System.err.println(f"[ccprof] contract ($nDelta d/$nEdges e): ${(System.nanoTime() - tProf1) / 1e9}%.2f s")
+    // the contraction's intermediates are fully consumed: `result` is
+    // either driver-local relations or its own checkpoints — free the
+    // per-absorb probe/edge files so a maintained store's checkpoint dir
+    // stays O(1) per batch, not O(batches) (ADVICE r11). The residual is
+    // the distributed branch's final fixpoint checkpoint inside
+    // connectedComponents (unreachable from here) — one file-set per
+    // LARGE-delta absorb, vs O(iterations) before.
+    Materialize.drop(hitsCk)
+    Materialize.drop(edges)
     result
   }
 
@@ -582,6 +599,12 @@ object SigStore {
     f.delete(remapPath, true)
     require(f.rename(remapTmp, remapPath), s"remap publish failed: $remapPath")
     f.create(ready).close()
+    // every frame this absorb checkpointed is now persisted in the store
+    // (sig bank, label_nodes, label_remap) — free the files so a
+    // long-running maintainComponents stream holds O(1) checkpoints on
+    // disk, not O(batches) (ADVICE r11). relabel/deltaOut are local
+    // relations on the small-graph path; drop no-ops there.
+    Seq(deltaSh, relabel, deltaOut, newRemap).foreach(Materialize.drop)
   }
 
   /** Components served straight from the persisted label state — the

@@ -12,7 +12,7 @@ import graft.operators.{AnnIndexIO, Similarity}
   */
 class AnnIndexIOSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))

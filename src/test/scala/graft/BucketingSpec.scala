@@ -13,8 +13,8 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed-by-join-key tables sort-merge join with zero exchanges") {
     // default warehouse dir (./spark-warehouse, gitignored) — the conf is
     // static and cannot be set on a live session
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val ord = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
     ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
@@ -49,7 +49,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("q_bucketed_join: the registered query's join is exchange-free") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString

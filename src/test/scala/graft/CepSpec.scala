@@ -100,7 +100,7 @@ class CepSpec extends AnyFunSuite {
 
   test("streaming 2-step pattern agrees with the batch lag-window query on events") {
     import org.apache.spark.sql.functions.col
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val batch = graft.operators.AnalyticsExt.queries("cep_signup_purchase")(spark, sf)
       .select("user_id", "end_ms").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -9,7 +9,7 @@ import graft.operators.{Dedup, Similarity}
   */
 class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def pairs(name: String): Set[(Long, Long)] =
     Dedup.queries(name)(spark, sf)

@@ -12,7 +12,7 @@ import graft.operators.IncrementalStats
 class IncrementalStatsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def docs(rows: (Long, String, String, String, Long)*) =
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")

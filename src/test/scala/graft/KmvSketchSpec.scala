@@ -48,7 +48,7 @@ class KmvSketchSpec extends AnyFunSuite {
 
   test("matches exact on the bench column (sanity vs countDistinct)") {
     graft.functions.GraftFunctions.register(spark)
-    val row = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val row = graft.sources.Tables.lineitem(spark, TestSpark.sf0001)
       .agg(expr("kmv_distinct(cast(l_suppkey as string))").as("approx"),
         countDistinct(col("l_suppkey")).as("exact"))
       .collect()(0)
@@ -57,7 +57,7 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 
   test("q_approx_quantile_kmv: sample quantiles track the exact distribution") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val row = SparkEntry.queries("q_approx_quantile_kmv")(spark, sf).collect()(0)
     assert(row.getLong(4) == graft.operators.SamplingOps.QuantileK) // n_sample
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -75,7 +75,7 @@ class KmvSketchSpec extends AnyFunSuite {
   }
 
   test("text_len_quantiles_by_lang: grouped sample quantiles are sane per group") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val rows = SparkEntry.queries("text_len_quantiles_by_lang")(spark, sf).collect()
     val exact = spark.read.parquet(s"$sf/documents.parquet")
       .groupBy("lang")

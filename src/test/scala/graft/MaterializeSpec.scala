@@ -12,9 +12,10 @@ import graft.operators.Dedup
   * materialization + driver fast path all behind Materialize.once).
   */
 class MaterializeSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("reliable-checkpoint flavor produces identical dedup components") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val spark = TestSpark.spark
     def labels(): Map[Long, Long] =
       Dedup.queries("dedup_components")(spark, sf).collect()
@@ -23,18 +24,33 @@ class MaterializeSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
+      val writes0 = graft.operators.Materialize.reliableWrites.get()
+      val drops0 = graft.operators.Materialize.reliableDrops.get()
       val viaReliable = labels()
       assert(viaReliable == viaLocal)
-      // The reliable path actually ran: checkpoint PART FILES landed under
-      // the dir. A bare listFiles() non-empty check is vacuous —
-      // setCheckpointDir itself pre-creates a UUID subdirectory before any
-      // checkpoint happens (self-review r10) — so walk for regular files
-      // (rdd-*/part-*), which only a real checkpoint write produces.
+      // The reliable path actually ran — counted at the write site, since
+      // a file-presence probe is now vacuous by design: the loops free
+      // superseded checkpoints as they go (ADVICE r11), so the dir is
+      // expected to end (near-)empty, not non-empty.
+      val writes = graft.operators.Materialize.reliableWrites.get() - writes0
+      val drops = graft.operators.Materialize.reliableDrops.get() - drops0
+      assert(writes > 0, "reliable flavor did not run")
+      // the cleanup contract (ADVICE r11): loop-superseded checkpoints are
+      // freed (dedup_components' fixpoint/fast path drops its edge frame);
+      // builder-scoped one-shot checkpoints (the shared simhash pass) stay
+      // for the session and follow the documented conf/sweep story. The
+      // filesystem agrees: surviving rdd-* dirs == un-dropped writes.
+      assert(drops > 0, s"wrote $writes reliable checkpoints, freed none")
+      import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      val wrote =
-        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      val leftDirs =
+        try walk.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("rdd-") &&
+            java.nio.file.Files.isDirectory(p))
+          .map(_.getFileName.toString).toList
         finally walk.close() // walk streams hold directory handles open
-      assert(wrote > 0, "no checkpoint part files written — reliable flavor did not run")
+      assert(leftDirs.size == writes - drops,
+        s"expected ${writes - drops} surviving checkpoints, found ${leftDirs.size} ($leftDirs)")
     } finally {
       // restore the default local flavor for the rest of the shared JVM
       org.apache.spark.CheckpointDirReset.clear(spark.sparkContext)

@@ -13,7 +13,7 @@ import graft.operators.{Dedup, TextOps}
   */
 class PlanPruningSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def readSchemas(df: org.apache.spark.sql.DataFrame): List[Set[String]] = {
     val s = df.queryExecution.explainString(

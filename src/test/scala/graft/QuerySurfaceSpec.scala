@@ -18,9 +18,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * query hit.
   */
 class QuerySurfaceSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("every registered query analyzes against the shipped sf0.001 testdata") {
+    // absent fixtures (a dev machine without the driver's testdata) cancel
+    // with a pointer at the override instead of hard-failing the tripwire
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val spark = TestSpark.spark
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
       try {

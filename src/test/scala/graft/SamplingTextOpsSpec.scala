@@ -11,7 +11,7 @@ import graft.operators.{SamplingOps, TextOps, TrainingPipeline}
   */
 class SamplingTextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("corpus_mixture: weights sum to 1 and up-sample rare languages") {
     val rows = SamplingOps.queries("corpus_mixture")(spark, sf).collect()
@@ -108,7 +108,7 @@ class SamplingTextOpsSpec extends AnyFunSuite {
   }
 
   test("corpus_train_manifest: internally consistent and agrees with its component operators") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val rows = TrainingPipeline.queries("corpus_train_manifest")(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>

@@ -11,7 +11,7 @@ import graft.operators.{Dedup, SigStore}
   */
 class SigStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def fileSet(root: String): Set[(String, Long)] = {
     def walk(f: java.io.File): Seq[java.io.File] =

@@ -11,7 +11,7 @@ import graft.sources.Tables
   */
 class SimilarityFilterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("label predicate is pushed to the corpus parquet scan") {
     val df = Similarity.queries("ann_ivfpq_filtered_topk")(spark, sf)

@@ -13,7 +13,7 @@ import graft.sources.{Tables, Writers}
   */
 class SkewWritersSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("salted join == plain join on an extreme-skew key (3 distinct values)") {
     val li = Tables.lineitem(spark, sf)

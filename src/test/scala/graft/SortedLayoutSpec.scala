@@ -18,7 +18,7 @@ import graft.sources.Tables
   */
 class SortedLayoutSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   private def micros(dt: LocalDateTime): Long =
     dt.toInstant(ZoneOffset.UTC).toEpochMilli * 1000L

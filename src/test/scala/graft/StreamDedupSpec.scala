@@ -15,7 +15,7 @@ import graft.streaming.StreamDedup
   */
 class StreamDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("streaming near-dup pairs == batch dedup_simhash_pairs") {
     import spark.implicits._

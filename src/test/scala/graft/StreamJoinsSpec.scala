@@ -17,7 +17,7 @@ class StreamJoinsSpec extends AnyFunSuite {
 
   private def loadEvents(): Seq[TsEvent] = {
     import org.apache.spark.sql.functions.col
-    graft.sources.Tables.eventsNormalized(spark, "/root/testdata/sf0.001")
+    graft.sources.Tables.eventsNormalized(spark, TestSpark.sf0001)
       .select(col("ts").cast("timestamp"), col("event_type"), col("user_id"), col("value"))
       .collect()
       .map(r => TsEvent(r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))

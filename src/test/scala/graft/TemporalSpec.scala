@@ -11,7 +11,7 @@ import graft.operators.Temporal
   */
 class TemporalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("q_scd2_history: both window passes share one exchange and one sort") {
     val df = Temporal.queries("q_scd2_history")(spark, sf)

@@ -11,7 +11,7 @@ import graft.operators.Multimodal
 /** Custom-expression and multimodal-pipeline semantics. */
 class TextMultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   test("rolling_hash codegen expression matches the reference recurrence") {
     import spark.implicits._

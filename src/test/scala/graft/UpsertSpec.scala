@@ -170,7 +170,7 @@ class UpsertSpec extends AnyFunSuite {
   }
 
   test("q_merge_upsert builds its base layout once per dataset digest") {
-    val sf = "/root/testdata/sf0.001"
+    val sf = TestSpark.sf0001
     val root = graft.operators.Upsert.layoutRoot(sf)
     org.apache.commons.io.FileUtils.deleteQuietly(new File(root))
     val q = graft.operators.Upsert.queries("q_merge_upsert")

@@ -19,7 +19,7 @@ class WindowedAggSpec extends AnyFunSuite {
 
   private def loadEvents(): Seq[TsEvent] = {
     import org.apache.spark.sql.functions.col
-    graft.sources.Tables.eventsNormalized(spark, "/root/testdata/sf0.001")
+    graft.sources.Tables.eventsNormalized(spark, TestSpark.sf0001)
       .select(col("ts").cast("timestamp"), col("event_type"), col("user_id"), col("value"))
       .collect()
       .map(r => TsEvent(r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -78,7 +78,7 @@ class WindowedAggSpec extends AnyFunSuite {
     val events = loadEvents()
     val native = WindowedAgg.sessions(spark.createDataset(events).toDF())
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(3))).toSet
-    val lagBased = graft.operators.Analytics.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+    val lagBased = graft.operators.Analytics.queries("q_sessionize")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
     assert(native.nonEmpty && native == lagBased,
       s"native=${native.size} lag=${lagBased.size} diff=${(native -- lagBased).take(3)}")

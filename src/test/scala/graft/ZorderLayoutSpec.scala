@@ -14,7 +14,7 @@ import graft.sources.Tables
   */
 class ZorderLayoutSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.sf0001
 
   // middle ~10% band of a column's observed domain
   private def band(lo: Long, hi: Long): (Long, Long) = {
