@@ -95,6 +95,23 @@ object Bench {
     "q_merge_upsert"
   )
 
+  /** 1-minute system load average (or -1 where unsupported) and process
+    * CPU nanos — the two numbers that separate "the plan regressed" from
+    * "the box was busy" (VERDICT r10 #5: an environment slowdown cost two
+    * rounds of confounded wall-clock comparisons). CPU time counts all
+    * executor threads, so cpu/wall ≈ effective parallelism; a query whose
+    * wall grew but whose CPU didn't was waiting on the machine, not
+    * burning more cycles.
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,8 +134,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val loadStart = loadAvg()
     for (r <- 1 to runs; name <- basket) {
       val t0 = System.nanoTime()
+      val c0 = processCpuNs()
       val ok =
         try { queries(name)(spark, sfDir).count(); true }
         catch {
@@ -128,8 +149,14 @@ object Bench {
             false
         }
       // a failed run contributes no sample, never its partial wall time
-      if (ok) samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      if (ok) {
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        val c1 = processCpuNs()
+        if (c0 >= 0 && c1 >= 0)
+          cpuSamples(name) = cpuSamples(name) :+ (c1 - c0) / 1e9
+      }
     }
+    val loadEnd = loadAvg()
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -146,9 +173,15 @@ object Bench {
         "\"" + name + "\":[" + f"${s.min}%.3f" + "," + f"${s.max}%.3f" + "]"
       }
       .mkString("{", ",", "}")
+    val cpuQs = basket.filter(cpuSamples(_).nonEmpty)
+      .map(name => "\"" + name + "\":" + f"${median(cpuSamples(name))}%.3f")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cpuTotal = basket.flatMap(n =>
+      if (cpuSamples(n).nonEmpty) Some(median(cpuSamples(n))) else None).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"errors":$errs,"sf":"$sfDir"}"""
+    val load = f"""[$loadStart%.2f,$loadEnd%.2f]"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query/spread JSON is ~4 KB on one line; a bounded tail
     // capture of stdout can slice it mid-line and kill the parse (that is
     // exactly what happened to BENCH_r07). Persist the full detail to a
@@ -163,6 +196,6 @@ object Bench {
     // run with broken queries without parsing the errors array — rc is 0
     // either way because partial timings are still worth recording.
     val gate = if (errors.isEmpty) "pass" else "fail"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

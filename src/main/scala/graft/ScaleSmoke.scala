@@ -144,13 +144,22 @@ object ScaleSmoke {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var total = 0.0
+    def cpuNs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
     basket.foreach { name =>
       val t0 = System.nanoTime()
+      val c0 = cpuNs()
       try {
         val rows = queries(name)(spark, outDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
+        // process-CPU alongside wall (same rationale as Bench): cpu/wall
+        // separates a contended box from a genuinely costlier plan
+        val cpu = (cpuNs() - c0) / 1e9
         total += secs
-        lines += f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"rows":$rows}"""
+        lines += f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
         println(lines.last)
       } catch {
         case e: Throwable =>
