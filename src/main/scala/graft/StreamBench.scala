@@ -223,6 +223,59 @@ object StreamBench {
     val ccSecs = runCcMaintain(ccDocs, 2500)
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
     println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f}""")
+
+    // ---- streaming SEMANTIC dedup: vectors assigned to frozen centroids
+    // at ingest, compared against their cluster's horizon residents
+    // (streaming/SemanticDedup — the ingest twin of dedup_semantic).
+    // Synthetic arrivals replay the fixture embeddings ~40× with tiny
+    // deterministic noise, so replicas are genuine semantic dups (cosine
+    // ≈ 1) and the state actually fills; K=64 centroids keep per-cluster
+    // residents realistic (the batch trainer's derived K plays the same
+    // role on a real corpus).
+    val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val semCents = baseVecs.take(64).map(_._2)
+    val nVecs = math.min(n, 20000)
+    val semRows = (0 until nVecs).map { i =>
+      val (bid, bemb) = baseVecs(i % baseVecs.length)
+      val rep = i / baseVecs.length
+      val emb = bemb.zipWithIndex.map { case (x, c) =>
+        x + (math.floorMod((i.toLong * 64 + c) * 2654435761L, 21L) - 10) / 100000.0
+      }
+      graft.streaming.SemanticDedup.VecArrival(
+        bid + rep.toLong * baseVecs.length, emb.toSeq, t0ms + i)
+    }
+    // Trigger.Once, DELIBERATELY: a flatMapGroupsWithState stage with
+    // ProcessingTimeTimeout under Trigger.AvailableNow schedules
+    // timeout-evaluation batches indefinitely after the data drains
+    // (measured: 6000+ empty commits, processAllAvailable never
+    // returning, each commit re-listing an ever-growing state dir) —
+    // the TTL belongs to continuous deployments; bounded replays run
+    // the drain-everything trigger, same as the parity specs.
+    def runSemantic(rows: Seq[graft.streaming.SemanticDedup.VecArrival]): (Double, Long) = {
+      val in = MemoryStream[graft.streaming.SemanticDedup.VecArrival]
+      in.addData(rows)
+      val pairs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_sem_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.SemanticDedup
+        .dupPairs(in.toDS(), semCents, withinMs = 3600000L)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          pairs.addAndGet(df.count()): Unit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .start()
+      val secs =
+        try { q.awaitTermination(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, pairs.get())
+    }
+    runSemantic(semRows.take(math.min(2000, nVecs))) // warmup
+    val (semSecs, semPairs) = runSemantic(semRows)
+    println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f}""")
     spark.stop()
   }
 }

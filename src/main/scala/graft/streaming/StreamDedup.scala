@@ -24,6 +24,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
   * the dedup horizon can no longer form a reportable pair), and a
   * processing-time TTL with the same [[Cep.TtlMarginFactor]] lag margin
   * reclaims buckets that stop receiving traffic entirely.
+  *
+  * Trigger note: the ProcessingTimeTimeout makes `Trigger.AvailableNow`
+  * schedule timeout-evaluation batches indefinitely once the data
+  * drains (measured on the [[SemanticDedup]] twin — 6000+ empty
+  * commits); the TTL is for continuous deployments. Bounded replays and
+  * tests should drain with `Trigger.Once`.
   */
 object StreamDedup {
 
