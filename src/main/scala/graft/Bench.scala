@@ -74,6 +74,8 @@ object Bench {
     "ann_ivfpq_incremental",
     "ann_recall",
     "ann_recall_incremental",
+    "text_bm25_topk",
+    "ann_hybrid_rrf",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

@@ -62,6 +62,9 @@ object ScaleSmoke {
     // documents/embeddings-backed only: the sf1 fixture has no TPC-H
     // tables, so lineitem-bound queries (e.g. q_approx_distinct_kmv)
     // don't belong here
+    // lexical + hybrid retrieval (documents ⊕ embeddings)
+    "text_bm25_topk",
+    "ann_hybrid_rrf",
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** Full-text retrieval over the `documents` table: BM25 top-k and a
+  * hybrid lexical+vector ranker fused with reciprocal-rank fusion — the
+  * two query shapes a training-data curation stack runs constantly
+  * (near-duplicate triage, "more like this" corpus exploration, and
+  * retrieval-based decontamination all reduce to scoring a small query
+  * set against the whole corpus).
+  *
+  * Not a reference operator (the reference is a streaming fraud demo,
+  * SURVEY §0) — this extends the LLM-pipeline surface the build brief
+  * lists as first-class alongside §2.
+  *
+  * == BM25 (Robertson/Spärck Jones, the Okapi formulation) ==
+  *
+  * score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), k1 = 1.2, b = 0.75 —
+  * the standard Lucene/Okapi constants. Query-side term frequency is not
+  * weighted (each distinct query term counts once), the common simplification
+  * for short queries; here a "query" is a whole query document, making this
+  * the classic more-like-this ranker.
+  *
+  * == Determinism (the oracle contract) ==
+  *
+  * Per-term contributions quantize to 1e-6 integers BEFORE the per-(query,
+  * doc) sum (same trick as text_unigram_logprob / text_entropy), so the
+  * aggregate is a sum of longs — identical under any partial-aggregation
+  * order — and the rank's total order (sum_q DESC, doc_id) never compares
+  * drifting doubles. Constants are written as the same literals in both
+  * engines ("2.2", not `K1 + 1`: 1.2d + 1 and the literal 2.2d are
+  * DIFFERENT doubles, and DuckDB would parse the printed sum differently
+  * than Scala computed it).
+  *
+  * == 100 TB shape ==
+  *
+  *  - The query set is a fixed 20-literal id list ([[QueryDocIds]], same
+  *    argument as Similarity.QueryIds): O(Q) at any corpus size, pushed
+  *    into the parquet scan as an IN filter.
+  *  - The corpus token stream is pruned by a broadcast of the DISTINCT
+  *    query-term set BEFORE the tf shuffle — on a real vocabulary the
+  *    postings that survive are the query terms' postings only, so the
+  *    one shuffle (groupBy doc_id, token) carries candidate postings,
+  *    not the corpus. df/avgdl/N ride in as broadcast one-row scalars;
+  *    no driver collect anywhere.
+  *  - Per-query ranking reuses [[Similarity.twoStageTopKBy]] (salted
+  *    two-stage top-k): a common query term can match a constant
+  *    fraction of the corpus, and a plain per-query window would funnel
+  *    that into one reducer.
+  *
+  * == Hybrid RRF (`ann_hybrid_rrf`) ==
+  *
+  * Reciprocal-rank fusion (Cormack et al., SIGIR'09): rrf(d) =
+  * Σ_rankers 1/(60 + rank_r(d)) over the BM25 top-20 and the embedding
+  * cosine top-20 (vec_id ≡ doc_id in the fixture, FIXTURES.md). Rank
+  * lists — not scores — cross the fusion boundary, so the two rankers'
+  * score scales never need calibrating; both rank orders are
+  * oracle-deterministic (sum_q longs; 4-decimal-rounded cosine with id
+  * tie-break), so the fused output stays hash-checkable. The fusion
+  * itself joins two ≤(Q·depth)-row frames — negligible at any scale.
+  */
+object Retrieval {
+
+  /** Fixed query-doc id list: 0, 25, …, 475 — all present from sf0.001 up
+    * (500 docs), so every scale exercises all 20 queries. A literal list,
+    * not a corpus predicate: the query side must stay O(Q) at 100 TB.
+    */
+  val QueryDocIds: IndexedSeq[Int] = (0 until 20).map(_ * 25)
+
+  /** BM25 constants (Okapi defaults). Rendered as literals "1.2" / "2.2" /
+    * "0.25" / "0.75" in BOTH engines — see the determinism note above.
+    */
+  val BmTopK = 10
+  val FuseDepth = 20
+  val RrfTopK = 10
+  val RrfK = 60
+
+  private def isQueryDoc(c: org.apache.spark.sql.Column) =
+    c.isin(QueryDocIds: _*)
+  private val queryIdsSql = QueryDocIds.mkString(", ")
+
+  /** (query_id, doc_id, n_terms, sum_q): quantized BM25 partial sums for
+    * every (query, candidate) pair sharing ≥1 term, self-pairs excluded.
+    * Shared by the standalone top-k and the hybrid fusion.
+    */
+  private def bmScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // one row per token OCCURRENCE, carrying the doc length. dl is
+    // functionally dependent on doc_id, so grouping by it below adds no
+    // cardinality — and saves a corpus-sized dl join.
+    val t = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      explode(split(col("text"), " ")).as("token"))
+    val qt = t.filter(isQueryDoc(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    // prune the corpus stream to query-term postings BEFORE the tf
+    // shuffle — the broadcast semi-join is what keeps the one big
+    // shuffle proportional to candidate postings at 100 TB
+    val pruned = t.join(broadcast(qt.select("token").distinct()), "token")
+    val tf = pruned.groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+      .transform(Materialize.once) // feeds both the df branch and the score join
+    // tf rows are distinct (doc_id, token) pairs, so df is a re-aggregation
+    // of tf — no second corpus pass, no distinct over occurrences
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val st = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    tf.join(broadcast(qt.join(dfq, "token")), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfw",
+        col("tf") * lit(2.2) / (col("tf") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
+      .withColumn("q", round(col("idf") * col("tfw") * lit(1e6)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"), sum("q").as("sum_q"))
+  }
+
+  /** BM25 candidates ranked per query to depth k (salted two-stage top-k;
+    * total order sum_q DESC, doc_id).
+    */
+  private def bmRanked(s: SparkSession, d: String, k: Int): DataFrame =
+    Similarity.twoStageTopKBy(bmScored(s, d), k, col("query_id"),
+      xxhash64(col("doc_id")), Seq(col("sum_q").desc, col("doc_id")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> ((s, d) =>
+      bmRanked(s, d, BmTopK).select(
+        col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        round(col("sum_q") / lit(1e6), 4).as("score"))),
+    "ann_hybrid_rrf" -> ((s, d) => {
+      val bmr = bmRanked(s, d, FuseDepth)
+        .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
+      val e = Similarity.withEmb(s, d)
+      val q = e.filter(isQueryDoc(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      val pairs = e.select(col("vec_id"), col("emb").as("ce"))
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .withColumn("cosine", round(expr("dot_double(qe, ce)") /
+          (sqrt(expr("dot_double(qe, qe)")) * sqrt(expr("dot_double(ce, ce)"))), 4))
+      val cr = Similarity.twoStageTopK(pairs, FuseDepth, col("cosine").desc)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("r_cos"))
+      val fused = bmr.join(cr, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_bm")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_cos")), lit(0.0)), 6))
+        .withColumn("r_bm", coalesce(col("r_bm"), lit(0)).cast("int"))
+        .withColumn("r_cos", coalesce(col("r_cos"), lit(0)).cast("int"))
+      Similarity.twoStageTopKBy(fused, RrfTopK, col("query_id"),
+          xxhash64(col("doc_id")), Seq(col("rrf").desc, col("doc_id")))
+        .select("query_id", "rank", "doc_id", "r_bm", "r_cos", "rrf")
+    })
+  )
+
+  /** Shared BM25 oracle CTEs up to the aggregated (query_id, doc_id,
+    * n_terms, sum_q) frame — the structural twin of [[bmScored]]. Every
+    * constant and paren mirrors the Spark expression tree; `::DOUBLE`
+    * casts keep DuckDB out of DECIMAL arithmetic (its decimal 2.2·tf is
+    * exact where Spark's double 2.2·tf is not).
+    */
+  private val bmCtes: String =
+    s"""t AS (SELECT doc_id, len(string_split(text, ' ')) dl,
+       |        unnest(string_split(text, ' ')) token FROM documents),
+       |qt AS (SELECT DISTINCT doc_id query_id, token FROM t
+       |       WHERE doc_id IN ($queryIdsSql)),
+       |pr AS (SELECT t.doc_id, t.dl, t.token FROM t
+       |       JOIN (SELECT DISTINCT token FROM qt) qk ON qk.token = t.token),
+       |tf AS (SELECT doc_id, dl, token, count(*) tf FROM pr GROUP BY 1, 2, 3),
+       |dfq AS (SELECT token, count(*) df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) n_docs, sum(len(string_split(text, ' ')))::BIGINT sum_dl
+       |       FROM documents),
+       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |         CAST(round(ln(1.0::DOUBLE + (st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) *
+       |           (tf.tf * 2.2::DOUBLE / (tf.tf +
+       |              1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.dl / (st.sum_dl / st.n_docs)))) *
+       |           1e6) AS BIGINT) q
+       |       FROM tf JOIN qt ON qt.token = tf.token
+       |               JOIN dfq ON dfq.token = tf.token
+       |               CROSS JOIN st
+       |       WHERE tf.doc_id <> qt.query_id),
+       |bm AS (SELECT query_id, doc_id, CAST(count(*) AS INT) n_terms,
+       |         sum(q)::BIGINT sum_q
+       |       FROM sc GROUP BY 1, 2)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25_topk" ->
+      s"""WITH $bmCtes
+         |SELECT query_id, rank, doc_id, n_terms, round(sum_q / 1e6, 4) score FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sum_q DESC, doc_id) AS INT) rank
+         |  FROM bm) WHERE rank <= $BmTopK""".stripMargin,
+    "ann_hybrid_rrf" ->
+      s"""WITH $bmCtes,
+         |bmr AS (SELECT query_id, doc_id, rank r_bm FROM (
+         |          SELECT *, CAST(row_number() OVER (
+         |            PARTITION BY query_id ORDER BY sum_q DESC, doc_id) AS INT) rank
+         |          FROM bm) WHERE rank <= $FuseDepth),
+         |${Similarity.embCte},
+         |cp AS (SELECT q.vec_id query_id, c.vec_id doc_id,
+         |         round(list_dot_product(q.emb, c.emb) /
+         |           (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) cosine
+         |       FROM e q JOIN e c ON q.vec_id IN ($queryIdsSql) AND q.vec_id <> c.vec_id),
+         |cr AS (SELECT query_id, doc_id, rank r_cos FROM (
+         |         SELECT *, CAST(row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) rank
+         |         FROM cp) WHERE rank <= $FuseDepth),
+         |f AS (SELECT coalesce(b.query_id, c.query_id) query_id,
+         |        coalesce(b.doc_id, c.doc_id) doc_id,
+         |        CAST(coalesce(b.r_bm, 0) AS INT) r_bm,
+         |        CAST(coalesce(c.r_cos, 0) AS INT) r_cos,
+         |        round(coalesce(1.0::DOUBLE / ($RrfK + b.r_bm), 0.0::DOUBLE) +
+         |              coalesce(1.0::DOUBLE / ($RrfK + c.r_cos), 0.0::DOUBLE), 6) rrf
+         |      FROM bmr b FULL OUTER JOIN cr c
+         |        ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+         |SELECT query_id, rank, doc_id, r_bm, r_cos, rrf FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) rank
+         |  FROM f) WHERE rank <= $RrfTopK""".stripMargin
+  )
+}
