@@ -133,9 +133,15 @@ object Retrieval {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> ((s, d) =>
+      // score rounds in INTEGER space: sum_q is exact 1e-6 units, so
+      // ~1% of rows land on a half-exact 4th decimal where double
+      // round() diverges between engines (Spark decimal HALF_UP vs
+      // DuckDB binary — caught by the sf0.001 oracle); (sum_q+50) div
+      // 100 is the same HALF_UP, engine-independent (sum_q > 0: idf
+      // and tf weights are strictly positive)
       bmRanked(s, d, BmTopK).select(
         col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
-        round(col("sum_q") / lit(1e6), 4).as("score"))),
+        (expr("(sum_q + 50) div 100") / lit(1e4)).as("score"))),
     "ann_hybrid_rrf" -> ((s, d) => {
       val bmr = bmRanked(s, d, FuseDepth)
         .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
@@ -193,7 +199,7 @@ object Retrieval {
   def oracleSql: Map[String, String] = Map(
     "text_bm25_topk" ->
       s"""WITH $bmCtes
-         |SELECT query_id, rank, doc_id, n_terms, round(sum_q / 1e6, 4) score FROM (
+         |SELECT query_id, rank, doc_id, n_terms, ((sum_q + 50) // 100) / 1e4 score FROM (
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY sum_q DESC, doc_id) AS INT) rank
          |  FROM bm) WHERE rank <= $BmTopK""".stripMargin,

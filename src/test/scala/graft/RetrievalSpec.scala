@@ -86,8 +86,9 @@ class RetrievalSpec extends AnyFunSuite {
     val got = Retrieval.queries("text_bm25_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
       .toSet
+    // integer HALF_UP in 1e-6 space, matching the operator (sum_q > 0)
     val want = naiveBmRanked(Retrieval.BmTopK)
-      .map { case (q, r, d, nt, sq) => (q, r, d, nt, round4(sq / 1e6)) }.toSet
+      .map { case (q, r, d, nt, sq) => (q, r, d, nt, ((sq + 50) / 100) / 1e4) }.toSet
     assert(got.nonEmpty && got == want)
   }
 
