@@ -57,6 +57,7 @@ object Bench {
     "dedup_ngram_jaccard_capped",
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
+    "dedup_winnow_pairs",
     "dedup_components",
     "dedup_components_incremental",
     "dedup_components_stored",
@@ -76,6 +77,7 @@ object Bench {
     "ann_recall_incremental",
     "text_bm25_topk",
     "ann_hybrid_rrf",
+    "text_bigram_logprob",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

@@ -31,6 +31,7 @@ object ScaleSmoke {
     "dedup_ngram_jaccard_capped",
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
+    "dedup_winnow_pairs",
     "dedup_components",
     // the RECOMMENDED embedding-LSH variant (2×8-bit bands); the coarse
     // 4×4-bit `dedup_embedding_lsh` stays registered for the oracle but
@@ -65,6 +66,7 @@ object ScaleSmoke {
     // lexical + hybrid retrieval (documents ⊕ embeddings)
     "text_bm25_topk",
     "ann_hybrid_rrf",
+    "text_bigram_logprob",
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",

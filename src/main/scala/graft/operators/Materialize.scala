@@ -75,6 +75,22 @@ private[graft] object Materialize {
         }
       case _ => ()
     }
+  /** Spread a BARE SCAN to the session's parallelism when the input has
+    * fewer splits than cores. For operators whose per-row projection work
+    * dominates (md5-per-gram fingerprinting, per-token model scoring),
+    * a single small parquet file — the local fixture shape — otherwise
+    * serializes the whole stage behind one task. At real scale the input
+    * has ≥ parallelism splits and the guard makes this a no-op, so the
+    * shuffle is never paid where it wouldn't help. ONLY for frames that
+    * are a bare scan: `.rdd` on a frame with upstream stages would
+    * materialize them once here and again downstream (Writers.scala
+    * repartition caveat).
+    */
+  def spreadScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def once(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // Only manage the persist lifecycle if the CALLER hasn't: persist on

@@ -246,6 +246,60 @@ object TextOps {
         .select(col("doc_id"), col("n_tokens"), col("sum_q"),
           round(-col("sum_q") / lit(1e6) / col("n_tokens"), 4).as("avg_neg_logprob"))
     }),
+    "text_bigram_logprob" -> ((s, d) => {
+      // Interpolated bigram LM quality score — the KenLM-shaped upgrade
+      // of text_unigram_logprob (CCNet, Wenzek et al. 2020, filters on
+      // exactly this statistic): mean negative log-prob of each ADJACENT
+      // TOKEN PAIR under p(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·c(w2)/total,
+      // λ = 0.8. Low = stereotypical word order, high = shuffled/noisy
+      // text — repetition and gibberish that unigram mass cannot see.
+      //
+      // Shapes for 100 TB:
+      //  - bigrams come from zip_with over the already-split array (one
+      //    scan, no posexplode self-join and no doc_id window shuffle);
+      //  - occurrences collapse to per-doc (w1,w2) COUNTS before any
+      //    join, so the model lookups join the compressed frame;
+      //  - the three model frames (bigram counts, left-context counts,
+      //    unigram counts) are vocab-bounded aggregates; context counts
+      //    RE-AGGREGATE bigram counts (no second corpus pass), and the
+      //    model joins pre-combine vocab-sized frames so the big
+      //    per-doc stream shuffles ONCE on (w1,w2);
+      //  - per-bigram logs quantize to 1e-6 longs before summation
+      //    (weighted by the occurrence count), the module-wide
+      //    determinism idiom.
+      val docs = Tables.documents(s, d)
+      // spread the scan: the zip_with/named_struct bigram projection is
+      // interpreted higher-order eval (never codegen), and the fixture is
+      // a single parquet split — without this the whole per-doc pass
+      // serializes on one core (no-op at real scale, see spreadScan)
+      val bgOcc = Materialize.spreadScan(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+            " (a, b) -> named_struct('w1', a, 'w2', b))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        .transform(Materialize.once) // feeds the model aggregates AND the scoring join
+      val bcnt = bgOcc.groupBy("w1", "w2").agg(sum("c").as("cb"))
+      val ccnt = bcnt.groupBy("w1").agg(sum("cb").as("cc"))
+      val ucnt = docs
+        .select(explode(split(col("text"), " ")).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("cu"))
+        .transform(Materialize.once)
+      val total = ucnt.agg(sum("cu").as("total"))
+      val model = bcnt.join(ccnt, "w1").join(ucnt, "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("q", round(log(
+          lit(0.8) * col("cb") / col("cc") +
+            lit(0.2) * col("cu") / col("total")) * lit(1e6)).cast("long"))
+        .select("w1", "w2", "q")
+      bgOcc.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), sum(col("c") * col("q")).as("sum_q"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+          round(-col("sum_q") / lit(1e6) / col("n_bigrams"), 4).as("avg_neg_logprob"))
+    }),
     "text_pii_scrub" -> ((s, d) => {
       // PII detect + redact. The corpus is synthetic word-salad with no
       // real PII, so the query plants deterministic doc_id-derived
@@ -418,6 +472,28 @@ object TextOps {
         |SELECT doc_id, n_tokens, sum_q,
         |  round(-sum_q / 1e6 / n_tokens, 4) avg_neg_logprob
         |FROM a""".stripMargin,
+    // range(1, len) is [1, len) and DuckDB lists are 1-based inclusive,
+    // so i spans exactly the bigram starts; the len >= 2 guard mirrors
+    // the Spark filter (and keeps range from going empty-vs-error on
+    // single-token docs — both engines simply drop them)
+    "text_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |bgx AS (SELECT doc_id, ws[i] w1, ws[i + 1] w2 FROM (
+        |          SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM t
+        |          WHERE len(ws) >= 2)),
+        |bgo AS (SELECT doc_id, w1, w2, count(*) c FROM bgx GROUP BY 1, 2, 3),
+        |bcnt AS (SELECT w1, w2, sum(c)::BIGINT cb FROM bgo GROUP BY 1, 2),
+        |ccnt AS (SELECT w1, sum(cb)::BIGINT cc FROM bcnt GROUP BY 1),
+        |ucnt AS (SELECT w2, count(*) cu FROM (
+        |          SELECT unnest(string_split(text, ' ')) w2 FROM documents) GROUP BY 1),
+        |tot AS (SELECT sum(cu)::BIGINT total FROM ucnt),
+        |model AS (SELECT w1, w2, CAST(round(ln(
+        |            0.8 * cb / cc + 0.2 * cu / total) * 1e6) AS BIGINT) q
+        |          FROM bcnt JOIN ccnt USING (w1) JOIN ucnt USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, sum(c)::BIGINT n_bigrams, sum(c * q)::BIGINT sum_q,
+        |  round(-sum(c * q) / 1e6 / sum(c), 4) avg_neg_logprob
+        |FROM bgo JOIN model USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
     "text_pii_scrub" -> {
       // DuckDB string literals take no escape sequences, so \b stays \b;
       // the 'g' flag matches Spark's replace-all default

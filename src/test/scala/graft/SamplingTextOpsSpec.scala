@@ -76,6 +76,32 @@ class SamplingTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bigram_logprob matches a naive interpolated bigram LM") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1) }
+    val bigrams = texts.map { case (id, ws) => id -> ws.dropRight(1).zip(ws.drop(1)) }
+    val bcnt = bigrams.flatMap(_._2).groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val ccnt = bcnt.toSeq.groupBy(_._1._1).map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val ucnt = texts.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val total = ucnt.values.sum
+    val want = bigrams.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val qs = bs.map { case (w1, w2) =>
+        math.round(math.log(
+          0.8 * bcnt((w1, w2)) / ccnt(w1) + 0.2 * ucnt(w2) / total.toDouble) * 1e6)
+      }
+      id -> ((bs.length.toLong, qs.sum))
+    }.toMap
+    val got = TextOps.queries("text_bigram_logprob")(spark, sf)
+      .select("doc_id", "n_bigrams", "sum_q").as[(Long, Long, Long)].collect()
+      .map { case (id, n, q) => id -> ((n, q)) }.toMap
+    assert(got === want)
+    // low = stereotypical text; the score must vary across the corpus
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("text_pii_scrub: planted PII is found and fully redacted") {
     val rows = TextOps.queries("text_pii_scrub")(spark, sf).collect()
     rows.foreach { r =>
