@@ -83,11 +83,55 @@ object Retrieval {
     c.isin(QueryDocIds: _*)
   private val queryIdsSql = QueryDocIds.mkString(", ")
 
+  /** Per-term document frequency of one standing query's terms, plus the
+    * corpus scalars — the FROZEN statistics the streaming percolator
+    * ([[graft.streaming.Percolate]]) scores arrivals against. Bounded by
+    * the query vocabulary (Q × terms + 2 scalars), never corpus-sized.
+    */
+  final case class TermStat(term: String, df: Long)
+  final case class QueryTerms(query_id: Long, terms: Seq[TermStat])
+  final case class FrozenIndexStats(nDocs: Long, sumDl: Long,
+      queries: Seq[QueryTerms])
+
+  /** Collect the frozen index statistics for the standing query set: the
+    * one O(query-vocab) driver materialization a percolation deployment
+    * performs at index-refresh time (identical role to AnnServe's frozen
+    * centroids). df here is the SAME df [[bmScored]] computes (distinct
+    * docs containing the token), so stream scores are bit-identical to
+    * batch scores against the same corpus snapshot.
+    */
+  def frozenStats(s: SparkSession, d: String): FrozenIndexStats = {
+    val docs = Tables.documents(s, d)
+    val t = docs.select(
+      col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val qt = t.filter(isQueryDoc(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+      .transform(Materialize.once) // collected below AND feeds the df probe
+    val dfq = t.join(broadcast(qt.select("token").distinct()), "token")
+      .select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val st = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .head()
+    val byQuery = qt.join(dfq, "token")
+      .select("query_id", "token", "df").collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        QueryTerms(qid, rows.map(r => TermStat(r.getString(1), r.getLong(2)))
+          .sortBy(_.term).toSeq)
+      }
+      .toSeq.sortBy(_.query_id)
+    FrozenIndexStats(st.getLong(0), st.getLong(1), byQuery)
+  }
+
   /** (query_id, doc_id, n_terms, sum_q): quantized BM25 partial sums for
     * every (query, candidate) pair sharing ≥1 term, self-pairs excluded.
-    * Shared by the standalone top-k and the hybrid fusion.
+    * Shared by the standalone top-k, the hybrid fusion, and the
+    * percolation parity spec.
     */
-  private def bmScored(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bmScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // one row per token OCCURRENCE, carrying the doc length. dl is
     // functionally dependent on doc_id, so grouping by it below adds no
