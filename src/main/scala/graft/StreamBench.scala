@@ -276,6 +276,37 @@ object StreamBench {
     runSemantic(semRows.take(math.min(2000, nVecs))) // warmup
     val (semSecs, semPairs) = runSemantic(semRows)
     println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f}""")
+
+    // ---- BM25 percolation: arriving documents scored against the
+    // standing query set with index statistics frozen at build time
+    // (streaming/Percolate — the retrieval twin). Stateless projection:
+    // throughput is the per-doc evaluation cost (Σ_q |terms_q| array
+    // scans) × partition parallelism, no state store in the path.
+    val frozen = graft.operators.Retrieval.frozenStats(spark, sfDir)
+    def runPercolate(rows: Seq[IngestEvent]): (Double, Long) = {
+      val in = MemoryStream[IngestEvent]
+      in.addData(rows)
+      val matches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_perc_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Percolate
+        .score(in.toDF().repartition(spark.sparkContext.defaultParallelism), frozen)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          matches.addAndGet(df.count()): Unit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .start()
+      val secs =
+        try { q.awaitTermination(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, matches.get())
+    }
+    val percDocs = docRows.take(math.min(50000, nDocs))
+    runPercolate(percDocs.take(math.min(5000, percDocs.length))) // warmup
+    val (percSecs, percMatches) = runPercolate(percDocs)
+    println(f"""{"metric":"percolate_docs_per_sec","value":${percDocs.length / percSecs}%.0f,"unit":"docs/sec","docs":${percDocs.length},"standing_queries":${frozen.queries.size},"matches":$percMatches,"wall_sec":$percSecs%.3f}""")
     spark.stop()
   }
 }
