@@ -78,6 +78,7 @@ object Bench {
     "text_bm25_topk",
     "ann_hybrid_rrf",
     "text_bigram_logprob",
+    "dsir_sample",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

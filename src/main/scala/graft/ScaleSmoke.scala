@@ -67,6 +67,7 @@ object ScaleSmoke {
     "text_bm25_topk",
     "ann_hybrid_rrf",
     "text_bigram_logprob",
+    "dsir_sample",
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",
