@@ -79,6 +79,7 @@ object Bench {
     "ann_hybrid_rrf",
     "text_bigram_logprob",
     "dsir_sample",
+    "text_gopher_rules",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

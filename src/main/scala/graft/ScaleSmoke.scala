@@ -68,6 +68,7 @@ object ScaleSmoke {
     "ann_hybrid_rrf",
     "text_bigram_logprob",
     "dsir_sample",
+    "text_gopher_rules",
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",
