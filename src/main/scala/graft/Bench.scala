@@ -80,6 +80,8 @@ object Bench {
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",
+    "corpus_overlap_eval",
+    "embedding_prototypicality",
     "q_approx_distinct_kmv",
     "q_approx_quantile_kmv",
     "text_len_quantiles_by_lang",

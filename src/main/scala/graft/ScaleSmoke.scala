@@ -69,6 +69,8 @@ object ScaleSmoke {
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",
+    "corpus_overlap_eval",
+    "embedding_prototypicality",
     "dedup_incremental",
     "dedup_incremental_stored",
     "dedup_components_incremental",

@@ -600,6 +600,37 @@ object Similarity {
         .select("vec_id", "cluster_id", "cluster_size")
     }),
     "dedup_semantic" -> ((s, d) => semanticTopPairs(s, d)),
+    "embedding_prototypicality" -> ((s, d) => {
+      // Prototypicality-based coreset pruning (Sorscher et al. 2022,
+      // "Beyond neural scaling laws", arXiv:2206.14486): rank every
+      // vector by cosine to its OWN cluster centroid; the most
+      // prototypical decile is the redundant "easy" mass the paper
+      // prunes first at scale. keep = 10·rank > cluster_size, evaluated
+      // in integer space. The ranking window partitions by cluster_id,
+      // whose per-partition size is bounded BY CONSTRUCTION: K scales
+      // with the corpus (kmeansKFor), so clusters stay ~target-sized at
+      // any scale — a full rank here never funnels the corpus into one
+      // task. Centroids ride in as a broadcast (K × dims ≤ 64k rows).
+      import s.implicits._
+      val cents = trainedCentroids(s, d)
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      val cdf = cents.zipWithIndex
+        .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+        .toDF("cluster_id", "cv")
+      val byCluster = Window.partitionBy(col("cluster_id"))
+      withEmb(s, d)
+        .select(col("vec_id"), col("emb"),
+          expr(s"element_at($fn(emb), 1)").as("cluster_id"))
+        .join(broadcast(cdf), "cluster_id")
+        .withColumn("cos_centroid", round(expr("dot_double(emb, cv)") /
+          (sqrt(expr("dot_double(emb, emb)")) * sqrt(expr("dot_double(cv, cv)"))), 4))
+        .withColumn("rank_in_cluster", row_number().over(
+          byCluster.orderBy(col("cos_centroid").desc, col("vec_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(byCluster))
+        .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
+          col("rank_in_cluster"), col("cluster_size"),
+          (lit(10) * col("rank_in_cluster") > col("cluster_size")).as("keep"))
+    }),
     "ann_recall" -> ((s, d) => {
       // Recall@5 of each approximate index vs the bruteforce ground truth —
       // the first number a real ANN user asks of an index. All five result
@@ -985,7 +1016,22 @@ object Similarity {
          |  ORDER BY cosine DESC, id1, id2) AS INT) AS rank FROM p)
          |SELECT cluster_id, rank, id1, id2, cosine,
          |  cosine >= $SemanticDupThreshold AS is_dup
-         |FROM r WHERE rank <= $SemanticTopK""".stripMargin
+         |FROM r WHERE rank <= $SemanticTopK""".stripMargin,
+    // cosine-to-own-centroid ranking off the same proven kmeans CTEs;
+    // centroid values c$KmeansIters reproduce the Scala trainer's
+    // sq::DOUBLE / n / quant division sequence bit-exactly
+    "embedding_prototypicality" ->
+      s"""WITH $kmeansCtes,
+         |pr AS (SELECT af.vec_id, af.cell cluster_id,
+         |  round(list_dot_product(af.emb, c.cv) /
+         |    (sqrt(list_dot_product(af.emb, af.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 4) cos_centroid
+         |  FROM af JOIN c$KmeansIters c ON c.cell = af.cell)
+         |SELECT *, (10 * rank_in_cluster > cluster_size) keep FROM (
+         |  SELECT vec_id, cluster_id, cos_centroid,
+         |    CAST(row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY cos_centroid DESC, vec_id) AS INT) rank_in_cluster,
+         |    count(*) OVER (PARTITION BY cluster_id) cluster_size
+         |  FROM pr)""".stripMargin
   )
 
   /** The kmeans WITH-body up to `af` (final cluster assignment): the same
