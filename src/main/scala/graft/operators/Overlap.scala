@@ -77,8 +77,7 @@ object Overlap {
         col("source_a") < col("source_b"))
   }
 
-  private def exact(s: SparkSession, d: String): DataFrame = {
-    val sh = srcHashes(s, d)
+  private def exact(sh: DataFrame): DataFrame = {
     val inter = sh.select(col("source").as("source_a"), col("h"))
       .join(sh.select(col("source").as("source_b"), col("h")), "h")
       .filter(col("source_a") < col("source_b"))
@@ -92,8 +91,7 @@ object Overlap {
         expr("n_inter * 10000 div n_union").as("jaccard_bp"))
   }
 
-  private def sketch(s: SparkSession, d: String): DataFrame = {
-    val sh = srcHashes(s, d)
+  private def sketch(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(expr(s"(${hashA(i)} * h + ${hashB(i)}) % $P")).as(s"m$i"))
     val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
@@ -114,18 +112,23 @@ object Overlap {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_overlap_exact" -> ((s, d) => exact(s, d)),
-    "corpus_overlap_minhash" -> ((s, d) => sketch(s, d)),
-    "corpus_overlap_eval" -> ((s, d) =>
-      exact(s, d).select("source_a", "source_b", "jaccard_bp")
-        .join(sketch(s, d).select("source_a", "source_b", "jaccard_est_bp"),
+    "corpus_overlap_exact" -> ((s, d) => exact(srcHashes(s, d))),
+    "corpus_overlap_minhash" -> ((s, d) => sketch(srcHashes(s, d))),
+    "corpus_overlap_eval" -> ((s, d) => {
+      // ONE shared universe pass: truth and estimate both read the same
+      // checkpointed (source, h) frame — the dominant corpus stage runs
+      // once, not once per leg (self-review r11)
+      val sh = srcHashes(s, d)
+      exact(sh).select("source_a", "source_b", "jaccard_bp")
+        .join(sketch(sh).select("source_a", "source_b", "jaccard_est_bp"),
           Seq("source_a", "source_b"))
         .withColumn("abs_err", abs(col("jaccard_est_bp") - col("jaccard_bp")))
         .agg(count(lit(1)).as("n_pairs"),
           sum("abs_err").as("sum_abs_err_bp"),
           max("abs_err").as("max_abs_err_bp"))
         .select(col("n_pairs"), col("sum_abs_err_bp"), col("max_abs_err_bp"),
-          expr("sum_abs_err_bp div n_pairs").as("mean_abs_err_bp")))
+          expr("sum_abs_err_bp div n_pairs").as("mean_abs_err_bp"))
+    })
   )
 
   private val baseCte = {

@@ -488,7 +488,7 @@ object TextOps {
         |          SELECT unnest(string_split(text, ' ')) w2 FROM documents) GROUP BY 1),
         |tot AS (SELECT sum(cu)::BIGINT total FROM ucnt),
         |model AS (SELECT w1, w2, CAST(round(ln(
-        |            0.8 * cb / cc + 0.2 * cu / total) * 1e6) AS BIGINT) q
+        |            0.8::DOUBLE * cb / cc + 0.2::DOUBLE * cu / total) * 1e6) AS BIGINT) q
         |          FROM bcnt JOIN ccnt USING (w1) JOIN ucnt USING (w2) CROSS JOIN tot)
         |SELECT doc_id, sum(c)::BIGINT n_bigrams, sum(c * q)::BIGINT sum_q,
         |  round(-sum(c * q) / 1e6 / sum(c), 4) avg_neg_logprob

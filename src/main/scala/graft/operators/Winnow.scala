@@ -110,8 +110,12 @@ object Winnow {
           (length(col("text")) - (GramLen - 1)).cast("int").as("n_grams"),
           (length(col("text")) - (MinLen - 1)).cast("int").as("n_windows"),
           size(col("fps")).cast("int").as("n_fps"))
+        // density rounds via integer HALF_UP ((2·10⁴·a + b) div 2b), the
+        // BM25-score idiom: double round(a/b, 4) diverges between
+        // engines on half-exact 4th decimals (e.g. 57/800 = 0.07125 —
+        // Spark HALF_UP 0.0713, DuckDB binary-double 0.0712)
         .withColumn("density",
-          round(col("n_fps") / col("n_windows").cast("double"), 4))),
+          expr("(20000L * n_fps + n_windows) div (2L * n_windows)") / lit(1e4))),
     "dedup_winnow_pairs" -> ((s, d) => {
       val f = fingerprints(s, d).transform(Materialize.once)
       // df cap BEFORE the self-join: boilerplate fingerprints carry df²
@@ -147,7 +151,8 @@ object Winnow {
          |  CAST(length(d.text) - ${GramLen - 1} AS INT) n_grams,
          |  CAST(length(d.text) - ${MinLen - 1} AS INT) n_windows,
          |  CAST(len(m.fps) AS INT) n_fps,
-         |  round(len(m.fps) / (length(d.text) - ${MinLen - 1})::DOUBLE, 4) density
+         |  ((20000::BIGINT * len(m.fps) + (length(d.text) - ${MinLen - 1}))
+         |    // (2 * (length(d.text) - ${MinLen - 1}))) / 1e4 density
          |FROM m JOIN documents d ON d.doc_id = m.doc_id""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH $fpCteSql,
