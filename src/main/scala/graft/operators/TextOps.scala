@@ -108,6 +108,18 @@ object TextOps {
         .select("doc_id", "lang", "en_hits", "es_hits", "de_hits", "fr_hits",
           "pred_lang", "is_correct")
     }),
+    "text_lang_id_eval" -> ((s, d) =>
+      // confusion matrix of the stop-word lang-ID heuristic vs the
+      // corpus ground-truth label — the accuracy-accountability grader
+      // (same pattern as ann_recall / dedup_eval_minhash). On THIS
+      // fixture the matrix collapses to the en column (the generator
+      // draws every language's text from an English-ish vocabulary, so
+      // es/de/fr/zh stop words never occur) — which is precisely the
+      // corpus pathology the grader exists to expose before anyone
+      // trusts per-language mixtures built on pred_lang. O(langs²)
+      // output from one partial aggregation.
+      queries("text_lang_id")(s, d)
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))),
     "text_fingerprint" -> ((s, d) => {
       RollingHash.register(s)
       Tables.documents(s, d)
@@ -395,6 +407,22 @@ object TextOps {
          |        WHEN de_hits >= fr_hits THEN 'de'
          |        ELSE 'fr' END) = lang AS is_correct
          |FROM h""".stripMargin
+    },
+    "text_lang_id_eval" -> {
+      val hitCols = stops
+        .map { case (l, vs) => s"${hitSql(vs)} AS ${l}_hits" }
+        .mkString(",\n  ")
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id, lang,
+         |  $hitCols
+         |FROM t)
+         |SELECT lang,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END pred_lang,
+         |  count(*)::BIGINT n
+         |FROM h GROUP BY 1, 2""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id, ${rollSql("text")} AS fingerprint,

@@ -69,6 +69,19 @@ object Winnow {
   /** Minimum text length for any fingerprint to exist. */
   val MinLen: Int = GramLen + WinSize - 1
 
+  /** Decontamination-grade parameters: t = 32 + 9 − 1 = 40 chars (~7
+    * consecutive words). Benchmark decontamination targets long VERBATIM
+    * spans (GPT-3 used 13-token n-grams), not the ~3-word granularity
+    * the dedup pair join wants — at GramLen 12 the corpus's common
+    * two-word collocations alone make almost every doc share a
+    * fingerprint with any eval slice, drowning the signal (measured:
+    * 472/475 flagged on the fixture; 40-char spans flag only the real
+    * near-dup structure).
+    */
+  val DecontamGramLen = 32
+  val DecontamWinSize = 9
+  val DecontamMinLen: Int = DecontamGramLen + DecontamWinSize - 1
+
   /** Any frame with (doc_id, text) → its winnowed fingerprint arrays
     * (doc_id, fps); docs below [[MinLen]] chars have no window and drop
     * out (both engines agree by construction).
@@ -85,18 +98,20 @@ object Winnow {
     * safe here (unlike the Writers.scala:408 caveat) because `docs` is
     * always a bare scan with no upstream stages to re-execute.
     */
-  private[graft] def withFps(docs: DataFrame): DataFrame = {
+  private[graft] def withFps(docs: DataFrame, gram: Int = GramLen,
+      win: Int = WinSize): DataFrame = {
     WinnowFps.register(docs.sparkSession)
     Materialize.spreadScan(docs)
-      .filter(length(col("text")) >= MinLen)
-      .withColumn("fps", expr(s"winnow_fps(text, $GramLen, $WinSize)"))
+      .filter(length(col("text")) >= gram + win - 1)
+      .withColumn("fps", expr(s"winnow_fps(text, $gram, $win)"))
   }
 
   /** (doc_id, fp) exploded winnowed fingerprints — shared by both
     * queries and the parity specs.
     */
-  private[graft] def fingerprints(s: SparkSession, d: String): DataFrame =
-    withFps(Tables.documents(s, d))
+  private[graft] def fingerprints(s: SparkSession, d: String,
+      gram: Int = GramLen, win: Int = WinSize): DataFrame =
+    withFps(Tables.documents(s, d), gram, win)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,17 +146,42 @@ object Winnow {
         .groupBy("doc_id1", "doc_id2")
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= MinShared)
+    }),
+    "decontam_winnow" -> ((s, d) => {
+      // Winnow-based benchmark decontamination (eval set = the
+      // doc_id % 20 == 0 slice, the decontam_* convention): flag train
+      // docs sharing ANY fingerprint with the eval set, at the
+      // decontamination-grade [[DecontamGramLen]]/[[DecontamWinSize]]
+      // parameters. Because winnowing guarantees a shared fingerprint
+      // for every common substring of >= DecontamMinLen chars, this
+      // catches CHARACTER-level contamination (reflowed punctuation,
+      // glued tokens) that the word-shingle decontam_overlap can miss,
+      // with a proven no-false-negative bound at 40-char spans. Same
+      // plan shape: inverted-index equi-join, never all-pairs; the one
+      // fingerprint pass is materialized and feeds both sides.
+      val f = fingerprints(s, d, DecontamGramLen, DecontamWinSize)
+        .transform(Materialize.once)
+      val ev = f.filter(col("doc_id") % 20 === 0).select("fp").distinct()
+      val hits = f.filter(col("doc_id") % 20 =!= 0)
+        .join(ev, "fp")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") >= 1)
     })
   )
 
-  private val fpCteSql: String =
-    s"""g AS (SELECT doc_id, list_transform(range(1, length(text) - ${GramLen - 2}),
-       |        i -> ('0x' || substr(md5(substr(text, i::INT, $GramLen)), 1, 8))::BIGINT) gh
-       |      FROM documents WHERE length(text) >= $MinLen),
-       |m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(gh) - ${WinSize - 2}),
-       |        j -> list_aggregate(gh[j::INT:j::INT + ${WinSize - 1}], 'min'))) fps
+  private def fpCteSqlFor(gram: Int, win: Int): String =
+    s"""g AS (SELECT doc_id, list_transform(range(1, length(text) - ${gram - 2}),
+       |        i -> ('0x' || substr(md5(substr(text, i::INT, $gram)), 1, 8))::BIGINT) gh
+       |      FROM documents WHERE length(text) >= ${gram + win - 1}),
+       |m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(gh) - ${win - 2}),
+       |        j -> list_aggregate(gh[j::INT:j::INT + ${win - 1}], 'min'))) fps
        |      FROM g),
        |f AS (SELECT doc_id, unnest(fps) fp FROM m)""".stripMargin
+
+  private val fpCteSql: String = fpCteSqlFor(GramLen, WinSize)
 
   def oracleSql: Map[String, String] = Map(
     // range(a, b) is [a, b): range(1, len-10) ≡ Spark's sequence(1, len-11)
@@ -160,6 +200,15 @@ object Winnow {
          |fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
          |SELECT a.doc_id doc_id1, b.doc_id doc_id2, count(*) n_shared
          |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= $MinShared""".stripMargin
+         |GROUP BY 1, 2 HAVING count(*) >= $MinShared""".stripMargin,
+    "decontam_winnow" ->
+      s"""WITH ${fpCteSqlFor(DecontamGramLen, DecontamWinSize)},
+         |ev AS (SELECT DISTINCT fp FROM f WHERE doc_id % 20 = 0),
+         |hits AS (SELECT doc_id, count(*)::BIGINT n_shared
+         |         FROM f JOIN ev USING (fp) WHERE doc_id % 20 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_shared, 0)::BIGINT n_shared,
+         |  coalesce(n_shared, 0) >= 1 contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+         |LEFT JOIN hits USING (doc_id)""".stripMargin
   )
 }

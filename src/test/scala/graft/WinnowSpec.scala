@@ -22,12 +22,15 @@ class WinnowSpec extends AnyFunSuite {
   private def md5Int8(s: String): Long =
     graft.functions.PortableHash.md5Int8(s)
 
-  private def naiveFps(text: String): Set[Long] = {
-    if (text.length < Winnow.MinLen) return Set.empty
-    val gh = (0 to text.length - Winnow.GramLen)
-      .map(i => md5Int8(text.substring(i, i + Winnow.GramLen)))
-    gh.sliding(Winnow.WinSize).map(_.min).toSet
+  private def naiveFpsP(text: String, gram: Int, win: Int): Set[Long] = {
+    if (text.length < gram + win - 1) return Set.empty
+    val gh = (0 to text.length - gram)
+      .map(i => md5Int8(text.substring(i, i + gram)))
+    gh.sliding(win).map(_.min).toSet
   }
+
+  private def naiveFps(text: String): Set[Long] =
+    naiveFpsP(text, Winnow.GramLen, Winnow.WinSize)
 
   private lazy val texts: Map[Long, String] = {
     import spark.implicits._
@@ -76,6 +79,25 @@ class WinnowSpec extends AnyFunSuite {
       val common = naiveFps(a).intersect(naiveFps(b))
       assert(common.nonEmpty, s"pad=$pad: no shared fingerprint")
     }
+  }
+
+  test("decontam_winnow matches the naive eval-set fingerprint intersection") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    val fps = texts.map { case (id, t) =>
+      id -> naiveFpsP(t, Winnow.DecontamGramLen, Winnow.DecontamWinSize) }
+    val evalFps = fps.filter(_._1 % 20 == 0).values.flatten.toSet
+    val want = texts.keys.filter(_ % 20 != 0).map { id =>
+      id -> fps(id).count(evalFps).toLong
+    }.toMap
+    val got = Winnow.queries("decontam_winnow")(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => assert(c === (n >= 1), s"doc $id"); id -> n }.toMap
+    assert(got === want)
+    // meaningful on the fixture: some contamination found, most docs clean
+    val flagged = got.values.count(_ >= 1)
+    assert(flagged >= 1 && flagged < got.size / 2,
+      s"flagged $flagged of ${got.size} — signal drowned or vacuous")
   }
 
   test("dedup_winnow_pairs matches the naive capped pair count") {
