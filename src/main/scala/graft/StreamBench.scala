@@ -307,6 +307,36 @@ object StreamBench {
     runPercolate(percDocs.take(math.min(5000, percDocs.length))) // warmup
     val (percSecs, percMatches) = runPercolate(percDocs)
     println(f"""{"metric":"percolate_docs_per_sec","value":${percDocs.length / percSecs}%.0f,"unit":"docs/sec","docs":${percDocs.length},"standing_queries":${frozen.queries.size},"matches":$percMatches,"wall_sec":$percSecs%.3f}""")
+
+    // ---- DSIR admission gate: arrivals scored against the frozen
+    // 256-bucket importance model + batch-selected cut
+    // (streaming/DsirGate — the selection twin). Stateless like the
+    // percolator; per-doc cost is one md5 + array lookup per token.
+    val dsirFrozen = graft.streaming.DsirGate.frozen(spark, sfDir)
+    def runDsir(rows: Seq[IngestEvent]): (Double, Long) = {
+      val in = MemoryStream[IngestEvent]
+      in.addData(rows)
+      val admitted = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_dsir_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DsirGate
+        .score(in.toDF().repartition(spark.sparkContext.defaultParallelism), dsirFrozen)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          admitted.addAndGet(df.filter(df("accepted")).count()): Unit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .start()
+      val secs =
+        try { q.awaitTermination(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, admitted.get())
+    }
+    val dsirDocs = docRows
+    runDsir(dsirDocs.take(math.min(10000, nDocs))) // warmup
+    val (dsirSecs, dsirAdmitted) = runDsir(dsirDocs)
+    println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dsir
+import graft.streaming.DsirGate
+
+/** The streaming DSIR gate must agree exactly with the batch resampler
+  * over the same frozen snapshot: replaying the candidate pool as
+  * arrivals, the admitted set must be EXACTLY the batch dsir_sample,
+  * and every per-arrival score must be bit-identical to the batch
+  * weights + Gumbel columns.
+  */
+// top-level for row-encoder codegen (see PercDocArrival)
+case class DsirDocArrival(doc_id: Long, text: String)
+
+class DsirGateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("stream admission == batch gumbel-top-k over the frozen snapshot") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tgt = Dsir.TargetSources.toSet
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+      .filterNot(r => tgt(r._3))
+      .map { case (id, t, _) => DsirDocArrival(id, t) }.toSeq
+    assert(arrivals.nonEmpty)
+
+    val frozen = DsirGate.frozen(spark, sf)
+    val in = MemoryStream[DsirDocArrival]
+    in.addData(arrivals)
+    val q = DsirGate.score(in.toDF(), frozen)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").trigger(Trigger.Once())
+      .option("checkpointLocation", Files.createTempDirectory("dsir_ck").toString)
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dsir_gate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size === arrivals.size)
+
+    // per-arrival scores bit-identical to the batch weights frame
+    val wantW = Dsir.queries("dsir_weights")(spark, sf)
+      .select("doc_id", "n_tokens", "sum_lam").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === wantW.keySet)
+    got.foreach { case (id, (n, sl, _, _)) =>
+      assert((n, sl) === wantW(id), s"doc $id") }
+
+    // admitted set == the batch sample exactly
+    val sample = Dsir.queries("dsir_sample")(spark, sf)
+      .select("doc_id", "score_q").as[(Long, Long)].collect().toMap
+    val admitted = got.collect { case (id, (_, _, sq, true)) => id -> sq }.toMap
+    assert(admitted === sample)
+  }
+
+  test("the gate is stateless: no state operator in the streaming plan") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val frozen = DsirGate.frozen(spark, sf)
+    val in = MemoryStream[DsirDocArrival]
+    in.addData(DsirDocArrival(999999L, "fast column table row"))
+    val q = DsirGate.score(in.toDF(), frozen)
+      .writeStream.format("memory").queryName("dsir_gate_plan")
+      .outputMode("append").trigger(Trigger.Once())
+      .option("checkpointLocation", Files.createTempDirectory("dsir_pl").toString)
+      .start()
+    q.awaitTermination()
+    assert(q.lastProgress == null ||
+      q.recentProgress.forall(_.stateOperators.isEmpty ||
+        q.recentProgress.forall(_.stateOperators.forall(_.numRowsTotal == 0L))))
+  }
+}
