@@ -58,6 +58,7 @@ object Bench {
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
     "dedup_winnow_pairs",
+    "decontam_winnow",
     "dedup_components",
     "dedup_components_incremental",
     "dedup_components_stored",

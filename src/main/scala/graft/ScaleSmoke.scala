@@ -32,6 +32,7 @@ object ScaleSmoke {
     "dedup_ngram_jaccard_prefix",
     "dedup_substring",
     "dedup_winnow_pairs",
+    "decontam_winnow",
     "dedup_components",
     // the RECOMMENDED embedding-LSH variant (2×8-bit bands); the coarse
     // 4×4-bit `dedup_embedding_lsh` stays registered for the oracle but
