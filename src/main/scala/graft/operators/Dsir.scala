@@ -69,34 +69,71 @@ object Dsir {
   private val targetsSql = TargetSources.map(s => s"'$s'").mkString(", ")
   private def isTarget = col("source").isin(TargetSources: _*)
 
+  /** SQL fragment hashing a token column into its feature bucket —
+    * shared VERBATIM with [[graft.streaming.DsirGate]] so the frozen
+    * gate's scores cannot drift from the batch formula.
+    */
+  private[graft] def bucketSql(tok: String): String =
+    s"cast(conv(substring(md5($tok), 1, 8), 16, 10) as bigint) % $Buckets"
+
+  /** 1e-6-quantized Gumbel noise from doc_id — shared VERBATIM with the
+    * gate for the same reason (u = (md5-prefix + 0.5)/2^32 ∈ (0,1)).
+    */
+  private[graft] val gumbelSql: String =
+    "cast(round(-ln(-ln((cast(conv(substring(md5(concat('dsir:', " +
+      "cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 0.5) " +
+      "/ 4294967296.0)) * 1e6) as bigint)"
+
   /** (doc_id, is_target, bucket) per token OCCURRENCE. */
   private def occ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(split(col("text"), " ")).as("token"))
-      .withColumn("bucket",
-        expr(s"cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint) % $Buckets"))
+      .withColumn("bucket", expr(bucketSql("token")))
 
-  /** Full-domain bucket model: target/raw occurrence counts and the
-    * 1e-6-quantized smoothed log-ratio. Exactly [[Buckets]] rows.
+  /** The fitted model rows (bucket, ct, cr, lam), cached per dataset-dir
+    * CONTENT fingerprint (the kmeansCents idiom): the model is exactly
+    * [[Buckets]] rows — a bounded collect — and it feeds dsir_logratio,
+    * the weights join, AND the gate freeze, so without the cache every
+    * consumer re-paid the full token-stream aggregation (self-review
+    * r11: dsir_sample inside DsirGate.frozen re-scanned the corpus the
+    * logratio query had just aggregated).
+    */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Long, Long)]]
+
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+
+  private[graft] def modelRows(s: SparkSession, d: String): Array[(Long, Long, Long, Long)] =
+    modelCache.getOrElseUpdate(s"$d@${Tables.tableFingerprint(d, "documents")}", {
+      val counts = occ(s, d).groupBy("bucket").agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+      val dom = s.range(Buckets).select(col("id").as("bucket"))
+      val filled = dom.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+        .transform(Materialize.once) // totals branch + output share one pass
+      val tot = filled.agg(sum("ct").as("t_tot"), sum("cr").as("r_tot"))
+      filled.crossJoin(broadcast(tot))
+        .withColumn("lam", round(
+          (log((col("ct") + lit(1.0)) / (col("t_tot") + lit(Buckets.toDouble))) -
+            log((col("cr") + lit(1.0)) / (col("r_tot") + lit(Buckets.toDouble))))
+            * lit(1e6)).cast("long"))
+        .select("bucket", "ct", "cr", "lam")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    })
+
+  /** Full-domain bucket model frame: target/raw occurrence counts and
+    * the 1e-6-quantized smoothed log-ratio. Exactly [[Buckets]] rows,
+    * served from [[modelRows]].
     */
   private def model(s: SparkSession, d: String): DataFrame = {
-    val counts = occ(s, d).groupBy("bucket").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
-    val dom = s.range(Buckets).select(col("id").as("bucket"))
-    val filled = dom.join(counts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
-      .transform(Materialize.once) // totals branch + output share one pass
-    val tot = filled.agg(sum("ct").as("t_tot"), sum("cr").as("r_tot"))
-    filled.crossJoin(broadcast(tot))
-      .withColumn("lam", round(
-        (log((col("ct") + lit(1.0)) / (col("t_tot") + lit(Buckets.toDouble))) -
-          log((col("cr") + lit(1.0)) / (col("r_tot") + lit(Buckets.toDouble))))
-          * lit(1e6)).cast("long"))
-      .select("bucket", "ct", "cr", "lam")
+    import s.implicits._
+    modelRows(s, d).toSeq.toDF("bucket", "ct", "cr", "lam")
   }
 
   /** Candidate docs scored: (doc_id, n_tokens, sum_lam, avg_logratio). */
@@ -116,10 +153,7 @@ object Dsir {
       // Gumbel(doc_id); sort-limit keeps only K rows per partition in
       // flight (TakeOrderedAndProject), never a full sort
       val scored = weights(s, d)
-        .withColumn("gumbel", expr(
-          "cast(round(-ln(-ln((cast(conv(substring(md5(concat('dsir:', " +
-            "cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 0.5) " +
-            "/ 4294967296.0)) * 1e6) as bigint)"))
+        .withColumn("gumbel", expr(gumbelSql))
         .withColumn("score_q", col("sum_lam") + col("gumbel"))
       scored.orderBy(col("score_q").desc, col("doc_id")).limit(SampleK)
         .select(col("doc_id"), col("n_tokens"), col("sum_lam"),

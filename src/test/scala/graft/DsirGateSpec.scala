@@ -75,8 +75,30 @@ class DsirGateSpec extends AnyFunSuite {
       .option("checkpointLocation", Files.createTempDirectory("dsir_pl").toString)
       .start()
     q.awaitTermination()
-    assert(q.lastProgress == null ||
-      q.recentProgress.forall(_.stateOperators.isEmpty ||
-        q.recentProgress.forall(_.stateOperators.forall(_.numRowsTotal == 0L))))
+    // non-vacuous: progress must exist, and no progress may carry state
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(p =>
+      p.stateOperators.forall(_.numRowsTotal == 0L)))
+  }
+
+  test("an empty candidate pool freezes to an admit-nothing gate") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // a snapshot whose documents are ALL target sources: no candidates,
+    // empty sample -> cut None, and the gate must admit no arrival
+    val dir = Files.createTempDirectory("dsir_tgt").toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .limit(50)
+      .withColumn("source", org.apache.spark.sql.functions.lit(Dsir.TargetSources.head))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.Dsir.clearModelCache()
+    try {
+      val frozen = DsirGate.frozen(spark, dir)
+      assert(frozen.cut.isEmpty)
+      val out = DsirGate.score(
+        Seq(DsirDocArrival(1L, "fast column table row")).toDF(), frozen)
+        .collect()
+      assert(out.length == 1 && !out.head.getAs[Boolean]("accepted"))
+    } finally graft.operators.Dsir.clearModelCache()
   }
 }

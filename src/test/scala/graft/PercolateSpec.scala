@@ -81,9 +81,9 @@ class PercolateSpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
     // a stateless projection replays from source offsets alone: no state
-    // store ever materializes in the checkpoint
-    assert(q.lastProgress == null ||
-      q.recentProgress.forall(_.stateOperators.isEmpty ||
-        q.recentProgress.forall(_.stateOperators.forall(_.numRowsTotal == 0L))))
+    // store ever materializes. Non-vacuous: progress must exist.
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(p =>
+      p.stateOperators.forall(_.numRowsTotal == 0L)))
   }
 }
