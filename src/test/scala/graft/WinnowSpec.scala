@@ -65,6 +65,22 @@ class WinnowSpec extends AnyFunSuite {
     assert(native(bmp) === naiveFps(bmp) && native(bmp).nonEmpty)
   }
 
+  test("native expression == naive winnow on seeded random tie-heavy strings") {
+    // tiny alphabets force repeated grams and equal window minima — the
+    // deque's tie-handling and the distinct-set semantics under stress;
+    // lengths sweep the no-window/one-window boundary
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq("ab", "abc", "abcdefgh", "aáβ中")
+    for (_ <- 1 to 60; alpha <- alphabets) {
+      val len = Winnow.MinLen - 2 + rnd.nextInt(120)
+      val s = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      val native = graft.functions.WinnowFps.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        Winnow.GramLen, Winnow.WinSize).toLongArray().toSet
+      assert(native === naiveFps(s), s"len=$len alpha=$alpha s=${s.take(40)}…")
+    }
+  }
+
   test("guarantee: a shared >= t-char substring always shares a fingerprint") {
     // two otherwise-unrelated texts sharing exactly a t = GramLen+WinSize-1
     // char span: winnowing MUST select a common fingerprint from that span
