@@ -300,6 +300,61 @@ case class IvfTopCells(child: Expression, cents: Array[Array[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** Term frequencies of a token array against a FROZEN vocabulary: emit,
+  * aligned to `terms`, the number of occurrences of each vocabulary term
+  * in the input array. One HashMap probe per input token — O(|ws| +
+  * |vocab|) per row — replacing the percolator's per-(query, term)
+  * `size(filter(ws, w -> w = t))` scans, which cost
+  * Σ_q |terms_q| × |ws| equality walks per arrival in interpreted
+  * higher-order eval (the winnow lesson, applied to retrieval). The
+  * vocabulary rides in the expression instance like [[IvfTopCells]]'s
+  * centroids: plan-size-bounded, content-addressed at registration.
+  * Counts are exact integers, so any consumer's scores are bit-identical
+  * to the filter-scan formulation by construction.
+  */
+case class StandingTf(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "standing_tf"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if terms.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("standing_tf(array<string>), nonempty vocab")
+  }
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  def counts(input: ArrayData): ArrayData = {
+    val out = new Array[Int](terms.size)
+    var i = 0
+    val n = input.numElements()
+    while (i < n) {
+      val idx = index.get(input.getUTF8String(i))
+      if (idx != null) out(idx.intValue()) += 1
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("standingTf", this, classOf[StandingTf].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.counts($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StandingTf =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder: split a d-dim vector into
   * `codebooks.length` contiguous subvectors and emit, per subspace m, the
   * index of the L2-nearest codeword among `codebooks(m)` (tie → smaller
@@ -378,6 +433,21 @@ object GraftFunctions {
     * registration quiet AND idempotent; staleness is impossible because a
     * different content hashes to a different name.
     */
+  /** Register a [[StandingTf]] bound to a specific frozen vocabulary and
+    * return its session function name (content-addressed md5 digest,
+    * like [[registerIvf]]).
+    */
+  def registerStandingTf(spark: SparkSession, terms: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    terms.foreach { t =>
+      md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte) // unambiguous term framing
+    }
+    val name = "standing_tf_" + md.digest().map("%02x".format(_)).mkString
+    registerOnce(spark, name, exprs => StandingTf(exprs.head, terms))
+    name
+  }
+
   private def registerOnce(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry

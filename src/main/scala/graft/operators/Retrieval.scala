@@ -88,10 +88,14 @@ object Retrieval {
     * ([[graft.streaming.Percolate]]) scores arrivals against. Bounded by
     * the query vocabulary (Q × terms + 2 scalars), never corpus-sized.
     */
-  final case class TermStat(term: String, df: Long)
+  /** `idx` positions the term in [[FrozenIndexStats.unionTerms]], the
+    * deduplicated standing vocabulary the percolator's one-pass tf
+    * expression is aligned to.
+    */
+  final case class TermStat(term: String, idx: Int, df: Long)
   final case class QueryTerms(query_id: Long, terms: Seq[TermStat])
   final case class FrozenIndexStats(nDocs: Long, sumDl: Long,
-      queries: Seq[QueryTerms])
+      unionTerms: Seq[String], queries: Seq[QueryTerms])
 
   /** Collect the frozen index statistics for the standing query set: the
     * one O(query-vocab) driver materialization a percolation deployment
@@ -115,15 +119,21 @@ object Retrieval {
       .select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .head()
-    val byQuery = qt.join(dfq, "token")
+    val rows = qt.join(dfq, "token")
       .select("query_id", "token", "df").collect()
-      .groupBy(_.getLong(0))
-      .map { case (qid, rows) =>
-        QueryTerms(qid, rows.map(r => TermStat(r.getString(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // deduplicated standing vocabulary + per-term positions: terms repeat
+    // heavily across queries, and the percolator counts each union term
+    // ONCE per arrival instead of once per (query, term)
+    val union = rows.map(_._2).distinct.sorted.toSeq
+    val idxOf = union.zipWithIndex.toMap
+    val byQuery = rows.groupBy(_._1)
+      .map { case (qid, rs) =>
+        QueryTerms(qid, rs.map { case (_, t, df) => TermStat(t, idxOf(t), df) }
           .sortBy(_.term).toSeq)
       }
       .toSeq.sortBy(_.query_id)
-    FrozenIndexStats(st.getLong(0), st.getLong(1), byQuery)
+    FrozenIndexStats(st.getLong(0), st.getLong(1), union, byQuery)
   }
 
   /** (query_id, doc_id, n_terms, sum_q): quantized BM25 partial sums for

@@ -38,9 +38,11 @@ import graft.operators.Retrieval.FrozenIndexStats
   * functions. No state store, no watermark, no shuffle — arrivals score
   * in place on whatever partition they arrive, so throughput scales
   * linearly with input partitions and a lost executor replays cleanly
-  * from the source offsets. Per-arrival cost is Σ_q |terms_q| array
-  * scans of the arrival's tokens — the document-side evaluation cost
-  * every percolator pays.
+  * from the source offsets. Per-arrival cost is O(|tokens| + Σ_q
+  * |terms_q|): one frozen-vocab HashMap probe per token
+  * ([[graft.functions.StandingTf]]) plus an O(1) lookup per standing
+  * term — the document-side evaluation cost every percolator pays,
+  * without re-walking the token array per (query, term).
   *
   * Determinism: the scoring expression reproduces the batch AST
   * LITERALLY — same constants, same operand order, df/N/sumDl spliced
@@ -61,14 +63,22 @@ object Percolate {
   def score(docs: DataFrame, frozen: FrozenIndexStats): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // one literal: array<struct<query_id, terms array<struct<term, df>>>>
+    // the arrival's term frequencies against the DEDUPLICATED standing
+    // vocabulary, computed ONCE per arrival by the frozen-vocab
+    // [[graft.functions.StandingTf]] expression (one HashMap probe per
+    // token). The previous per-(query, term) `size(filter(ws, ...))`
+    // walked the token array Σ_q |terms_q| times per arrival in
+    // interpreted eval — measured 3.3k docs/s vs this form's O(1)
+    // element_at lookups per standing term. Counts are identical
+    // integers, so scores are bit-identical by construction.
+    val tfFn = graft.functions.GraftFunctions
+      .registerStandingTf(spark, frozen.unionTerms)
+    // one literal: array<struct<query_id, terms array<struct<term, idx, df>>>>
     val standing: Column = typedlit(frozen.queries)
-    // tf evaluates ONCE per standing term (the transform stage), then the
-    // fold accumulates (matched-term count, quantized score sum)
     val scored: Column = expr(
       s"""aggregate(
          |  transform(q.terms, t -> named_struct(
-         |    'tf', size(filter(ws, w -> w = t.term)), 'df', t.df)),
+         |    'tf', element_at(tfs, t.idx + 1), 'df', t.df)),
          |  named_struct('n', 0, 's', cast(0 as bigint)),
          |  (acc, x) -> named_struct(
          |    'n', acc.n + IF(x.tf > 0, 1, 0),
@@ -83,6 +93,7 @@ object Percolate {
     docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("dl", size(col("ws")).cast("long"))
+      .withColumn("tfs", expr(s"$tfFn(ws)"))
       .withColumn("q", explode(standing))
       .filter(col("doc_id") =!= col("q.query_id"))
       .withColumn("r", scored)
