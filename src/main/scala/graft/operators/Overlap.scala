@@ -51,21 +51,26 @@ object Overlap {
   private val hashB: IndexedSeq[Long] =
     (0 until NumHashes).map(i => PortableHash.md5Int8(s"ovb:$i") % P)
 
-  /** Distinct (source, shingle-hash) — ONE distinct, on the hashed form:
-    * estimate and truth share this universe. Materialized once; feeds
-    * sizes, the exact intersection, and the signature build.
+  /** Distinct (source, shingle-hash) from ANY (source, text) frame —
+    * the shared universe of estimate and truth, and the per-micro-batch
+    * pass of the streamed maintainer ([[graft.streaming.OverlapStream]]).
     */
-  private def srcHashes(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .withColumn("sh", expr("word_shingles(text)"))
       .filter(col("sh").isNotNull)
       .select(col("source"), explode(col("sh")).as("sg"))
       .withColumn("h",
         expr(s"cast(conv(substring(md5(sg), 1, 8), 16, 10) as bigint) % $P"))
       .select("source", "h").distinct()
-      .transform(Materialize.once)
   }
+
+  /** The corpus universe, materialized once; feeds sizes, the exact
+    * intersection, and the signature build.
+    */
+  private def srcHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashes(Tables.documents(s, d)).transform(Materialize.once)
 
   /** All source pairs (source_a < source_b) with set sizes — the full
     * pair domain, so zero-overlap pairs still appear in every output.
@@ -91,25 +96,44 @@ object Overlap {
         expr("n_inter * 10000 div n_union").as("jaccard_bp"))
   }
 
-  private def sketch(sh: DataFrame): DataFrame = {
+  /** (source, i, v) long-format signatures from a (source, h) universe:
+    * [[NumHashes]] plain min() aggregates (map-side combined), then a
+    * posexplode of the tiny per-source array. This long format IS the
+    * streamed store's schema — signatures are a join-semilattice under
+    * element-wise min, so stored and batch forms merge exactly.
+    */
+  private[graft] def sigLong(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(expr(s"(${hashA(i)} * h + ${hashB(i)}) % $P")).as(s"m$i"))
-    val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
       .select(col("source"),
         posexplode(array((0 until NumHashes).map(i => col(s"m$i")): _*)))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "v")
-    val matches = sig.select(col("source").as("source_a"), col("i"), col("v"))
-      .join(sig.select(col("source").as("source_b"), col("i"), col("v")),
+  }
+
+  /** Pairwise Jaccard estimates from long-format signatures (stored or
+    * freshly built): full pair domain over the sources present, so
+    * zero-overlap pairs still appear.
+    */
+  private[graft] def estimateFromSigl(sigl: DataFrame): DataFrame = {
+    val matches = sigl.select(col("source").as("source_a"), col("i"), col("v"))
+      .join(sigl.select(col("source").as("source_b"), col("i"), col("v")),
         Seq("i", "v"))
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("nm"))
-    pairDomain(sh).select("source_a", "source_b")
+    val srcs = sigl.select("source").distinct()
+    srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
       .join(broadcast(matches), Seq("source_a", "source_b"), "left")
       .withColumn("n_match", coalesce(col("nm"), lit(0L)))
       .select(col("source_a"), col("source_b"), col("n_match"),
         lit(NumHashes.toLong).as("n_hashes"),
         expr(s"n_match * 10000 div $NumHashes").as("jaccard_est_bp"))
   }
+
+  private def sketch(sh: DataFrame): DataFrame =
+    estimateFromSigl(sigLong(sh))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_overlap_exact" -> ((s, d) => exact(srcHashes(s, d))),
