@@ -337,6 +337,27 @@ object StreamBench {
     runDsir(dsirDocs.take(math.min(10000, nDocs))) // warmup
     val (dsirSecs, dsirAdmitted) = runDsir(dsirDocs)
     println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f}""")
+
+    // ---- cross-source overlap sketch maintenance: per-source MinHash
+    // signatures merged per micro-batch (streaming/OverlapStream — the
+    // CRDT store; per-batch cost is one batch shingle pass + a
+    // kilobyte republish).
+    def runOverlap(rows: Seq[IngestEvent], batches: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory("sb_ov").toString
+      val in = MemoryStream[graft.streaming.OverlapStream.SourceDoc]
+      rows.map(e => graft.streaming.OverlapStream.SourceDoc(e.source, e.text))
+        .grouped(math.max(1, rows.size / batches)).foreach(b => in.addData(b))
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_ov_ck").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.OverlapStream.maintain(in.toDS(), root, ckpt,
+        trigger = Trigger.AvailableNow())
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally q.stop()
+    }
+    val ovDocs = docRows.take(math.min(50000, nDocs))
+    runOverlap(ovDocs.take(math.min(5000, ovDocs.length)), 2) // warmup
+    val ovSecs = runOverlap(ovDocs, 10)
+    println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f}""")
     spark.stop()
   }
 }
