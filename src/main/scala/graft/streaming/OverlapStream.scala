@@ -48,8 +48,12 @@ object OverlapStream {
       .as[(String, Int, Long)].collect()
     if (batchSigs.isEmpty) return
     val path = sigsPath(root)
+    // Hadoop FS, not java.io.File: the store root is an HDFS/S3 path on
+    // a cluster, same as every other persisted store here
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stored: Array[(String, Int, Long)] =
-      if (new java.io.File(path).exists())
+      if (fs.exists(hp))
         s.read.parquet(path).as[(String, Int, Long)].collect()
       else Array.empty
     val merged = (stored ++ batchSigs)
