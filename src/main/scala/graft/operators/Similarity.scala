@@ -622,10 +622,20 @@ object Similarity {
         .select(col("vec_id"), col("emb"),
           expr(s"element_at($fn(emb), 1)").as("cluster_id"))
         .join(broadcast(cdf), "cluster_id")
-        .withColumn("cos_centroid", round(expr("dot_double(emb, cv)") /
-          (sqrt(expr("dot_double(emb, emb)")) * sqrt(expr("dot_double(cv, cv)"))), 4))
+        // rank and keep derive from a 1e-6-QUANTIZED LONG, never a
+        // round(double, 4): the 4-decimal double round is the
+        // Spark-HALF_UP vs DuckDB-binary seam the BM25 score already
+        // eliminated (ADVICE r11) — a half-exact 4th decimal flips
+        // rank_in_cluster and keep between engines. cos_q is the module's
+        // standard 1e-6 integer quantization; the displayed cosine is
+        // cos_q/1e6, an identical long-by-literal double division in
+        // both engines (bit-stable, exact to print).
+        .withColumn("cos_q", round(expr("dot_double(emb, cv)") /
+          (sqrt(expr("dot_double(emb, emb)")) * sqrt(expr("dot_double(cv, cv)"))) * lit(1e6))
+          .cast("long"))
+        .withColumn("cos_centroid", col("cos_q") / lit(1e6))
         .withColumn("rank_in_cluster", row_number().over(
-          byCluster.orderBy(col("cos_centroid").desc, col("vec_id"))))
+          byCluster.orderBy(col("cos_q").desc, col("vec_id"))))
         .withColumn("cluster_size", count(lit(1)).over(byCluster))
         .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
           col("rank_in_cluster"), col("cluster_size"),
@@ -1023,13 +1033,14 @@ object Similarity {
     "embedding_prototypicality" ->
       s"""WITH $kmeansCtes,
          |pr AS (SELECT af.vec_id, af.cell cluster_id,
-         |  round(list_dot_product(af.emb, c.cv) /
-         |    (sqrt(list_dot_product(af.emb, af.emb)) * sqrt(list_dot_product(c.cv, c.cv))), 4) cos_centroid
+         |  CAST(round(list_dot_product(af.emb, c.cv) /
+         |    (sqrt(list_dot_product(af.emb, af.emb)) * sqrt(list_dot_product(c.cv, c.cv))) * 1e6) AS BIGINT) cos_q
          |  FROM af JOIN c$KmeansIters c ON c.cell = af.cell)
-         |SELECT *, (10 * rank_in_cluster > cluster_size) keep FROM (
-         |  SELECT vec_id, cluster_id, cos_centroid,
+         |SELECT vec_id, cluster_id, cos_centroid, rank_in_cluster, cluster_size,
+         |  (10 * rank_in_cluster > cluster_size) keep FROM (
+         |  SELECT vec_id, cluster_id, cos_q / 1e6 cos_centroid,
          |    CAST(row_number() OVER (PARTITION BY cluster_id
-         |      ORDER BY cos_centroid DESC, vec_id) AS INT) rank_in_cluster,
+         |      ORDER BY cos_q DESC, vec_id) AS INT) rank_in_cluster,
          |    count(*) OVER (PARTITION BY cluster_id) cluster_size
          |  FROM pr)""".stripMargin
   )

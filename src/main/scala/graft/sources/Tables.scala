@@ -57,13 +57,27 @@ object Tables {
     * version.
     */
   def tableFingerprint(sfDir: String, name: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] = {
-      val kids = Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
-      if (f.isDirectory) kids.flatMap(walk) else Seq(f)
-    }
-    val root = new java.io.File(s"$sfDir/$name.parquet")
+    // Probe through Hadoop FS, not java.io.File (ADVICE r11 / the
+    // adbb42e overlap-store fix): on an HDFS/S3 dataset root a local-File
+    // probe never sees the files, the fingerprint collapses to the
+    // constant "absent" hash, and an in-place rewrite would serve stale
+    // cached models. The active session's hadoopConfiguration resolves
+    // the scheme; a bare Configuration covers the no-session case
+    // (file:// only — exactly where java.io.File was correct anyway).
+    val conf = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName).toSeq.flatMap(walk)
+      else Seq(st)
     val parts =
-      if (root.exists()) walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      if (fs.exists(root))
+        walk(fs.getFileStatus(root))
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       else Seq("absent")
     Integer.toHexString(scala.util.hashing.MurmurHash3.orderedHash(parts))
   }

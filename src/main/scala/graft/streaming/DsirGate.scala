@@ -65,6 +65,14 @@ object DsirGate {
       .map(r => (r.getLong(0), r.getLong(1)))
     val cut =
       if (sample.isEmpty) None
+      // UNDER-FULL sample (pool < SampleK): the batch selection was not
+      // capacity-limited — every scored candidate was admitted — so the
+      // gate must admit every scored arrival too. Freezing the k-th-row
+      // threshold here would silently tighten the "admit exactly what
+      // would have made the batch cut" contract: an arrival scoring
+      // below the weakest batch row WOULD have been admitted by a batch
+      // re-run with spare capacity (ADVICE r11).
+      else if (sample.length < Dsir.SampleK) Some((Long.MinValue, Long.MaxValue))
       // batch order is (score desc, doc_id asc): the weakest admitted
       // row has the min score, and among min-score rows the MAX doc_id
       else {

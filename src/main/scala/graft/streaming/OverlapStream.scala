@@ -41,7 +41,20 @@ object OverlapStream {
 
   private def sigsPath(root: String) = s"$root/overlap_sigs.parquet"
 
-  /** Merge one micro-batch of documents into the stored signatures. */
+  /** Merge one micro-batch of documents into the stored signatures.
+    *
+    * Publish is STAGED + renamed, never an in-place overwrite: a plain
+    * `mode("overwrite")` deletes the live store before the new files
+    * commit, and a driver crash in that window would lose signatures
+    * merged from every PRIOR micro-batch — whose source offsets are
+    * already committed in the streaming checkpoint, so restart replays
+    * only the failed batch onto an empty store (ADVICE r11). With the
+    * stage→delete→rename protocol a crash leaves either the old complete
+    * store, or (in the delete→rename gap) the orphaned fully-merged
+    * staging dir, which the next absorb adopts before reading — in every
+    * interleaving the surviving store contains all committed batches,
+    * and the CRDT min-merge makes re-absorbing the failed batch a no-op.
+    */
   private[graft] def absorb(s: SparkSession, root: String, batch: DataFrame): Unit = {
     import s.implicits._
     val batchSigs = Overlap.sigLong(Overlap.shingleHashes(batch))
@@ -52,6 +65,12 @@ object OverlapStream {
     // a cluster, same as every other persisted store here
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staged")
+    // heal: a crash between the delete and the rename below leaves no
+    // live store but a complete (_SUCCESS-marked) staging dir — adopt it
+    if (!fs.exists(hp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      require(fs.rename(tmp, hp), s"overlap store heal failed: $tmp")
     val stored: Array[(String, Int, Long)] =
       if (fs.exists(hp))
         s.read.parquet(path).as[(String, Int, Long)].collect()
@@ -61,7 +80,9 @@ object OverlapStream {
       .map { case ((src, i), rs) => (src, i, rs.map(_._3).min) }
       .toSeq.sortBy(r => (r._1, r._2))
     merged.toDF("source", "i", "v")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hp, true)
+    require(fs.rename(tmp, hp), s"overlap store publish failed: $hp")
   }
 
   /** Maintain the signature store from a document stream. */

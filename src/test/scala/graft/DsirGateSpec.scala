@@ -81,6 +81,42 @@ class DsirGateSpec extends AnyFunSuite {
       p.stateOperators.forall(_.numRowsTotal == 0L)))
   }
 
+  test("an under-full sample freezes to an admit-all-scored gate") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // a snapshot whose candidate pool is smaller than SampleK: the batch
+    // sample is not capacity-limited (every candidate admitted), so the
+    // frozen gate must admit every scored arrival — a k-th-row cut here
+    // would reject arrivals a batch re-run with spare capacity would
+    // have admitted (ADVICE r11)
+    val dir = Files.createTempDirectory("dsir_uf").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .withColumn("rn", org.apache.spark.sql.functions
+        .row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(org.apache.spark.sql.functions.col("doc_id"))))
+    // 40 target docs + 20 candidates (< SampleK = 100)
+    docs.withColumn("source",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("rn") <= 40,
+          org.apache.spark.sql.functions.lit(Dsir.TargetSources.head))
+          .otherwise(org.apache.spark.sql.functions.lit("web")))
+      .drop("rn")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.Dsir.clearModelCache()
+    try {
+      val frozen = DsirGate.frozen(spark, dir)
+      assert(frozen.cut === Some((Long.MinValue, Long.MaxValue)))
+      // the worst-scoring candidate itself must be admitted
+      val worst = Dsir.queries("dsir_weights")(spark, dir)
+        .orderBy("sum_lam").limit(1)
+        .join(spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+        .select("doc_id", "text").as[(Long, String)].head()
+      val out = DsirGate.score(
+        Seq(DsirDocArrival(worst._1, worst._2)).toDF(), frozen).collect()
+      assert(out.length == 1 && out.head.getAs[Boolean]("accepted"))
+    } finally graft.operators.Dsir.clearModelCache()
+  }
+
   test("an empty candidate pool freezes to an admit-nothing gate") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     import spark.implicits._
