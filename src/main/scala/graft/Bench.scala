@@ -77,7 +77,12 @@ object Bench {
     "ann_recall",
     "ann_recall_incremental",
     "text_bm25_topk",
-    "ann_hybrid_rrf",
+    "text_bm25_served_topk",
+    "text_bm25_incremental",
+    // the served fusion replaces ann_hybrid_rrf here (VERDICT r11 #2):
+    // both legs now read persisted indexes; the brute-force fusion stays
+    // registered as the exact oracle twin
+    "ann_hybrid_served_rrf",
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",

@@ -66,7 +66,13 @@ object ScaleSmoke {
     // don't belong here
     // lexical + hybrid retrieval (documents ⊕ embeddings)
     "text_bm25_topk",
-    "ann_hybrid_rrf",
+    // the SERVED lexical path (persisted postings store; first run pays
+    // the one-time build, the serve itself is the bucket-pruned plan)
+    "text_bm25_served_topk",
+    "text_bm25_incremental",
+    // index-served fusion (postings store × IVF×PQ codes) — replaces the
+    // brute-force ann_hybrid_rrf in the headline (VERDICT r11 #2)
+    "ann_hybrid_served_rrf",
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.TxGen
-import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, Dedup, Dsir, FraudQueries, FraudRules, IncrementalStats, Layout, Multimodal, Overlap, QualityRules, Retrieval, SamplingOps, SigStore, Similarity, TableOps, Temporal, TextOps, TrainingPipeline, Upsert, Winnow}
+import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, BmStore, Dedup, Dsir, FraudQueries, FraudRules, IncrementalStats, Layout, Multimodal, Overlap, QualityRules, Retrieval, SamplingOps, SigStore, Similarity, TableOps, Temporal, TextOps, TrainingPipeline, Upsert, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     FraudQueries.queries ++ Analytics.queries ++ AnalyticsExt.queries ++
-      Dedup.queries ++ SigStore.queries ++ Similarity.queries ++ AnnIndexIO.queries ++ TextOps.queries ++
+      Dedup.queries ++ SigStore.queries ++ BmStore.queries ++ Similarity.queries ++ AnnIndexIO.queries ++ TextOps.queries ++
       Multimodal.queries ++ TableOps.queries ++ Layout.queries ++
       TrainingPipeline.queries ++ SamplingOps.queries ++ Temporal.queries ++
       Upsert.queries ++ IncrementalStats.queries ++ Retrieval.queries ++
@@ -41,7 +41,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     FraudQueries.oracleSql ++ Analytics.oracleSql ++ AnalyticsExt.oracleSql ++
-      Dedup.oracleSql ++ SigStore.oracleSql ++ Similarity.oracleSql ++ AnnIndexIO.oracleSql ++
+      Dedup.oracleSql ++ SigStore.oracleSql ++ BmStore.oracleSql ++ Similarity.oracleSql ++ AnnIndexIO.oracleSql ++
       TextOps.oracleSql ++ Multimodal.oracleSql ++ TableOps.oracleSql ++
       Layout.oracleSql ++ TrainingPipeline.oracleSql ++ SamplingOps.oracleSql ++
       Temporal.oracleSql ++ Upsert.oracleSql ++ IncrementalStats.oracleSql ++

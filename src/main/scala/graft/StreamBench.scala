@@ -280,9 +280,14 @@ object StreamBench {
     // ---- BM25 percolation: arriving documents scored against the
     // standing query set with index statistics frozen at build time
     // (streaming/Percolate — the retrieval twin). Stateless projection:
-    // throughput is the per-doc evaluation cost (Σ_q |terms_q| array
-    // scans) × partition parallelism, no state store in the path.
-    val frozen = graft.operators.Retrieval.frozenStats(spark, sfDir)
+    // throughput is the per-doc evaluation cost (one frozen-vocab probe
+    // per token) × partition parallelism, no state store in the path.
+    // Statistics come FROM the persisted postings store (BmStore) — the
+    // deployment shape: percolator and served top-k share one statistics
+    // snapshot; BmStoreSpec proves the store freeze equals the
+    // full-recompute freeze.
+    val bmRoot = graft.operators.BmStore.ensureFullBuilt(spark, sfDir)
+    val frozen = graft.operators.BmStore.frozenStats(spark, bmRoot, sfDir)
     def runPercolate(rows: Seq[IngestEvent]): (Double, Long) = {
       val in = MemoryStream[IngestEvent]
       in.addData(rows)

@@ -79,9 +79,9 @@ object Retrieval {
   val RrfTopK = 10
   val RrfK = 60
 
-  private def isQueryDoc(c: org.apache.spark.sql.Column) =
+  private[graft] def isQueryDoc(c: org.apache.spark.sql.Column) =
     c.isin(QueryDocIds: _*)
-  private val queryIdsSql = QueryDocIds.mkString(", ")
+  private[graft] val queryIdsSql = QueryDocIds.mkString(", ")
 
   /** Per-term document frequency of one standing query's terms, plus the
     * corpus scalars — the FROZEN statistics the streaming percolator
@@ -122,6 +122,16 @@ object Retrieval {
     val rows = qt.join(dfq, "token")
       .select("query_id", "token", "df").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assembleFrozen(rows, st.getLong(0), st.getLong(1))
+  }
+
+  /** Assemble [[FrozenIndexStats]] from collected (query_id, term, df)
+    * rows — shared by the full-recompute [[frozenStats]] and the
+    * postings-store freeze ([[BmStore.frozenStats]]), so both construct
+    * the identical deduplicated-vocabulary layout.
+    */
+  private[graft] def assembleFrozen(rows: Array[(Long, String, Long)],
+      nDocs: Long, sumDl: Long): FrozenIndexStats = {
     // deduplicated standing vocabulary + per-term positions: terms repeat
     // heavily across queries, and the percolator counts each union term
     // ONCE per arrival instead of once per (query, term)
@@ -133,7 +143,7 @@ object Retrieval {
           .sortBy(_.term).toSeq)
       }
       .toSeq.sortBy(_.query_id)
-    FrozenIndexStats(st.getLong(0), st.getLong(1), union, byQuery)
+    FrozenIndexStats(nDocs, sumDl, union, byQuery)
   }
 
   /** (query_id, doc_id, n_terms, sum_q): quantized BM25 partial sums for
@@ -226,7 +236,12 @@ object Retrieval {
     * casts keep DuckDB out of DECIMAL arithmetic (its decimal 2.2·tf is
     * exact where Spark's double 2.2·tf is not).
     */
-  private val bmCtes: String =
+  private[graft] def bmCtesFor(statsBaseOnly: Boolean): String = {
+    // statsBaseOnly mirrors the postings store's FROZEN-statistics growth
+    // contract (BmStore): postings (tf/dl) cover the grown corpus, but
+    // df/avgdl/N stay pinned to the base build (`doc_id % 10 <> 0`, the
+    // SigStore split) until the next full rebuild.
+    val dfW = if (statsBaseOnly) " WHERE doc_id % 10 <> 0" else ""
     s"""t AS (SELECT doc_id, len(string_split(text, ' ')) dl,
        |        unnest(string_split(text, ' ')) token FROM documents),
        |qt AS (SELECT DISTINCT doc_id query_id, token FROM t
@@ -234,10 +249,16 @@ object Retrieval {
        |pr AS (SELECT t.doc_id, t.dl, t.token FROM t
        |       JOIN (SELECT DISTINCT token FROM qt) qk ON qk.token = t.token),
        |tf AS (SELECT doc_id, dl, token, count(*) tf FROM pr GROUP BY 1, 2, 3),
-       |dfq AS (SELECT token, count(*) df FROM tf GROUP BY 1),
+       |dfq AS (SELECT token, count(*) df FROM tf$dfW GROUP BY 1),
        |st AS (SELECT count(*) n_docs, sum(len(string_split(text, ' ')))::BIGINT sum_dl
-       |       FROM documents),
-       |sc AS (SELECT qt.query_id, tf.doc_id,
+       |       FROM documents$dfW),""".stripMargin
+  }
+
+  /** Scoring tail (sc → bm) shared by every BM25 oracle variant — the
+    * frozen-stats incremental oracle swaps only the dfq/st CTEs upstream.
+    */
+  private[graft] val bmScoreCtes: String =
+    s"""sc AS (SELECT qt.query_id, tf.doc_id,
        |         CAST(round(ln(1.0::DOUBLE + (st.n_docs - dfq.df + 0.5::DOUBLE) / (dfq.df + 0.5::DOUBLE)) *
        |           (tf.tf * 2.2::DOUBLE / (tf.tf +
        |              1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * tf.dl / (st.sum_dl / st.n_docs)))) *
@@ -250,13 +271,21 @@ object Retrieval {
        |         sum(q)::BIGINT sum_q
        |       FROM sc GROUP BY 1, 2)""".stripMargin
 
+  /** Final top-k projection over `bm` — shared by all BM25 oracles. */
+  private[graft] val bmTopKSelect: String =
+    s"""SELECT query_id, rank, doc_id, n_terms, ((sum_q + 50) // 100) / 1e4 score FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sum_q DESC, doc_id) AS INT) rank
+       |  FROM bm) WHERE rank <= $BmTopK""".stripMargin
+
+  private val bmCtes: String =
+    s"""${bmCtesFor(statsBaseOnly = false)}
+       |$bmScoreCtes""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "text_bm25_topk" ->
       s"""WITH $bmCtes
-         |SELECT query_id, rank, doc_id, n_terms, ((sum_q + 50) // 100) / 1e4 score FROM (
-         |  SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY sum_q DESC, doc_id) AS INT) rank
-         |  FROM bm) WHERE rank <= $BmTopK""".stripMargin,
+         |$bmTopKSelect""".stripMargin,
     "ann_hybrid_rrf" ->
       s"""WITH $bmCtes,
          |bmr AS (SELECT query_id, doc_id, rank r_bm FROM (

@@ -806,6 +806,14 @@ object Similarity {
     * the filtered query.
     */
   private def ivfpqOracle(corpusPred: String): String =
+    ivfpqOracleFor(queryIdsSql, 5, corpusPred)
+
+  /** [[ivfpqOracle]] generalized over the query-id set and rank depth —
+    * the served hybrid fusion (BmStore) ranks the Retrieval query basket
+    * to FuseDepth with the same frozen-index arithmetic.
+    */
+  private[graft] def ivfpqOracleFor(qIdsSql: String, k: Int,
+      corpusPred: String = "TRUE"): String =
     s"""WITH $embCte,
        |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
        |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
@@ -816,7 +824,7 @@ object Similarity {
        |       FROM e CROSS JOIN cent c),
        |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
        |cells AS (SELECT vec_id, label, cell_id FROM crk WHERE r = 1),
-       |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($queryIdsSql)),
+       |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($qIdsSql)),
        |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
        |        FROM h ORDER BY h, vec_id LIMIT 4),
        |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),
@@ -828,7 +836,7 @@ object Similarity {
        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) r FROM dists),
        |codes AS (SELECT vec_id, list(k ORDER BY m) codes FROM drk WHERE r = 1 GROUP BY vec_id),
        |lutl AS (SELECT vec_id query_id, list(dist ORDER BY m, k) lut
-       |         FROM dists WHERE vec_id IN ($queryIdsSql) GROUP BY vec_id),
+       |         FROM dists WHERE vec_id IN ($qIdsSql) GROUP BY vec_id),
        |p AS (SELECT q.query_id, cl.vec_id,
        |        list_sum(list_transform(range(0, 8), m -> l.lut[m*4 + c.codes[m+1] + 1])) adist
        |      FROM qc q JOIN cells cl USING (cell_id)
@@ -837,7 +845,7 @@ object Similarity {
        |      WHERE cl.vec_id <> q.query_id AND $corpusPred)
        |SELECT query_id, rank, vec_id, round(adist, 4) approx_dist FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) rank
-       |  FROM p) WHERE rank <= 5""".stripMargin
+       |  FROM p) WHERE rank <= $k""".stripMargin
 
   /** The plane matrix is materialized ONCE as a 16-row CTE. The previous
     * formulation indexed the 16×64 nested-list LITERAL inside the

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BmStore, Retrieval}
+
+/** The persisted BM25 postings store must serve bit-identical rankings to
+  * the in-memory scorer, from a plan that never touches the documents
+  * table, with the postings scan statically pruned to the query
+  * vocabulary's buckets; growth must be exactly-once per batch and leave
+  * base files untouched; and the frozen statistics drawn from the store
+  * must equal the full-recompute freeze (which makes the streaming
+  * percolator's store-served parity transitive through PercolateSpec).
+  */
+class BmStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  /** File scans of an EXECUTED DataFrame, traversing through AQE's leaf
+    * wrappers (AdaptiveSparkPlanExec / QueryStageExec hide their inner
+    * plan from a plain collect).
+    */
+  private def executedNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.count()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      buf += n
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case other => other.children.foreach(go)
+      }
+    }
+    go(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  private def executedScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    executedNodes(df).collect { case s: FileSourceScanExec => s }
+
+  test("served top-k == the in-memory text_bm25_topk, exactly") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val want = Retrieval.queries("text_bm25_topk")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = BmStore.queries("text_bm25_served_topk")(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
+  test("the serving plan contains NO documents scan") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    val frozen = BmStore.frozenStats(spark, root, sf)
+    val served = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+    val scans = executedScans(served)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.contains("documents.parquet")),
+      s"documents scanned in serving plan: $scans")
+    assert(scans.exists(_.contains("postings.parquet")))
+  }
+
+  test("postings scan statically prunes to the query vocabulary's buckets") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    // a 2-term standing vocabulary: the scan must touch at most 2 of the
+    // NumBuckets partition dirs (the full 20-doc union vocab covers all
+    // buckets, which would make this assertion vacuous)
+    val full = BmStore.frozenStats(spark, root, sf)
+    val terms = full.unionTerms.take(2).toArray
+    val tiny = Retrieval.assembleFrozen(
+      terms.map(t => (0L, t, full.queries.head.terms.find(_.term == t)
+        .map(_.df).getOrElse(1L))),
+      full.nDocs, full.sumDl)
+    val served = BmStore.servedScored(spark, root, tiny)
+    val scan = executedScans(served)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("postings.parquet")))
+      .get
+    val parts = scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters)
+    assert(parts.length <= 2 && parts.length < BmStore.NumBuckets,
+      s"expected <=2 pruned bucket partitions, got ${parts.length}")
+  }
+
+  test("store-frozen statistics == the full-recompute freeze") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    val fromStore = BmStore.frozenStats(spark, root, sf)
+    val recompute = Retrieval.frozenStats(spark, sf)
+    assert(fromStore.nDocs === recompute.nDocs)
+    assert(fromStore.sumDl === recompute.sumDl)
+    assert(fromStore.unionTerms === recompute.unionTerms)
+    // per-query term lists with df, element-wise (sorted construction)
+    assert(fromStore.queries.map(_.query_id) === recompute.queries.map(_.query_id))
+    fromStore.queries.zip(recompute.queries).foreach { case (a, b) =>
+      assert(a.terms === b.terms, s"query ${a.query_id}")
+    }
+  }
+
+  test("append is exactly-once and leaves base postings untouched") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // private store on a temp root so mutation can't disturb the shared
+    // dataset-keyed stores other tests serve from
+    val root = java.nio.file.Files.createTempDirectory("bm_grow").toString + "/store"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    BmStore.buildFrom(spark, root, docs.filter(col("doc_id") % 10 =!= 0))
+    def listing(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+      }
+      walk(new java.io.File(root, "postings.parquet"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length, f.lastModified))
+        .sortBy(_._1)
+    }
+    val base = listing()
+    assert(base.nonEmpty && base.forall(_._1.contains("batch_id=-1")))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    BmStore.appendBatch(spark, root, delta, 7L)
+    val grown = listing()
+    // base generation byte-identical; new files all under batch_id=7
+    assert(grown.filter(_._1.contains("batch_id=-1")) === base)
+    assert(grown.exists(_._1.contains("batch_id=7")))
+    // replaying the same batch rewrites exactly its own dirs -> the same
+    // (directory, size) SET (part files re-land under fresh UUID names)
+    BmStore.appendBatch(spark, root, delta, 7L)
+    val replayed = listing()
+    def dirSizes(l: Seq[(String, Long, Long)]) =
+      l.map(t => (t._1.substring(0, t._1.lastIndexOf('/')), t._2)).sorted
+    assert(dirSizes(replayed) === dirSizes(grown))
+    assert(replayed.filter(_._1.contains("batch_id=-1")) === base)
+  }
+
+  test("served fusion reads only persisted indexes: no corpus scan, no BNLJ") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val df = BmStore.queries("ann_hybrid_served_rrf")(spark, sf)
+    val nodes = executedNodes(df)
+    // the brute-force fusion's cosine leg is a BroadcastNestedLoopJoin
+    // over the whole embeddings table — the served fusion must have
+    // neither that join shape nor any corpus-table scan
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "BroadcastNestedLoopJoin in the served fusion plan")
+    val scans = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.mkString(",") }
+    assert(scans.nonEmpty)
+    assert(scans.forall(p =>
+      !p.contains("documents.parquet") && !p.contains("embeddings.parquet")),
+      s"corpus table scanned in served fusion plan: $scans")
+    assert(scans.exists(_.contains("postings.parquet")) &&
+      scans.exists(_.contains("codes.parquet")))
+  }
+
+  test("compaction folds batch dirs without changing served answers") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = java.nio.file.Files.createTempDirectory("bm_cmp").toString + "/store"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    BmStore.buildFrom(spark, root, docs.filter(col("doc_id") % 10 =!= 0))
+    BmStore.appendBatch(spark, root, docs.filter(col("doc_id") % 10 === 0), 0L)
+    val frozen = BmStore.frozenStats(spark, root, sf)
+    val before = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val stats = BmStore.compactBuckets(spark, root)
+    assert(stats.nonEmpty)
+    val after = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(after.toSeq === before.toSeq)
+  }
+}
