@@ -36,6 +36,31 @@ final case class IngestEvent(
 
 object StreamBench {
 
+  /** 1-min system load + process CPU seconds around a timed body — the
+    * same contended-box discriminator Bench carries (VERDICT r11 #7:
+    * STREAM numbers without loadavg cost a round of confounded
+    * throughput comparisons). Every metric line appends
+    * `cpu_sec` (this measurement's CPU burn) and `loadavg` (at line
+    * emission), so a wall-time regression is attributable in-artifact.
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def cpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def withCpu[T](body: => T): (T, Double) = {
+    val c0 = cpuNs()
+    val r = body
+    (r, if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9)
+  }
+
+  private def tele(cpuSec: Double): String =
+    f""","cpu_sec":$cpuSec%.3f,"loadavg":${loadAvg()}%.2f"""
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     // widen the key space by a factor (card_id#0..card_id#w-1): state and
@@ -86,9 +111,9 @@ object StreamBench {
     }
 
     run("sb_warm", json.take(math.min(20000, n))) // absorb one-time costs
-    val (secs, scored) = run("sb_timed", json)
+    val ((secs, scored), cpuT) = withCpu(run("sb_timed", json))
     require(scored == n, s"scored $scored of $n")
-    println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":${8 * math.max(1, wide)}}""")
+    println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":${8 * math.max(1, wide)}${tele(cpuT)}}""")
 
     // ---- Ingest path: quality gate → watermarked exact dedup → per-batch
     // idempotent shard commit, over documents replayed from the testdata
@@ -129,8 +154,8 @@ object StreamBench {
     }
 
     runIngest(docRows.take(math.min(10000, nDocs)))
-    val (ingestSecs, stateRows, stateBytes) = runIngest(docRows)
-    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes}""")
+    val ((ingestSecs, stateRows, stateBytes), cpuI) = withCpu(runIngest(docRows))
+    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes${tele(cpuI)}}""")
 
     // ---- ANN serving path: streamed query vectors answered from the
     // persisted IVF×PQ index (one-time build excluded — that's the
@@ -161,9 +186,9 @@ object StreamBench {
     }
 
     runServe(qvecs.take(100), 50) // warmup: codegen + model cache + footers
-    val (serveSecs, answered) = runServe(qvecs, 100)
+    val ((serveSecs, answered), cpuSv) = withCpu(runServe(qvecs, 100))
     require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
-    println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f}""")
+    println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f${tele(cpuSv)}}""")
 
     // ---- dedup signature-store maintenance: streamed new documents
     // simhash-encoded and committed exactly-once into the banded store
@@ -188,8 +213,8 @@ object StreamBench {
     val sigDocs = docRows.map(e =>
       graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
     runSigMaintain(sigDocs.take(math.min(2000, nDocs)), 1000) // warmup
-    val sigSecs = runSigMaintain(sigDocs, 2500)
-    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f}""")
+    val (sigSecs, cpuSg) = withCpu(runSigMaintain(sigDocs, 2500))
+    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f${tele(cpuSg)}}""")
 
     // ---- streamed CLUSTERING maintenance: each micro-batch also merges
     // component labels (contracted fixpoint + label republish) — the
@@ -220,9 +245,9 @@ object StreamBench {
     // worst-case-density absorption, not typical-crawl throughput.
     val ccDocs = sigDocs.take(math.min(25000, nDocs))
     runCcMaintain(ccDocs.take(math.min(2000, nDocs)), 1000) // warmup
-    val ccSecs = runCcMaintain(ccDocs, 2500)
+    val (ccSecs, cpuCc) = withCpu(runCcMaintain(ccDocs, 2500))
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
-    println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f}""")
+    println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f${tele(cpuCc)}}""")
 
     // ---- streaming SEMANTIC dedup: vectors assigned to frozen centroids
     // at ingest, compared against their cluster's horizon residents
@@ -274,8 +299,8 @@ object StreamBench {
       (secs, pairs.get())
     }
     runSemantic(semRows.take(math.min(2000, nVecs))) // warmup
-    val (semSecs, semPairs) = runSemantic(semRows)
-    println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f}""")
+    val ((semSecs, semPairs), cpuSm) = withCpu(runSemantic(semRows))
+    println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f${tele(cpuSm)}}""")
 
     // ---- BM25 percolation: arriving documents scored against the
     // standing query set with index statistics frozen at build time
@@ -310,8 +335,91 @@ object StreamBench {
     }
     val percDocs = docRows.take(math.min(50000, nDocs))
     runPercolate(percDocs.take(math.min(5000, percDocs.length))) // warmup
-    val (percSecs, percMatches) = runPercolate(percDocs)
-    println(f"""{"metric":"percolate_docs_per_sec","value":${percDocs.length / percSecs}%.0f,"unit":"docs/sec","docs":${percDocs.length},"standing_queries":${frozen.queries.size},"matches":$percMatches,"wall_sec":$percSecs%.3f}""")
+    val ((percSecs, percMatches), cpuPc) = withCpu(runPercolate(percDocs))
+    println(f"""{"metric":"percolate_docs_per_sec","value":${percDocs.length / percSecs}%.0f,"unit":"docs/sec","docs":${percDocs.length},"standing_queries":${frozen.queries.size},"matches":$percMatches,"wall_sec":$percSecs%.3f${tele(cpuPc)}}""")
+
+    // ---- percolation at PROSPECTIVE-SEARCH scale: Q=1000 synthetic
+    // standing queries (8 vocabulary terms each, registered via the
+    // postings store's df lookup — the user-authored-query path). Both
+    // formulations measured on the same arrivals: the explode-every-query
+    // scorer pays Σ_q |terms_q| per arrival (≈8000 term checks), the
+    // inverted-index PercolateHits walk pays O(|tokens| + matched pairs)
+    // — the scaling axis is matched (query, term) volume, not Q. The
+    // emitted matches count is identical by construction (PercolateSpec
+    // proves bit-parity).
+    val vocab1k = spark.read.parquet(s"$bmRoot/df.parquet")
+      .select("token").collect().map(_.getString(0)).sorted
+    val queries1k = (0 until 1000).map { qid =>
+      val terms = (0 until 8).map(j => vocab1k(
+        math.abs(scala.util.hashing.MurmurHash3.stringHash(s"sbq$qid:$j")) % vocab1k.length))
+      (1000000L + qid, terms.distinct.toSeq)
+    }
+    val frozen1k = graft.operators.BmStore
+      .frozenStatsForQueries(spark, bmRoot, queries1k)
+    def runPercolate1k(rows: Seq[IngestEvent],
+        indexed: Boolean): (Double, Long) = {
+      val in = MemoryStream[IngestEvent]
+      in.addData(rows)
+      val matches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_perc1k_ckpt").toString
+      val src = in.toDF().repartition(spark.sparkContext.defaultParallelism)
+      val scored =
+        if (indexed) graft.streaming.Percolate.scoreIndexed(src, frozen1k)
+        else graft.streaming.Percolate.score(src, frozen1k)
+      val t0 = System.nanoTime()
+      val q = scored.writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          matches.addAndGet(df.count()): Unit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .start()
+      val secs =
+        try { q.awaitTermination(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, matches.get())
+    }
+    val perc1kDocs = docRows.take(math.min(20000, nDocs))
+    Seq(false, true).foreach { indexed =>
+      runPercolate1k(perc1kDocs.take(math.min(2000, perc1kDocs.length)), indexed) // warmup
+      val ((s1k, m1k), cpu1k) = withCpu(runPercolate1k(perc1kDocs, indexed))
+      val metric =
+        if (indexed) "percolate_q1000_indexed_docs_per_sec"
+        else "percolate_q1000_docs_per_sec"
+      println(f"""{"metric":"$metric","value":${perc1kDocs.length / s1k}%.0f,"unit":"docs/sec","docs":${perc1kDocs.length},"standing_queries":${frozen1k.queries.size},"matches":$m1k,"wall_sec":$s1k%.3f${tele(cpu1k)}}""")
+    }
+
+    // ---- decontamination gate: arrivals probed against the frozen eval
+    // artifacts (bloom + exact shingle set + winnow fingerprints —
+    // streaming/DecontamGate, the decontam family's ingest twin).
+    // Stateless; per-doc cost is O(|shingles|) md5+bit-tests plus the
+    // winnow rolling-hash pass.
+    val dcFrozen = graft.streaming.DecontamGate.frozen(spark, sfDir)
+    def runDecontam(rows: Seq[IngestEvent]): (Double, Long) = {
+      val in = MemoryStream[IngestEvent]
+      in.addData(rows)
+      val flagged = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_dc_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.DecontamGate
+        .score(in.toDF().repartition(spark.sparkContext.defaultParallelism), dcFrozen)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          flagged.addAndGet(df.filter(
+            df("shingle_contaminated") || df("winnow_contaminated")).count()): Unit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.Once())
+        .start()
+      val secs =
+        try { q.awaitTermination(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, flagged.get())
+    }
+    val dcDocs = docRows.take(math.min(50000, nDocs))
+    runDecontam(dcDocs.take(math.min(5000, dcDocs.length))) // warmup
+    val ((dcSecs, dcFlagged), cpuDc) = withCpu(runDecontam(dcDocs))
+    println(f"""{"metric":"decontam_gate_docs_per_sec","value":${dcDocs.length / dcSecs}%.0f,"unit":"docs/sec","docs":${dcDocs.length},"flagged":$dcFlagged,"wall_sec":$dcSecs%.3f${tele(cpuDc)}}""")
 
     // ---- DSIR admission gate: arrivals scored against the frozen
     // 256-bucket importance model + batch-selected cut
@@ -340,8 +448,8 @@ object StreamBench {
     }
     val dsirDocs = docRows
     runDsir(dsirDocs.take(math.min(10000, nDocs))) // warmup
-    val (dsirSecs, dsirAdmitted) = runDsir(dsirDocs)
-    println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f}""")
+    val ((dsirSecs, dsirAdmitted), cpuDs) = withCpu(runDsir(dsirDocs))
+    println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f${tele(cpuDs)}}""")
 
     // ---- cross-source overlap sketch maintenance: per-source MinHash
     // signatures merged per micro-batch (streaming/OverlapStream — the
@@ -361,8 +469,8 @@ object StreamBench {
     }
     val ovDocs = docRows.take(math.min(50000, nDocs))
     runOverlap(ovDocs.take(math.min(5000, ovDocs.length)), 2) // warmup
-    val ovSecs = runOverlap(ovDocs, 10)
-    println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f}""")
+    val (ovSecs, cpuOv) = withCpu(runOverlap(ovDocs, 10))
+    println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f${tele(cpuOv)}}""")
     spark.stop()
   }
 }

@@ -355,6 +355,208 @@ case class StandingTf(child: Expression, terms: Seq[String])
     copy(child = newChild)
 }
 
+/** Count of an array's elements present in a FROZEN vocabulary — the
+  * membership-count sibling of [[StandingTf]] (which needs the full
+  * per-term count vector; a decontamination gate only needs "how many of
+  * this arrival's keys are in the eval set"). One hash-set probe per
+  * input element, O(|arr|) per row INDEPENDENT of vocabulary size —
+  * summing a StandingTf output would instead cost O(|vocab|) per row,
+  * which a benchmark-suite-sized vocabulary turns into the dominant
+  * per-arrival cost. Accepts array<string> (string vocab) or
+  * array<bigint> (long vocab — winnow fingerprints); the vocabulary
+  * rides in the expression instance like [[IvfTopCells]]'s centroids.
+  */
+case class StandingHits(child: Expression, strVocab: Seq[String],
+    longVocab: Seq[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "standing_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if strVocab.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) if longVocab.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "standing_hits(array<string>|array<bigint>), matching nonempty vocab")
+  }
+
+  @transient private lazy val strSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](strVocab.size * 2)
+    strVocab.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  @transient private lazy val longSet: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](longVocab.size * 2)
+    longVocab.foreach(v => s.add(java.lang.Long.valueOf(v)))
+    s
+  }
+
+  private val isStr = strVocab.nonEmpty
+
+  def hits(input: ArrayData): Int = {
+    var out = 0
+    var i = 0
+    val n = input.numElements()
+    if (isStr) {
+      while (i < n) {
+        if (strSet.contains(input.getUTF8String(i))) out += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (longSet.contains(java.lang.Long.valueOf(input.getLong(i)))) out += 1
+        i += 1
+      }
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hits(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("standingHits", this, classOf[StandingHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hits($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StandingHits =
+    copy(child = newChild)
+}
+
+/** Whole-percolation scoring against a FROZEN standing-query index, as
+  * one expression: tokenize-counted term frequencies (the [[StandingTf]]
+  * HashMap probe), then a TERM→QUERIES inverted-index walk that touches
+  * only the arrival's MATCHED terms — per-row cost O(|tokens| +
+  * Σ_{matched terms} |queries(term)|), independent of the standing-query
+  * count Q. The explode-every-query formulation
+  * ([[graft.streaming.Percolate.score]]) pays Σ_q |terms_q| per arrival
+  * whether or not a query shares a term; at prospective-search scale
+  * (thousands of standing queries) almost all of that work is zero rows,
+  * and this inverted walk is the classic percolator fix (Elasticsearch
+  * percolate query indexes, pub-sub IR).
+  *
+  * Emits array<struct<query_id, n, s>> for queries sharing ≥1 term,
+  * ascending query_id; per-term contributions replicate the batch BM25
+  * expression tree operation-for-operation (same IEEE order, same
+  * BigDecimal HALF_UP quantization Spark's `round` applies to doubles),
+  * so exploded rows are bit-identical to the batch scorer's —
+  * spec-proven in PercolateSpec.
+  */
+case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
+    terms: Seq[String], termDf: Seq[Long], termQueries: Seq[Seq[Long]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("query_id", LongType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("s", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "percolate_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if terms.nonEmpty &&
+      terms.size == termDf.size && terms.size == termQueries.size =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "percolate_hits(array<string>), aligned nonempty term/df/query lists")
+  }
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Standing query ids, ascending — dense query index. */
+  @transient private lazy val qIds: Array[Long] =
+    termQueries.flatten.distinct.sorted.toArray
+
+  @transient private lazy val qIdx: java.util.HashMap[java.lang.Long, Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, Integer](qIds.length * 2)
+    qIds.zipWithIndex.foreach { case (q, i) => m.put(q, Integer.valueOf(i)) }
+    m
+  }
+
+  @transient private lazy val termQ: Array[Array[Int]] =
+    termQueries.map(_.map(q => qIdx.get(q).intValue()).toArray).toArray
+
+  /** Per-term idf, precomputed with the batch operand order:
+    * ln(1.0 + ((nDocs − df) + 0.5) / (df + 0.5)).
+    */
+  @transient private lazy val idf: Array[Double] =
+    termDf.map(df => math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))).toArray
+
+  def hits(input: ArrayData): ArrayData = {
+    val nTok = input.numElements()
+    val tfs = new Array[Int](terms.size)
+    var touched = new Array[Int](math.min(nTok, terms.size))
+    var nTouched = 0
+    var i = 0
+    while (i < nTok) {
+      val ix = index.get(input.getUTF8String(i))
+      if (ix != null) {
+        val t = ix.intValue()
+        if (tfs(t) == 0) { touched(nTouched) = t; nTouched += 1 }
+        tfs(t) += 1
+      }
+      i += 1
+    }
+    val dl = nTok.toLong
+    // batch: lit(sumDl) / lit(nDocs) — long/long Divide = double division
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val accN = new Array[Int](qIds.length)
+    val accS = new Array[Long](qIds.length)
+    val touchedQ = new Array[Int](qIds.length)
+    var nQ = 0
+    var t = 0
+    while (t < nTouched) {
+      val ti = touched(t)
+      val tf = tfs(ti).toDouble
+      // batch: tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      val tfw = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      // batch: cast(round(idf * tfw * 1e6) as long) — Spark's Round on a
+      // double goes through BigDecimal(double) HALF_UP; replicate exactly
+      val q = scala.math.BigDecimal(idf(ti) * tfw * 1e6)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toLong
+      val qs = termQ(ti)
+      var j = 0
+      while (j < qs.length) {
+        val qi = qs(j)
+        if (accN(qi) == 0) { touchedQ(nQ) = qi; nQ += 1 }
+        accN(qi) += 1
+        accS(qi) += q
+        j += 1
+      }
+      t += 1
+    }
+    // ascending dense index == ascending query_id (qIds sorted)
+    val hit = java.util.Arrays.copyOf(touchedQ, nQ)
+    java.util.Arrays.sort(hit)
+    val out = new Array[Any](nQ)
+    var k = 0
+    while (k < nQ) {
+      val qi = hit(k)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        qIds(qi), accN(qi), accS(qi))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hits(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("percolateHits", this, classOf[PercolateHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.hits($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PercolateHits =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder: split a d-dim vector into
   * `codebooks.length` contiguous subvectors and emit, per subspace m, the
   * index of the L2-nearest codeword among `codebooks(m)` (tie → smaller
@@ -445,6 +647,58 @@ object GraftFunctions {
     }
     val name = "standing_tf_" + md.digest().map("%02x".format(_)).mkString
     registerOnce(spark, name, exprs => StandingTf(exprs.head, terms))
+    name
+  }
+
+  /** Register a [[PercolateHits]] bound to a frozen standing-query index
+    * and return its content-addressed session function name.
+    */
+  def registerPercolateHits(spark: SparkSession, nDocs: Long, sumDl: Long,
+      terms: Seq[String], termDf: Seq[Long],
+      termQueries: Seq[Seq[Long]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(nDocs); bb.putLong(sumDl)
+    md.update(bb.array())
+    terms.zip(termDf).zip(termQueries).foreach { case ((t, df), qs) =>
+      md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+      val b = java.nio.ByteBuffer.allocate(8 * (qs.size + 1))
+      b.putLong(df); qs.foreach(b.putLong)
+      md.update(b.array())
+    }
+    val name = "percolate_hits_" + md.digest().map("%02x".format(_)).mkString
+    registerOnce(spark, name,
+      exprs => PercolateHits(exprs.head, nDocs, sumDl, terms, termDf, termQueries))
+    name
+  }
+
+  /** Register a string-vocabulary [[StandingHits]] and return its
+    * content-addressed session function name.
+    */
+  def registerStandingHitsStr(spark: SparkSession, vocab: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    vocab.foreach { t =>
+      md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    val name = "standing_hits_s_" + md.digest().map("%02x".format(_)).mkString
+    registerOnce(spark, name,
+      exprs => StandingHits(exprs.head, vocab, Seq.empty))
+    name
+  }
+
+  /** Register a long-vocabulary [[StandingHits]] and return its
+    * content-addressed session function name.
+    */
+  def registerStandingHitsLong(spark: SparkSession, vocab: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8 * vocab.size)
+    vocab.foreach(bb.putLong)
+    md.update(bb.array())
+    val name = "standing_hits_l_" + md.digest().map("%02x".format(_)).mkString
+    registerOnce(spark, name,
+      exprs => StandingHits(exprs.head, Seq.empty, vocab))
     name
   }
 

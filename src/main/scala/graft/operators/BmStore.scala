@@ -227,6 +227,28 @@ object BmStore {
       Retrieval.assembleFrozen(rows, meta.getLong(0), meta.getLong(1))
     })
 
+  /** Freeze statistics for an ARBITRARY standing-query set (query_id →
+    * term list) against the store — the prospective-search registration
+    * path: user-authored standing queries, not corpus docs. Terms absent
+    * from the index vocabulary are dropped (unknown terms score nothing,
+    * the percolator convention). One O(standing-vocab) df lookup; no
+    * corpus access at all.
+    */
+  private[graft] def frozenStatsForQueries(s: SparkSession, root: String,
+      queries: Seq[(Long, Seq[String])]): FrozenIndexStats = {
+    import s.implicits._
+    val qdf = queries
+      .flatMap { case (id, ts) => ts.distinct.map(t => (id, t)) }
+      .toDF("query_id", "token")
+    val dfT = s.read.parquet(new Path(root, "df.parquet").toString)
+      .select("token", "df")
+    val rows = qdf.join(dfT, "token")
+      .select("query_id", "token", "df").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val meta = s.read.parquet(new Path(root, "meta.parquet").toString).head()
+    Retrieval.assembleFrozen(rows, meta.getLong(0), meta.getLong(1))
+  }
+
   /** (query_id, doc_id, n_terms, sum_q) scored purely from the store:
     * the standing-query terms ride in as a broadcast LOCAL RELATION
     * (flattened from the frozen stats — no corpus side), the postings

@@ -35,7 +35,7 @@ object Dedup {
     * NULL shingles = fewer than 3 words, filtered like the oracle's
     * `WHERE len(ws) >= 3`.
     */
-  private[operators] def withShingles(docs: DataFrame): DataFrame = {
+  private[graft] def withShingles(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("sh", expr("word_shingles(text)"))

@@ -101,4 +101,33 @@ object Percolate {
       .select(col("q.query_id").as("query_id"), col("doc_id"),
         col("r.n").as("n_terms"), col("r.s").as("sum_q"))
   }
+
+  /** [[score]] via the TERM→QUERIES inverted index
+    * ([[graft.functions.PercolateHits]]): identical output rows
+    * (spec-proven), per-arrival cost linear in the arrival's MATCHED
+    * (term, query) pairs instead of Σ_q |terms_q| — the shape that holds
+    * at prospective-search scale (thousands of standing queries, where
+    * explode-every-query pays mostly-zero work per arrival). Still a
+    * stateless projection: the index rides in the expression instance,
+    * no shuffle, no state store.
+    */
+  def scoreIndexed(docs: DataFrame, frozen: FrozenIndexStats): DataFrame = {
+    val spark = docs.sparkSession
+    // invert (query → terms) to (term idx → df, query list); df is
+    // term-level (every query sharing a term carries the same df)
+    val byTerm = frozen.queries
+      .flatMap(q => q.terms.map(t => (t.idx, t.term, t.df, q.query_id)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val terms = byTerm.map(_._2.head._2)
+    val termDf = byTerm.map(_._2.head._3)
+    val termQueries = byTerm.map(_._2.map(_._4).sorted.toSeq)
+    val fn = graft.functions.GraftFunctions.registerPercolateHits(
+      spark, frozen.nDocs, frozen.sumDl, terms, termDf, termQueries)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("p", explode(expr(s"$fn(ws)")))
+      .filter(col("doc_id") =!= col("p.query_id"))
+      .select(col("p.query_id").as("query_id"), col("doc_id"),
+        col("p.n").as("n_terms"), col("p.s").as("sum_q"))
+  }
 }

@@ -67,6 +67,48 @@ class PercolateSpec extends AnyFunSuite {
       s"stream-only=${(got -- exp).take(5)}, batch-only=${(exp -- got).take(5)}")
   }
 
+  test("inverted-index percolation == explode-every-query percolation, bit for bit") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // the full corpus replayed through BOTH formulations against the same
+    // frozen stats: rows (incl. quantized sums) must match exactly — the
+    // native inverted walk may only change COST, never a value. Batch
+    // frames suffice (score/scoreIndexed are stream/batch-agnostic
+    // projections; the streaming path is proven by the test above).
+    val frozen = Retrieval.frozenStats(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val want = Percolate.score(docs, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = Percolate.scoreIndexed(docs, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
+  test("inverted-index percolation matches at synthetic standing-query scale") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // Q=200 synthetic standing queries drawn from the index vocabulary
+    // (the registration path a prospective-search user exercises): both
+    // formulations again bit-identical, over queries that are NOT corpus
+    // docs (no self-exclusion rows at all)
+    val root = graft.operators.BmStore.ensureFullBuilt(spark, sf)
+    val vocab = spark.read.parquet(s"$root/df.parquet")
+      .select("token").collect().map(_.getString(0)).sorted
+    val queries = (0 until 200).map { qid =>
+      val terms = (0 until 8).map(j =>
+        vocab(math.abs(scala.util.hashing.MurmurHash3.stringHash(s"q$qid:$j")) % vocab.length))
+      (1000000L + qid, terms.distinct.toSeq)
+    }
+    val frozen = graft.operators.BmStore.frozenStatsForQueries(spark, root, queries)
+    assert(frozen.queries.size > 150) // most synthetic queries survive df lookup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(200)
+    val want = Percolate.score(docs, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = Percolate.scoreIndexed(docs, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("percolation is stateless: the streaming plan has no stateful operator") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     import spark.implicits._
