@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Centralized EXECUTED-PLAN invariants for the headline query basket —
+  * the plan-drift tripwire (VERDICT r11 #6): QuerySurfaceSpec catches
+  * analysis drift, the oracle gate catches value drift, but nothing
+  * caught a future change silently un-broadcasting a pruned join,
+  * re-introducing a cartesian product, or funneling a corpus through a
+  * single-partition exchange. These rules are enforced UNIFORMLY over
+  * the basket (no per-query exception list — the documented
+  * "broadcast-one-row-scalar / tiny-dim" cross-join sites satisfy the
+  * same bounds), so a red here means a guarded plan property flipped:
+  *
+  *   1. NO CartesianProductExec, anywhere.
+  *   2. Every BroadcastNestedLoopJoin's broadcast side is TINY (≤
+  *      [[MaxBnljBroadcastRows]] rows by executed metrics) — the
+  *      one-row-scalar / query-basket pattern; a corpus-sized BNLJ side
+  *      is the O(n²) regression this rule exists to catch.
+  *   3. Every single-partition shuffle exchange carried ≤
+  *      [[MaxSinglePartitionRows]] rows — global aggregates funnel a few
+  *      partial rows by design, but a corpus-sized single-reducer
+  *      window/sort (the salted-two-stage-top-k regression) cannot hide.
+  *   4. Named queries whose efficiency depends on a broadcast-pruned
+  *      join really execute a BroadcastHashJoin.
+  *
+  * Executed at sf0.001; the rules are plan-SHAPE properties, so scale
+  * only raises the margins.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private val MaxBnljBroadcastRows = 2000L
+  private val MaxSinglePartitionRows = 200000L
+
+  /** The guarded basket: one representative per plan family that has a
+    * broadcast/prune/top-k property worth tripwiring.
+    */
+  private val basket: Seq[String] = Seq(
+    "q_pricing_summary",
+    "q_top_orders_per_cust",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard_capped",
+    "dedup_semantic",
+    "ann_bruteforce_topk", // BNLJ by design — broadcast side is the query basket
+    "ann_ivfpq_topk",
+    "ann_ivfpq_served_topk",
+    "text_bm25_topk",
+    "text_bm25_served_topk",
+    "ann_hybrid_rrf", // BNLJ by design — same bounded broadcast side
+    "ann_hybrid_served_rrf",
+    "dsir_sample",
+    "embedding_prototypicality",
+    "corpus_train_manifest"
+  )
+
+  /** Queries that must execute at least one BroadcastHashJoin (rule 4). */
+  private val mustBroadcast: Set[String] = Set(
+    "text_bm25_topk", "text_bm25_served_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_served_topk", "ann_hybrid_served_rrf", "dsir_sample",
+    "embedding_prototypicality")
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    def go(n: SparkPlan): Unit = {
+      buf += n
+      n match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case other => other.children.foreach(go)
+      }
+    }
+    go(p)
+    buf.toSeq
+  }
+
+  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.count()
+    allNodes(df.queryExecution.executedPlan)
+  }
+
+  /** Executed output-row metric of a (possibly stage-wrapped) node. */
+  private def outputRows(p: SparkPlan): Option[Long] = {
+    val inner = p match {
+      case q: QueryStageExec => q.plan
+      case other => other
+    }
+    // a broadcast/shuffle stage's row metric lives on the exchange (or,
+    // for a reused exchange, on the original it aliases)
+    val target = inner match {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r.child
+      case other => other
+    }
+    target.metrics.get("numOutputRows").map(_.value)
+  }
+
+  private lazy val executed: Map[String, Seq[SparkPlan]] = {
+    val qs = SparkEntry.queries
+    basket.map(name => name -> executedNodes(qs(name)(spark, sf))).toMap
+  }
+
+  test("rule 1: no cartesian product anywhere in the basket") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    executed.foreach { case (name, nodes) =>
+      assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name executed a CartesianProduct")
+    }
+  }
+
+  test("rule 2: every BNLJ broadcast side is tiny (scalar / query-basket)") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    var checked = 0
+    executed.foreach { case (name, nodes) =>
+      nodes.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        // the broadcast side is the child that is (or wraps) a broadcast
+        // exchange; read its executed row metric
+        val bcRows = j.children.flatMap {
+          case q: QueryStageExec => outputRows(q)
+          case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            e.metrics.get("numOutputRows").map(_.value)
+          case _ => None
+        }
+        assert(bcRows.nonEmpty, s"$name: BNLJ with unmeasurable broadcast side")
+        bcRows.foreach { r =>
+          checked += 1
+          assert(r <= MaxBnljBroadcastRows,
+            s"$name: BNLJ broadcast side carried $r rows (> $MaxBnljBroadcastRows)")
+        }
+      }
+    }
+    assert(checked > 0, "vacuous: expected at least one BNLJ in the basket")
+  }
+
+  test("rule 3: no corpus-sized single-partition exchange (reducer funnel)") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    var checked = 0
+    executed.foreach { case (name, nodes) =>
+      nodes.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+      }.foreach { e =>
+        // a shuffle exchange's row volume is its write-side metric; fall
+        // back to the child's numOutputRows where the reporter is absent
+        val rows = e.metrics.get("shuffleRecordsWritten").map(_.value)
+          .orElse(e.child.metrics.get("numOutputRows").map(_.value))
+        rows.foreach { r =>
+          checked += 1
+          assert(r <= MaxSinglePartitionRows,
+            s"$name: single-partition exchange carried $r rows — reducer funnel")
+        }
+      }
+    }
+    assert(checked > 0, "vacuous: expected at least one global-agg exchange")
+  }
+
+  test("rule 4: broadcast-pruned joins really broadcast") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    mustBroadcast.foreach { name =>
+      assert(executed(name).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name executed no BroadcastHashJoin — a prune was un-broadcast")
+    }
+  }
+}
