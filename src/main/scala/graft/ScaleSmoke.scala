@@ -137,6 +137,9 @@ object ScaleSmoke {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = args.headOption.getOrElse("target/sf1")
     val replicas = sys.env.getOrElse("GRAFT_SCALE_REPLICAS", "10").toInt
+    // artifact label: "sf1" for the standard 10x run, "sf10" for the
+    // 100-replica decade probe — lets one main serve both scale points
+    val label = sys.env.getOrElse("GRAFT_SCALE_LABEL", "sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -175,12 +178,12 @@ object ScaleSmoke {
         // separates a contended box from a genuinely costlier plan
         val cpu = (cpuNs() - c0) / 1e9
         total += secs
-        lines += f"""{"metric":"sf1_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
+        lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
         println(lines.last)
       } catch {
         case e: Throwable =>
           errors += name
-          lines += s"""{"metric":"sf1_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}"""
+          lines += s"""{"metric":"${label}_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}"""
           println(lines.last)
           System.err.println(s"[scale] $name failed: $e")
       }
@@ -191,7 +194,7 @@ object ScaleSmoke {
     val detailPath = Bench.writeDetail(
       "GRAFT_SCALE_DETAIL", "/tmp/graft_scale.json", lines.toSeq)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"sf1_total","value":$total%.3f,"unit":"sec","nqueries":${basket.size - errors.size},"errors":$errs,"detail":"$detailPath"}""")
+    println(f"""{"metric":"${label}_total","value":$total%.3f,"unit":"sec","nqueries":${basket.size - errors.size},"errors":$errs,"detail":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -67,6 +67,27 @@ object Similarity {
     math.min(KmeansKMax.toLong,
       math.max(KmeansKMin.toLong, n / SemanticTargetClusterSize)).toInt
 
+  /** Lloyd TRAINING-SET cap: iterations run over the hash-ordered prefix
+    * of at most `max(20·K, 4000)` vectors, with the final assignment
+    * pass still covering the full corpus. Without the cap the trainer
+    * was O(n·K·iters) with K itself ~n/500 — QUADRATIC in corpus size,
+    * measured as the #1 sf10 wall time (574 s at 200 k vecs, SCALE10
+    * r12); no production k-means trains on the full corpus (sampled /
+    * mini-batch Lloyd is the standard recipe). 20 samples per centroid
+    * keeps means stable; the cap makes training O(K²·iters) ≤ a
+    * constant at the K cap, and the family linear in n overall.
+    * Whenever cap ≥ n (every oracle scale) the training set IS the full
+    * corpus — same rows, same integer-quantized sums — so trained
+    * centroids, and every downstream cluster query, are bit-identical
+    * to the uncapped trainer there; the oracle derives the same prefix
+    * via `ORDER BY h, vec_id LIMIT cap`.
+    */
+  val KmeansTrainFactor = 20
+  val KmeansTrainMin = 4000
+
+  def kmeansTrainCap(k: Int): Int =
+    math.max(k * KmeansTrainFactor, KmeansTrainMin)
+
   /** dedup_semantic output size (per-cluster top pairs) and the SemDeDup
     * keep/drop cosine threshold. The fixture embeddings are random (max
     * pairwise cosine ≈ 0.5), so the rank-based output keeps the oracle
@@ -139,6 +160,36 @@ object Similarity {
     (0 until 16).map(p => (0 until 64).map(i =>
       graft.functions.PortableHash.planeComponent(p, i)))
 
+  /** 48-plane extension of the same deterministic family (first 16 rows
+    * ARE [[planes]]) — the signature width the derived fine banding
+    * slices up to 2 × 24 bits from. Only `dedup_embedding_lsh_fine`
+    * evaluates the 48-dot signature; every other signature consumer
+    * stays on the 16-plane expression.
+    */
+  private[operators] val planes48: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 48).map(p => (0 until 64).map(i =>
+      graft.functions.PortableHash.planeComponent(p, i)))
+
+  /** Derived fine-band width: the smallest b ∈ [8, 24] with 2^b ·
+    * [[FineTargetBucket]] ≥ n, so expected bucket occupancy stays
+    * ~constant as the corpus grows. The fixed 2×8-bit banding was the
+    * #2 sf10 cliff (444 s at 200 k vecs): 256 bucket values per band
+    * means occupancy — and Σ bucket² candidate volume — grows linearly
+    * with n, i.e. the join is quadratic. With derived bits the
+    * structural candidate volume is ~n · FineTargetBucket (linear);
+    * what remains is the TRUE near-dup clique volume, which any
+    * verifying LSH must pay. Recall at the widest band: a near-identical
+    * pair (per-bit agreement p → 1) misses only if BOTH b-bit bands
+    * differ, probability (1 − p^b)² — still negligible where the
+    * operator's recall matters. Integer-only derivation (no log2 float
+    * seam); at every oracle scale n ≤ 25 600 ⇒ bits = 8, identical to
+    * the fixed banding, so outputs there are unchanged.
+    */
+  val FineTargetBucket = 100L
+
+  def fineBandBits(n: Long): Int =
+    (8 to 24).find(b => (1L << b) * FineTargetBucket >= n).getOrElse(24)
+
   /** Register the plan-time-bound signature + dot expressions: compact JVM
     * loops replacing interpreted higher-order lambdas (the previous
     * formulation dominated the sf0.1 bench).
@@ -151,6 +202,11 @@ object Similarity {
       reg.createOrReplaceTempFunction(
         "hyperplane_sig16",
         exprs => graft.functions.HyperplaneSig(exprs.head, planesArr),
+        "scala_udf")
+      val planes48Arr = planes48.map(_.toArray).toArray
+      reg.createOrReplaceTempFunction(
+        "hyperplane_sig48",
+        exprs => graft.functions.HyperplaneSig(exprs.head, planes48Arr),
         "scala_udf")
     }
   }
@@ -182,9 +238,15 @@ object Similarity {
     * matters.
     */
   private def banded2x8(e: DataFrame): DataFrame =
+    bandedFine(e, 8)
+
+  /** 2 × `bits`-bit band keys sliced from a (≥ 2·bits)-plane signature —
+    * the derived-width banding behind [[fineBandBits]].
+    */
+  private def bandedFine(e: DataFrame, bits: Int): DataFrame =
     e.select(col("vec_id"), col("emb"),
       posexplode(array((0 until 2).map(b =>
-        expr(s"shiftright(sig, ${b * 8}) & 255")): _*)))
+        expr(s"shiftright(sig, ${b * bits}) & ${(1L << bits) - 1}")): _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_val")
 
@@ -238,9 +300,22 @@ object Similarity {
       var cents: Array[Array[Double]] = timed(s"init k=$k")(
         if (k <= 8) annIndex(e, d).centroids.take(k)
         else hashSample(e, k))
+      // bounded training set (see kmeansTrainCap): the hash-ordered
+      // cap-prefix — a SUPERSET of the k-prefix init above (same total
+      // order), and the whole corpus wherever cap >= n. Materialized
+      // once; the repartition spreads the sort-limit's single output
+      // partition back across cores for the iteration scans.
+      val cap = kmeansTrainCap(k)
+      val train = timed(s"train set cap=$cap")(e
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"))
+        .orderBy(col("h"), col("vec_id")).limit(cap)
+        .select("vec_id", "emb")
+        .repartition(s.sparkContext.defaultParallelism)
+        .transform(Materialize.once))
       for (it <- 1 to KmeansIters) {
         val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
-        val sums = timed(s"iter $it")(e
+        val sums = timed(s"iter $it")(train
           .select(expr(s"element_at($fn(emb), 1)").as("cell"),
             posexplode(col("emb")).as(Seq("pos", "x")))
           .withColumn("q", round(col("x") * KmeansQuant).cast("long"))
@@ -254,6 +329,7 @@ object Similarity {
         }
         cents = next
       }
+      Materialize.drop(train)
       cents
     })
 
@@ -452,14 +528,17 @@ object Similarity {
       // showed candidate volume tracking Σ bucket² once duplication goes
       // clique-dense (10-replica families all colliding) — with 4-bit
       // bands there are only 16 bucket values per band, so buckets are
-      // structurally huge at scale. Same 16-bit signature re-banded as
-      // 2 × 8 bits (see banded2x8): ~16× fewer candidates, near-dup
-      // recall preserved where it matters (both 8-bit bands differing
-      // requires ≥ 2 well-separated bit flips of a near-identical pair).
-      // Downstream shape identical: id-only candidate shuffle, exact
-      // cosine re-rank, deterministic top-20.
+      // structurally huge at scale. Band width now DERIVES from the
+      // corpus count ([[fineBandBits]]: 2 × clamp bits so occupancy
+      // stays ~FineTargetBucket — the kmeansKFor idiom applied to
+      // banding; SCALE10 r12 measured the fixed 2×8 form quadratic),
+      // sliced from the 48-plane signature. At every oracle scale the
+      // derivation lands on 8 bits, reproducing the original banding
+      // exactly. Downstream shape identical: id-only candidate shuffle,
+      // exact cosine re-rank, deterministic top-20.
       val e = withEmb(s, d)
-      val banded = banded2x8(e.withColumn("sig", expr("hyperplane_sig16(emb)")))
+      val bits = fineBandBits(embCount(s, d))
+      val banded = bandedFine(e.withColumn("sig", expr("hyperplane_sig48(emb)")), bits)
         .select("vec_id", "band_id", "band_val")
       val cand = banded.select(col("vec_id").as("id1"), col("band_id"), col("band_val"))
         .join(banded.select(col("vec_id").as("id2"), col("band_id"), col("band_val")),
@@ -797,6 +876,9 @@ object Similarity {
   private val planesSqlLit: String =
     planes.map(row => s"[${row.mkString(",")}]").mkString("[", ",", "]")
 
+  private val planes48SqlLit: String =
+    planes48.map(row => s"[${row.mkString(",")}]").mkString("[", ",", "]")
+
   private[operators] val embCte =
     "e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) emb FROM embeddings)"
 
@@ -951,10 +1033,22 @@ object Similarity {
          |FROM cand JOIN e qv ON qv.vec_id = cand.id1
          |          JOIN e cv ON cv.vec_id = cand.id2
          |ORDER BY cosine DESC, id1, id2 LIMIT 20""".stripMargin,
+    // 48-plane signature + DERIVED band width (fineBandBits: smallest
+    // b in [8,24] with 2^b * target >= n, integer-only — no log2 float
+    // seam); at oracle scales bits = 8, reproducing the fixed banding
     "dedup_embedding_lsh_fine" ->
-      s"""WITH $embCte, $sigCteSql,
-         |bands AS (SELECT vec_id, b band_id, (sig >> (b * 8)) & 255 band_val
-         |          FROM sg, unnest(range(0, 2)) t(b)),
+      s"""WITH $embCte,
+         |pl48 AS (SELECT p, ($planes48SqlLit)[p+1] pv FROM unnest(range(0, 48)) t(p)),
+         |sg48 AS (SELECT e.vec_id,
+         |  CAST(sum(CASE WHEN list_dot_product(e.emb, pl48.pv) > 0
+         |                THEN (1::BIGINT << pl48.p) ELSE 0::BIGINT END) AS BIGINT) sig
+         |  FROM e CROSS JOIN pl48 GROUP BY e.vec_id),
+         |bb AS (SELECT coalesce(MIN(b), 24) bits
+         |       FROM (SELECT unnest(range(8, 25)) b), (SELECT count(*) n FROM e)
+         |       WHERE (1::BIGINT << b) * $FineTargetBucket >= n),
+         |bands AS (SELECT vec_id, b band_id,
+         |            (sig >> (b * bits)) & ((1::BIGINT << bits) - 1) band_val
+         |          FROM sg48, unnest(range(0, 2)) t(b), bb),
          |cand AS (SELECT DISTINCT a.vec_id id1, b.vec_id id2
          |         FROM bands a JOIN bands b
          |           ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -1060,17 +1154,20 @@ object Similarity {
     * shared by the embedding_kmeans and dedup_semantic oracles.
     */
   private def kmeansCtes: String = {
-    def assign(name: String, cents: String) =
+    def assign(name: String, cents: String, src: String) =
       s"""$name AS (SELECT vec_id, emb, cell FROM (
-         |  SELECT e.vec_id, e.emb, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_dot_product(e.emb, c.cv) /
-         |        (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+         |  SELECT $src.vec_id, $src.emb, c.cell,
+         |    row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+         |      list_dot_product($src.emb, c.cv) /
+         |        (sqrt(list_dot_product($src.emb, $src.emb)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
          |      c.cell DESC) r
-         |  FROM e CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+         |  FROM $src CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+    // iterations assign the TRAINING PREFIX (`tr`, the kmeansTrainCap
+    // hash-ordered sample — the full corpus wherever cap >= n); only the
+    // final `af` assignment covers all of `e`
     val iters = (1 to KmeansIters).map { i =>
       val prev = s"c${i - 1}"
-      s"""${assign(s"a$i", prev)},
+      s"""${assign(s"a$i", prev, "tr")},
          |s$i AS (SELECT cell, i, sum(CAST(round(emb[i] * $KmeansQuant) AS BIGINT)) sq, count(*) n
          |        FROM a$i, unnest(range(1, 65)) t(i) GROUP BY cell, i),
          |n$i AS (SELECT cell, list(sq::DOUBLE / n / $KmeansQuant ORDER BY i) cv FROM s$i GROUP BY cell),
@@ -1083,7 +1180,9 @@ object Similarity {
        |c0 AS (SELECT cell, cv FROM (
        |         SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell, emb cv
        |         FROM h) t CROSS JOIN kk WHERE t.cell < kk.k),
+       |tr AS (SELECT vec_id, emb FROM h ORDER BY h, vec_id
+       |       LIMIT (SELECT GREATEST(k * $KmeansTrainFactor, $KmeansTrainMin) FROM kk)),
        |$iters,
-       |${assign("af", s"c$KmeansIters")}""".stripMargin
+       |${assign("af", s"c$KmeansIters", "e")}""".stripMargin
   }
 }
