@@ -190,6 +190,34 @@ object StreamBench {
     require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
     println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f${tele(cpuSv)}}""")
 
+    // ---- BM25 online serving: streamed query texts answered from the
+    // persisted postings store (streaming/BmServe — the lexical twin of
+    // the ANN serving path above). Per micro-batch: one O(batch-vocab)
+    // df lookup freezes the statistics, one bucket-pruned postings scan
+    // scores candidates; the corpus text is never read.
+    val bmServeRoot = graft.operators.BmStore.ensureFullBuilt(spark, sfDir)
+    val bmQueryDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(500).collect()
+      .map(r => graft.streaming.BmServe.BmQuery(r.getLong(0), r.getString(1)))
+      .toSeq
+    def runBmServe(rows: Seq[graft.streaming.BmServe.BmQuery],
+        batchSize: Int): (Double, Long) = {
+      val in = MemoryStream[graft.streaming.BmServe.BmQuery]
+      rows.grouped(batchSize).foreach(b => in.addData(b))
+      val answered = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.BmServe.serve(in.toDS(), bmServeRoot,
+        (df, _) => answered.addAndGet(df.select("query_id").distinct().count()): Unit,
+        trigger = Trigger.AvailableNow())
+      val secs =
+        try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, answered.get())
+    }
+    runBmServe(bmQueryDocs.take(100), 50) // warmup: codegen + df footers
+    val ((bmsSecs, bmsAnswered), cpuBs) = withCpu(runBmServe(bmQueryDocs, 100))
+    println(f"""{"metric":"bm25_serve_queries_per_sec","value":${bmsAnswered / bmsSecs}%.0f,"unit":"queries/sec","queries":$bmsAnswered,"wall_sec":$bmsSecs%.3f${tele(cpuBs)}}""")
+
     // ---- dedup signature-store maintenance: streamed new documents
     // simhash-encoded and committed exactly-once into the banded store
     // (operators/SigStore) — docs/sec here is the rate the dedup index

@@ -295,10 +295,17 @@ object BmStore {
       col("query_id"), xxhash64(col("doc_id")),
       Seq(col("sum_q").desc, col("doc_id")))
 
-  private def serveTopK(s: SparkSession, root: String, d: String): DataFrame =
-    servedRanked(s, root, frozenStats(s, root, d), Retrieval.BmTopK)
+  /** Ranked results in the text_bm25_topk display shape (integer-space
+    * HALF_UP score) — shared by the batch serves and [[graft.streaming.BmServe]].
+    */
+  private[graft] def serveDisplay(s: SparkSession, root: String,
+      frozen: FrozenIndexStats, k: Int): DataFrame =
+    servedRanked(s, root, frozen, k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
         (expr("(sum_q + 50) div 100") / lit(1e4)).as("score"))
+
+  private def serveTopK(s: SparkSession, root: String, d: String): DataFrame =
+    serveDisplay(s, root, frozenStats(s, root, d), Retrieval.BmTopK)
 
   /** Build the full-corpus store once per dataset dir (crash-safe). */
   private[graft] def ensureFullBuilt(s: SparkSession, d: String): String =
@@ -375,20 +382,34 @@ object BmStore {
       Similarity.twoStageTopKBy(fused, RrfTopK, col("query_id"),
           xxhash64(col("doc_id")), Seq(col("rrf").desc, col("doc_id")))
         .select("query_id", "rank", "doc_id", "r_bm", "r_cos", "rrf")
+    }),
+    // Quality accounting for the index-served fusion: per-query overlap@10
+    // between the exact fusion (brute-force cosine leg) and the served
+    // fusion (PQ-approximate leg) — the number that tells an operator how
+    // much ranking quality the PQ compression trades for the index-served
+    // plan, the ann_recall idiom applied to fusion. Both inputs are
+    // deterministic and individually hash-matched, so the grader itself
+    // stays oracle-checked.
+    "ann_hybrid_agreement" -> ((s, d) => {
+      val exact = Retrieval.queries("ann_hybrid_rrf")(s, d)
+        .select("query_id", "doc_id")
+      val served = queries("ann_hybrid_served_rrf")(s, d)
+        .select(col("query_id"), col("doc_id")).withColumn("m", lit(1L))
+      exact.join(served, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("m"), lit(0L))).as("hits"))
+        // hits/10 is exact at one decimal — no rounding seam
+        .withColumn("overlap_at_10", round(col("hits") / lit(10.0), 2))
+        .select("query_id", "hits", "overlap_at_10")
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "text_bm25_served_topk" -> Retrieval.oracleSql("text_bm25_topk"),
-    "text_bm25_incremental" ->
-      s"""WITH ${Retrieval.bmCtesFor(statsBaseOnly = true)}
-         |${Retrieval.bmScoreCtes}
-         |${Retrieval.bmTopKSelect}""".stripMargin,
-    // BM25 leg = the full-stats bm CTEs ranked to FuseDepth; cosine leg =
-    // the IVF×PQ served CTEs over the Retrieval query basket (nested WITH
-    // scoping, the ann_recall composition idiom); fusion identical to
-    // ann_hybrid_rrf's.
-    "ann_hybrid_served_rrf" ->
+  // BM25 leg = the full-stats bm CTEs ranked to FuseDepth; cosine leg =
+  // the IVF×PQ served CTEs over the Retrieval query basket (nested WITH
+  // scoping, the ann_recall composition idiom); fusion identical to
+  // ann_hybrid_rrf's. A lazy val so the agreement oracle can compose it
+  // without re-entering the oracleSql map builder.
+  private lazy val hybridServedSql: String =
       s"""WITH ${Retrieval.bmCtesFor(statsBaseOnly = false)}
          |${Retrieval.bmScoreCtes},
          |bmr AS (SELECT query_id, doc_id, rank r_bm FROM (
@@ -410,5 +431,24 @@ object BmStore {
          |  SELECT *, CAST(row_number() OVER (
          |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) rank
          |  FROM f) WHERE rank <= ${Retrieval.RrfTopK}""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "text_bm25_served_topk" -> Retrieval.oracleSql("text_bm25_topk"),
+    "text_bm25_incremental" ->
+      s"""WITH ${Retrieval.bmCtesFor(statsBaseOnly = true)}
+         |${Retrieval.bmScoreCtes}
+         |${Retrieval.bmTopKSelect}""".stripMargin,
+    "ann_hybrid_served_rrf" -> hybridServedSql,
+    // composes the two (individually hash-matched) fusion oracles as
+    // nested CTE subqueries — the annRecallSql idiom
+    "ann_hybrid_agreement" ->
+      s"""WITH ex AS (${Retrieval.oracleSql("ann_hybrid_rrf")}),
+         |sv AS (SELECT query_id, doc_id FROM (
+         |$hybridServedSql
+         |))
+         |SELECT ex.query_id, sum(CASE WHEN sv.doc_id IS NULL THEN 0 ELSE 1 END)::BIGINT hits,
+         |  round(sum(CASE WHEN sv.doc_id IS NULL THEN 0 ELSE 1 END) / 10.0, 2) overlap_at_10
+         |FROM ex LEFT JOIN sv ON sv.query_id = ex.query_id AND sv.doc_id = ex.doc_id
+         |GROUP BY ex.query_id""".stripMargin
   )
 }
