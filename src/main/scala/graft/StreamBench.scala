@@ -375,15 +375,8 @@ object StreamBench {
     // — the scaling axis is matched (query, term) volume, not Q. The
     // emitted matches count is identical by construction (PercolateSpec
     // proves bit-parity).
-    val vocab1k = spark.read.parquet(s"$bmRoot/df.parquet")
-      .select("token").collect().map(_.getString(0)).sorted
-    val queries1k = (0 until 1000).map { qid =>
-      val terms = (0 until 8).map(j => vocab1k(
-        math.abs(scala.util.hashing.MurmurHash3.stringHash(s"sbq$qid:$j")) % vocab1k.length))
-      (1000000L + qid, terms.distinct.toSeq)
-    }
-    val frozen1k = graft.operators.BmStore
-      .frozenStatsForQueries(spark, bmRoot, queries1k)
+    val frozen1k = graft.operators.BmStore.frozenStatsForQueries(spark, bmRoot,
+      graft.operators.BmStore.syntheticStandingQueries(spark, bmRoot, "sbq", 1000))
     def runPercolate1k(rows: Seq[IngestEvent],
         indexed: Boolean): (Double, Long) = {
       val in = MemoryStream[IngestEvent]

@@ -385,10 +385,14 @@ case class StandingHits(child: Expression, strVocab: Seq[String],
     s
   }
 
-  @transient private lazy val longSet: java.util.HashSet[java.lang.Long] = {
-    val s = new java.util.HashSet[java.lang.Long](longVocab.size * 2)
-    longVocab.foreach(v => s.add(java.lang.Long.valueOf(v)))
-    s
+  /** Long vocab as a sorted primitive array: binarySearch probes are
+    * allocation-free, where a HashSet<Long> would box every input
+    * fingerprint in the per-arrival hot loop (self-review r12).
+    */
+  @transient private lazy val longArr: Array[Long] = {
+    val a = longVocab.toArray
+    java.util.Arrays.sort(a)
+    a
   }
 
   private val isStr = strVocab.nonEmpty
@@ -403,8 +407,9 @@ case class StandingHits(child: Expression, strVocab: Seq[String],
         i += 1
       }
     } else {
+      val v = longArr
       while (i < n) {
-        if (longSet.contains(java.lang.Long.valueOf(input.getLong(i)))) out += 1
+        if (java.util.Arrays.binarySearch(v, input.getLong(i)) >= 0) out += 1
         i += 1
       }
     }
@@ -487,10 +492,33 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
   @transient private lazy val idf: Array[Double] =
     termDf.map(df => math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))).toArray
 
+  /** Reusable per-thread scratch (tfs over the vocab, acc over the query
+    * set, touched-slot lists): allocating + zeroing these per ROW would
+    * be O(|vocab| + Q) work per arrival — exactly the Q-dependence this
+    * expression exists to remove (self-review r12). Only the touched
+    * slots are reset after each row, so steady-state per-row cost stays
+    * O(|tokens| + matched pairs). ThreadLocal because a referenced
+    * expression instance is shared across an executor's task threads.
+    */
+  private final class Scratch(nTerms: Int, nQ: Int) {
+    val tfs = new Array[Int](nTerms)
+    val touched = new Array[Int](nTerms)
+    val accN = new Array[Int](nQ)
+    val accS = new Array[Long](nQ)
+    val touchedQ = new Array[Int](nQ)
+  }
+
+  @transient private lazy val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch(terms.size, qIds.length))
+
   def hits(input: ArrayData): ArrayData = {
+    val sc = scratch.get()
+    val tfs = sc.tfs
+    val touched = sc.touched
+    val accN = sc.accN
+    val accS = sc.accS
+    val touchedQ = sc.touchedQ
     val nTok = input.numElements()
-    val tfs = new Array[Int](terms.size)
-    var touched = new Array[Int](math.min(nTok, terms.size))
     var nTouched = 0
     var i = 0
     while (i < nTok) {
@@ -505,9 +533,6 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
     val dl = nTok.toLong
     // batch: lit(sumDl) / lit(nDocs) — long/long Divide = double division
     val avgdl = sumDl.toDouble / nDocs.toDouble
-    val accN = new Array[Int](qIds.length)
-    val accS = new Array[Long](qIds.length)
-    val touchedQ = new Array[Int](qIds.length)
     var nQ = 0
     var t = 0
     while (t < nTouched) {
@@ -542,6 +567,11 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
         qIds(qi), accN(qi), accS(qi))
       k += 1
     }
+    // touched-slot reset: O(matched), never O(vocab + Q)
+    i = 0
+    while (i < nTouched) { tfs(touched(i)) = 0; i += 1 }
+    i = 0
+    while (i < nQ) { accN(hit(i)) = 0; accS(hit(i)) = 0L; i += 1 }
     new GenericArrayData(out)
   }
 

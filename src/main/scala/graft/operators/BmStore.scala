@@ -88,6 +88,11 @@ object BmStore {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
+  /** Keyed by canonical dataset PATH (the SigStore/AnnIndexIO
+    * convention): a dataset dir whose CONTENT is rewritten in place must
+    * [[deleteStore]] first — same caveat as `AnnIndexIO.deleteIndex` /
+    * `Similarity.clearAnnIndexCache`.
+    */
   private[graft] def storeRoot(d: String, variant: String): String = {
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
@@ -105,6 +110,7 @@ object BmStore {
       val p = new Path(storeRoot(d, v))
       fs(s, p).delete(p, true)
       frozenCache.remove(storeRoot(d, v))
+      metaCache.remove(storeRoot(d, v))
     }
 
   private def tokBucket(c: Column): Column =
@@ -148,8 +154,12 @@ object BmStore {
       .sortWithinPartitions("token")
       .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
       .parquet(new Path(tmp, "df.parquet").toString)
-    baseDocs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+    // meta derives from the MATERIALIZED tf frame (every doc has >= 1
+    // token row — split never yields an empty array — so the distinct
+    // (doc_id, dl) set covers the corpus exactly): a direct baseDocs
+    // aggregate would re-scan and re-tokenize the full corpus text for
+    // two scalars (self-review r12 — the build really is ONE corpus pass)
+    tf.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
@@ -202,6 +212,20 @@ object BmStore {
   private val frozenCache =
     scala.collection.concurrent.TrieMap.empty[String, FrozenIndexStats]
 
+  /** (n_docs, sum_dl) per store root — frozen for the store's lifetime
+    * by contract, so the one-row meta read happens once per JVM instead
+    * of once per serving micro-batch (self-review r12: BmServe pays
+    * frozenStatsForQueries per batch).
+    */
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def storeMeta(s: SparkSession, root: String): (Long, Long) =
+    metaCache.getOrElseUpdate(root, {
+      val m = s.read.parquet(new Path(root, "meta.parquet").toString).head()
+      (m.getLong(0), m.getLong(1))
+    })
+
   /** Materialize the standing-query statistics FROM the store: per-term
     * df from `df.parquet` (bucket-pruned lookup), scalars from
     * `meta.parquet`. The only documents access is the O(Q) IN-pushed
@@ -223,8 +247,8 @@ object BmStore {
       val rows = qt.join(dfT, "token")
         .select("query_id", "token", "df").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      val meta = s.read.parquet(new Path(root, "meta.parquet").toString).head()
-      Retrieval.assembleFrozen(rows, meta.getLong(0), meta.getLong(1))
+      val (nDocs, sumDl) = storeMeta(s, root)
+      Retrieval.assembleFrozen(rows, nDocs, sumDl)
     })
 
   /** Freeze statistics for an ARBITRARY standing-query set (query_id →
@@ -245,8 +269,26 @@ object BmStore {
     val rows = qdf.join(dfT, "token")
       .select("query_id", "token", "df").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    val meta = s.read.parquet(new Path(root, "meta.parquet").toString).head()
-    Retrieval.assembleFrozen(rows, meta.getLong(0), meta.getLong(1))
+    val (nDocs, sumDl) = storeMeta(s, root)
+    Retrieval.assembleFrozen(rows, nDocs, sumDl)
+  }
+
+  /** Deterministic synthetic standing queries drawn from the store's
+    * vocabulary — the registration-path fixture shared by StreamBench's
+    * Q=1000 percolation rows and PercolateSpec's parity test (one
+    * definition so bench and spec cannot drift apart, self-review r12).
+    * floorMod, not abs: abs(Int.MinValue) is negative.
+    */
+  private[graft] def syntheticStandingQueries(s: SparkSession, root: String,
+      prefix: String, n: Int, termsPerQuery: Int = 8): Seq[(Long, Seq[String])] = {
+    val vocab = s.read.parquet(new Path(root, "df.parquet").toString)
+      .select("token").collect().map(_.getString(0)).sorted
+    (0 until n).map { qid =>
+      val terms = (0 until termsPerQuery).map(j => vocab(
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"$prefix$qid:$j"),
+          vocab.length)))
+      (1000000L + qid, terms.distinct.toSeq)
+    }
   }
 
   /** (query_id, doc_id, n_terms, sum_q) scored purely from the store:

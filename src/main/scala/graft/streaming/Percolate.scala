@@ -63,6 +63,10 @@ object Percolate {
   def score(docs: DataFrame, frozen: FrozenIndexStats): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // an all-OOV standing set freezes to an empty query list (every
+    // registered term missing from the index vocabulary): match nothing,
+    // rather than failing to register an empty-vocab StandingTf
+    if (frozen.queries.isEmpty) return emptyScores(docs)
     // the arrival's term frequencies against the DEDUPLICATED standing
     // vocabulary, computed ONCE per arrival by the frozen-vocab
     // [[graft.functions.StandingTf]] expression (one HashMap probe per
@@ -102,6 +106,17 @@ object Percolate {
         col("r.n").as("n_terms"), col("r.s").as("sum_q"))
   }
 
+  /** The scorer output shape with zero rows — what an empty frozen
+    * standing set matches (both formulations; self-review r12: neither
+    * frozen-vocab expression can register on an empty vocabulary).
+    */
+  private def emptyScores(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lit(0L).as("query_id"),
+        lit(0).as("n_terms"), lit(0L).as("sum_q"))
+      .filter(lit(false))
+      .select("query_id", "doc_id", "n_terms", "sum_q")
+
   /** [[score]] via the TERM→QUERIES inverted index
     * ([[graft.functions.PercolateHits]]): identical output rows
     * (spec-proven), per-arrival cost linear in the arrival's MATCHED
@@ -113,6 +128,8 @@ object Percolate {
     */
   def scoreIndexed(docs: DataFrame, frozen: FrozenIndexStats): DataFrame = {
     val spark = docs.sparkSession
+    // an all-OOV standing set matches nothing — same guard as score()
+    if (frozen.queries.isEmpty) return emptyScores(docs)
     // invert (query → terms) to (term idx → df, query list); df is
     // term-level (every query sharing a term carries the same df)
     val byTerm = frozen.queries

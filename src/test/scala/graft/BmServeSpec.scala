@@ -58,10 +58,8 @@ class BmServeSpec extends AnyFunSuite {
     in.addData(Seq(BmServe.BmQuery(900001L, "zzzunknown qqqterms onlyhere")))
     val q = BmServe.serve(in.toDS(), root, (df, _) => {
       rows = df.count()
-      scans = df.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          s.relation.location.rootPaths.mkString(",")
-      }
+      scans = TestSpark.executedScans(df)
+        .map(_.relation.location.rootPaths.mkString(","))
     })
     try q.processAllAvailable() finally q.stop()
     assert(rows === 0L)

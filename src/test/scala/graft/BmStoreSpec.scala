@@ -19,30 +19,6 @@ class BmStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf0001
 
-  /** File scans of an EXECUTED DataFrame, traversing through AQE's leaf
-    * wrappers (AdaptiveSparkPlanExec / QueryStageExec hide their inner
-    * plan from a plain collect).
-    */
-  private def executedNodes(df: org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    df.count()
-    val buf = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.execution.SparkPlan]
-    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      buf += n
-      n match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
-        case other => other.children.foreach(go)
-      }
-    }
-    go(df.queryExecution.executedPlan)
-    buf.toSeq
-  }
-
-  private def executedScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
-    executedNodes(df).collect { case s: FileSourceScanExec => s }
-
   test("served top-k == the in-memory text_bm25_topk, exactly") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val want = Retrieval.queries("text_bm25_topk")(spark, sf)
@@ -57,7 +33,7 @@ class BmStoreSpec extends AnyFunSuite {
     val root = BmStore.ensureFullBuilt(spark, sf)
     val frozen = BmStore.frozenStats(spark, root, sf)
     val served = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
-    val scans = executedScans(served)
+    val scans = TestSpark.executedScans(served)
       .map(_.relation.location.rootPaths.mkString(","))
     assert(scans.nonEmpty)
     assert(scans.forall(!_.contains("documents.parquet")),
@@ -78,7 +54,7 @@ class BmStoreSpec extends AnyFunSuite {
         .map(_.df).getOrElse(1L))),
       full.nDocs, full.sumDl)
     val served = BmStore.servedScored(spark, root, tiny)
-    val scan = executedScans(served)
+    val scan = TestSpark.executedScans(served)
       .find(_.relation.location.rootPaths.exists(_.toString.contains("postings.parquet")))
       .get
     val parts = scan.relation.location.listFiles(
@@ -140,7 +116,7 @@ class BmStoreSpec extends AnyFunSuite {
   test("served fusion reads only persisted indexes: no corpus scan, no BNLJ") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val df = BmStore.queries("ann_hybrid_served_rrf")(spark, sf)
-    val nodes = executedNodes(df)
+    val nodes = TestSpark.executedNodes(df)
     // the brute-force fusion's cosine leg is a BroadcastNestedLoopJoin
     // over the whole embeddings table — the served fusion must have
     // neither that join shape nor any corpus-table scan

@@ -91,13 +91,8 @@ class PercolateSpec extends AnyFunSuite {
     // formulations again bit-identical, over queries that are NOT corpus
     // docs (no self-exclusion rows at all)
     val root = graft.operators.BmStore.ensureFullBuilt(spark, sf)
-    val vocab = spark.read.parquet(s"$root/df.parquet")
-      .select("token").collect().map(_.getString(0)).sorted
-    val queries = (0 until 200).map { qid =>
-      val terms = (0 until 8).map(j =>
-        vocab(math.abs(scala.util.hashing.MurmurHash3.stringHash(s"q$qid:$j")) % vocab.length))
-      (1000000L + qid, terms.distinct.toSeq)
-    }
+    val queries = graft.operators.BmStore
+      .syntheticStandingQueries(spark, root, "q", 200)
     val frozen = graft.operators.BmStore.frozenStatsForQueries(spark, root, queries)
     assert(frozen.queries.size > 150) // most synthetic queries survive df lookup
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -107,6 +102,22 @@ class PercolateSpec extends AnyFunSuite {
     val got = Percolate.scoreIndexed(docs, frozen)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(want.nonEmpty && got.toSeq === want.toSeq)
+  }
+
+  test("an all-OOV standing set matches nothing in both formulations") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // every registered term misses the index vocabulary -> frozen.queries
+    // is empty; score() emits zero rows via the empty literal, and
+    // scoreIndexed() must do the same instead of failing to register an
+    // empty-vocab expression (self-review r12)
+    val root = graft.operators.BmStore.ensureFullBuilt(spark, sf)
+    val frozen = graft.operators.BmStore.frozenStatsForQueries(spark, root,
+      Seq((1L, Seq("zzzoov1", "zzzoov2")), (2L, Seq("zzzoov3"))))
+    assert(frozen.queries.isEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(20)
+    assert(Percolate.score(docs, frozen).count() === 0L)
+    assert(Percolate.scoreIndexed(docs, frozen).count() === 0L)
   }
 
   test("percolation is stateless: the streaming plan has no stateful operator") {

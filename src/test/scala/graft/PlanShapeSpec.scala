@@ -67,24 +67,6 @@ class PlanShapeSpec extends AnyFunSuite {
     "ann_ivfpq_served_topk", "ann_hybrid_served_rrf", "dsir_sample",
     "embedding_prototypicality")
 
-  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
-    def go(n: SparkPlan): Unit = {
-      buf += n
-      n match {
-        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
-        case q: QueryStageExec => go(q.plan)
-        case other => other.children.foreach(go)
-      }
-    }
-    go(p)
-    buf.toSeq
-  }
-
-  private def executedNodes(df: DataFrame): Seq[SparkPlan] = {
-    df.count()
-    allNodes(df.queryExecution.executedPlan)
-  }
 
   /** Executed output-row metric of a (possibly stage-wrapped) node. */
   private def outputRows(p: SparkPlan): Option[Long] = {
@@ -103,7 +85,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   private lazy val executed: Map[String, Seq[SparkPlan]] = {
     val qs = SparkEntry.queries
-    basket.map(name => name -> executedNodes(qs(name)(spark, sf))).toMap
+    basket.map(name => name -> TestSpark.executedNodes(qs(name)(spark, sf))).toMap
   }
 
   test("rule 1: no cartesian product anywhere in the basket") {

@@ -28,6 +28,45 @@ object TestSpark {
   val fixturesHint: String =
     s"testdata not found at $sf0001 — point GRAFT_TESTDATA (or -Dgraft.testdata) at the fixture root"
 
+  /** AQE-aware executed-plan traversal shared by the plan-shape specs
+    * (BmStoreSpec / BmServeSpec / PlanShapeSpec): AdaptiveSparkPlanExec
+    * and QueryStageExec hide their inner plan from a plain `collect`, so
+    * any future traversal fix lands once here instead of silently
+    * diverging across suites (self-review r12).
+    */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      buf += n
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          go(q.plan)
+        case other => other.children.foreach(go)
+      }
+    }
+    go(p)
+    buf.toSeq
+  }
+
+  /** [[planNodes]] of an EXECUTED DataFrame (count() forces AQE's final
+    * plan).
+    */
+  def executedNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    df.count()
+    planNodes(df.queryExecution.executedPlan)
+  }
+
+  def executedScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    executedNodes(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
