@@ -83,7 +83,6 @@ object Bench {
     // both legs now read persisted indexes; the brute-force fusion stays
     // registered as the exact oracle twin
     "ann_hybrid_served_rrf",
-    "ann_hybrid_agreement",
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",
