@@ -105,6 +105,7 @@ object Bench {
     "corpus_train_manifest",
     "multimodal_features",
     "text_bpe_tokens",
+    "bpe_train_merges",
     "pack_chunks_bpe",
     "q_merge_upsert"
   )

@@ -92,6 +92,7 @@ object ScaleSmoke {
     "text_fingerprint",
     "text_tfidf",
     "text_bpe_tokens",
+    "bpe_train_merges",
     "pack_chunks_bpe",
     "q_merge_upsert",
     "corpus_mixture_tokens",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.gen.TxGen
-import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, BmStore, Dedup, Dsir, FraudQueries, FraudRules, IncrementalStats, Layout, Multimodal, Overlap, QualityRules, Retrieval, SamplingOps, SigStore, Similarity, TableOps, Temporal, TextOps, TrainingPipeline, Upsert, Winnow}
+import graft.operators.{Analytics, AnalyticsExt, AnnIndexIO, BmStore, BpeTrain, Dedup, Dsir, FraudQueries, FraudRules, IncrementalStats, Layout, Multimodal, Overlap, QualityRules, Retrieval, SamplingOps, SigStore, Similarity, TableOps, Temporal, TextOps, TrainingPipeline, Upsert, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,7 @@ object SparkEntry {
       Multimodal.queries ++ TableOps.queries ++ Layout.queries ++
       TrainingPipeline.queries ++ SamplingOps.queries ++ Temporal.queries ++
       Upsert.queries ++ IncrementalStats.queries ++ Retrieval.queries ++
-      Winnow.queries ++ Dsir.queries ++ QualityRules.queries ++
+      Winnow.queries ++ BpeTrain.queries ++ Dsir.queries ++ QualityRules.queries ++
       Overlap.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -45,6 +45,6 @@ object SparkEntry {
       TextOps.oracleSql ++ Multimodal.oracleSql ++ TableOps.oracleSql ++
       Layout.oracleSql ++ TrainingPipeline.oracleSql ++ SamplingOps.oracleSql ++
       Temporal.oracleSql ++ Upsert.oracleSql ++ IncrementalStats.oracleSql ++
-      Retrieval.oracleSql ++ Winnow.oracleSql ++ Dsir.oracleSql ++
+      Retrieval.oracleSql ++ Winnow.oracleSql ++ BpeTrain.oracleSql ++ Dsir.oracleSql ++
       QualityRules.oracleSql ++ Overlap.oracleSql
 }

@@ -218,6 +218,17 @@ object StreamBench {
     val ((bmsSecs, bmsAnswered), cpuBs) = withCpu(runBmServe(bmQueryDocs, 100))
     println(f"""{"metric":"bm25_serve_queries_per_sec","value":${bmsAnswered / bmsSecs}%.0f,"unit":"queries/sec","queries":$bmsAnswered,"wall_sec":$bmsSecs%.3f${tele(cpuBs)}}""")
 
+    // the rows above serve whole DOCUMENTS as queries (~150 distinct
+    // terms — the more-like-this shape); real search requests are a few
+    // terms, so also measure 5-term synthetic queries: candidate volume
+    // per request drops ~30x and q/s is the number a search user sees
+    val bmShort = graft.operators.BmStore
+      .syntheticStandingQueries(spark, bmServeRoot, "sbshort", 2000, termsPerQuery = 5)
+      .map { case (id, ts) => graft.streaming.BmServe.BmQuery(id, ts.mkString(" ")) }
+    runBmServe(bmShort.take(200), 100) // warmup
+    val ((bshSecs, bshAnswered), cpuBsh) = withCpu(runBmServe(bmShort, 200))
+    println(f"""{"metric":"bm25_serve_short_queries_per_sec","value":${bshAnswered / bshSecs}%.0f,"unit":"queries/sec","queries":$bshAnswered,"wall_sec":$bshSecs%.3f${tele(cpuBsh)}}""")
+
     // ---- dedup signature-store maintenance: streamed new documents
     // simhash-encoded and committed exactly-once into the banded store
     // (operators/SigStore) — docs/sec here is the rate the dedup index
