@@ -168,6 +168,33 @@ object TrainingPipeline {
         .select("doc_id", "split_bucket", "split")
     }),
 
+    // LEAKAGE-SAFE splits: hash the doc's DEDUP CLUSTER id instead of its
+    // own id, so every near-dup family lands wholly in one split — the
+    // published dedup-aware split recipe (near-dups of a test doc in the
+    // train set are the contamination split_assign's per-doc hash cannot
+    // prevent; Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better" measures exactly this leak). Same 80/10/10
+    // thresholds and portable salted-md5 backbone; cluster_id comes from
+    // the one-shot connected-components clustering (a deployment reads
+    // the SigStore label state instead — same values by the store's own
+    // oracle). Spec proves the safety property (one split per cluster)
+    // and its non-vacuity (pairs split_assign separates are co-split).
+    // DOC-level proportions track cluster MASS, not the 80/10/10 bucket
+    // split (the fixture's planted 338-member chain drags train to ~94%
+    // at sf0.001) — that skew is the price of the guarantee and shrinks
+    // as dedup rate does; the CLUSTER-level distribution stays 80/10/10.
+    "split_assign_leakage_safe" -> ((s, d) => {
+      Dedup.queries("dedup_components")(s, d)
+        .select("doc_id", "cluster_id")
+        .withColumn("split_bucket", expr(
+          "cast(conv(substring(md5(concat('gsplit:', cast(cluster_id as string))), 1, 8), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("split_bucket") < 80, "train")
+            .when(col("split_bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "cluster_id", "split_bucket", "split")
+    }),
+
     // Token-budget chunking: assign each doc (in doc_id order) a chunk id
     // so every chunk covers ChunkBudget tokens of the concatenated stream
     // — the packing step before fixed-length sequence training. The naive
@@ -400,6 +427,18 @@ object TrainingPipeline {
         |  CASE WHEN split_bucket < 80 THEN 'train'
         |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    // nested-CTE composition over the (individually hash-matched)
+    // clustering oracle — the cluster hash replays the Spark expression
+    "split_assign_leakage_safe" ->
+      s"""WITH cc AS (${Dedup.oracleSql("dedup_components")}),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5('gsplit:' || cluster_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket
+         |  FROM cc)
+         |SELECT doc_id, cluster_id, split_bucket,
+         |  CASE WHEN split_bucket < 80 THEN 'train'
+         |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "pack_windows" ->
       s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tokens FROM documents),

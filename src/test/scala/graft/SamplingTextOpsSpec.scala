@@ -64,6 +64,34 @@ class SamplingTextOpsSpec extends AnyFunSuite {
     assert(byT.head.getAs[Double]("upsample") >= byT.last.getAs[Double]("upsample"))
   }
 
+  test("split_assign_leakage_safe: one split per cluster, and it closes a real leak") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    val rows = TrainingPipeline.queries("split_assign_leakage_safe")(spark, sf)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // THE safety property: every near-dup cluster maps to exactly one split
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, s"cluster $c split across sets")
+    }
+    // non-vacuous: the per-doc hash split really separates at least one
+    // same-cluster pair (the leak this operator exists to close)
+    val perDoc = TrainingPipeline.queries("split_assign")(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val leaked = rows.groupBy(_._2).values.exists { rs =>
+      rs.map(r => perDoc(r._1)).distinct.length > 1
+    }
+    assert(leaked, "fixture has no pair the per-doc split separates — vacuous")
+    // thresholds agree with split_assign's convention
+    val buckets = TrainingPipeline.queries("split_assign_leakage_safe")(spark, sf)
+      .select("split_bucket", "split").as[(Long, String)].collect()
+    buckets.foreach { case (b, sp) =>
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp === want, s"bucket $b")
+    }
+  }
+
   test("text_repetition: ratios bounded and consistent with distinct counts") {
     val rows = TextOps.queries("text_repetition")(spark, sf).collect()
     assert(rows.length > 0)
