@@ -97,9 +97,12 @@ object DecontamGate {
         evalSh.withColumn("fp", expr(fpSql("s"))),
         "fp", expectedItems = 100000L, numBits = 1L << 21))
     Materialize.drop(evalSh)
-    val wfps = Winnow.fingerprints(s, d,
+    // filter BEFORE fingerprinting (ADVICE r12): the eval-only build
+    // cost is structural, not a bet on Catalyst pushing the predicate
+    // below the winnow projection and explode
+    val wfps = Winnow.fingerprintsOf(
+        Tables.documents(s, d).filter(col("doc_id") % 20 === 0),
         Winnow.DecontamGramLen, Winnow.DecontamWinSize)
-      .filter(col("doc_id") % 20 === 0)
       .select("fp").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     FrozenDecontam(bloom, shingles, wfps)
@@ -145,12 +148,15 @@ object DecontamGate {
         val fn = GraftFunctions.registerStandingHitsLong(s, frozen.evalWinnowFps)
         expr(s"$fn(wfps)")
       }
+    // hit counts surface as BIGINT (ADVICE r12): the batch twins emit
+    // long n_shared / n_hits, and consumers swapping stream and batch
+    // outputs should not hit an INT/BIGINT schema seam
     withWord
       .withColumn("n_winnow_hits", wHits)
       .select(col("doc_id"), col("n_bloom"),
-        col("n_shingle_hits"),
+        col("n_shingle_hits").cast("long").as("n_shingle_hits"),
         (col("n_shingle_hits") >= 1).as("shingle_contaminated"),
-        col("n_winnow_hits"),
+        col("n_winnow_hits").cast("long").as("n_winnow_hits"),
         (col("n_winnow_hits") >= 1).as("winnow_contaminated"))
   }
 }

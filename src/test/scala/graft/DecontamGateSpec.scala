@@ -26,7 +26,7 @@ class DecontamGateSpec extends AnyFunSuite {
 
   private lazy val frozen = DecontamGate.frozen(spark, sf)
 
-  private lazy val streamed: Map[Long, (Int, Int, Boolean, Int, Boolean)] = {
+  private lazy val streamed: Map[Long, (Int, Long, Boolean, Long, Boolean)] = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val arrivals = spark.read.parquet(s"$sf/documents.parquet")
@@ -44,7 +44,9 @@ class DecontamGateSpec extends AnyFunSuite {
     q.awaitTermination()
     val rows = spark.table("decontam_gate").collect()
       .map(r => r.getLong(0) ->
-        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getInt(4), r.getBoolean(5))))
+        // hit counts are LONG (ADVICE r12): the gate's schema matches the
+        // batch twins' BIGINT n_shared/n_hits, asserted by the getLong
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
       .toMap
     assert(rows.size === arrivals.size)
     rows
@@ -59,7 +61,7 @@ class DecontamGateSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(streamed.keySet === want.keySet)
     streamed.foreach { case (id, (_, nSh, cont, _, _)) =>
-      assert((nSh.toLong, cont) === want(id), s"doc $id")
+      assert((nSh, cont) === want(id), s"doc $id")
     }
     // non-vacuous: the fixture plants real contamination
     assert(want.values.exists(_._2))
@@ -74,7 +76,7 @@ class DecontamGateSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(streamed.keySet === want.keySet)
     streamed.foreach { case (id, (_, _, _, nW, cont)) =>
-      assert((nW.toLong, cont) === want(id), s"doc $id")
+      assert((nW, cont) === want(id), s"doc $id")
     }
   }
 
