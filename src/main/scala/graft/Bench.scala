@@ -62,6 +62,10 @@ object Bench {
     "dedup_components",
     "dedup_components_incremental",
     "dedup_components_stored",
+    // leakage-safe split over the PERSISTED label state (r13) — rides the
+    // store dedup_components_stored just built, so the row reads as the
+    // split's marginal cost (one hash projection + label read)
+    "split_assign_leakage_safe_stored",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_fine",
     "dedup_semantic",
@@ -83,6 +87,8 @@ object Bench {
     // both legs now read persisted indexes; the brute-force fusion stays
     // registered as the exact oracle twin
     "ann_hybrid_served_rrf",
+    // served fusion + exact re-rank of IN-pushed candidates (r13)
+    "ann_hybrid_served_rerank",
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",

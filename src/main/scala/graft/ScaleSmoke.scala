@@ -73,6 +73,8 @@ object ScaleSmoke {
     // index-served fusion (postings store × IVF×PQ codes) — replaces the
     // brute-force ann_hybrid_rrf in the headline (VERDICT r11 #2)
     "ann_hybrid_served_rrf",
+    // served fusion + exact re-rank of the IN-pushed candidate read
+    "ann_hybrid_served_rerank",
     "text_bigram_logprob",
     "dsir_sample",
     "text_gopher_rules",
@@ -97,8 +99,26 @@ object ScaleSmoke {
     "q_merge_upsert",
     "corpus_mixture_tokens",
     "sample_manifest_upsampled",
-    "corpus_mixture_incremental"
+    "corpus_mixture_incremental",
+    // leakage-safe split on the PERSISTED SigStore label path — the
+    // deployment shape (VERDICT r12 #4); the one-shot clustering form is
+    // the oracle-scale anchor and stays out of the scale baskets
+    "split_assign_leakage_safe_stored"
   )
+
+  /** Queries whose first invocation pays a one-time persisted-index
+    * build (ensure*Built / store absorb): the smoke times them TWICE and
+    * emits `serve_sec` (warm second run) and `build_sec` (first minus
+    * second) separately, so a scale artifact row shows the cost the
+    * deployment pays per query, not per index rebuild (VERDICT r12 #2 —
+    * the sf10 rows previously conflated the two).
+    */
+  val servedQueries: Set[String] = Set(
+    "text_bm25_served_topk", "text_bm25_incremental",
+    "ann_hybrid_served_rrf", "ann_hybrid_served_rerank",
+    "ann_ivfpq_served_topk", "ann_ivfpq_incremental",
+    "dedup_incremental_stored", "dedup_components_incremental",
+    "dedup_components_stored", "split_assign_leakage_safe_stored")
 
   def generate(spark: SparkSession, base: String, outDir: String,
       replicas: Int): Unit = {
@@ -158,9 +178,20 @@ object ScaleSmoke {
     }
     val queries = SparkEntry.queries
     // dev: trailing args (after an optional outDir) time just those queries
-    val basket =
+    val basket0 =
       if (args.exists(queries.contains)) args.toSeq.filter(queries.contains)
       else headline
+    // The decade probe runs the plans a 100× deployment would RUN: the
+    // uncapped exact Jaccard's Σdf² candidate volume is the documented
+    // scale-killer (VERDICT r12 "what's wrong" #1) — it stays the oracle
+    // anchor at oracle scales and in the sf1 basket, but the sf10 rows
+    // measure its recommended capped/prefix twins instead. The exclusion
+    // is LOGGED into the artifact, not silent.
+    val exactJaccardExcluded =
+      label == "sf10" && basket0.contains("dedup_ngram_jaccard")
+    val basket =
+      if (exactJaccardExcluded) basket0.filterNot(_ == "dedup_ngram_jaccard")
+      else basket0
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     var total = 0.0
@@ -169,6 +200,10 @@ object ScaleSmoke {
         case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
         case _ => -1L
       }
+    if (exactJaccardExcluded) {
+      lines += s"""{"metric":"${label}_note","query":"dedup_ngram_jaccard","skipped":"exact (uncapped) form is the oracle-scale anchor; its Sum-df^2 candidate volume is the documented scale-killer and the capped/prefix twins in this basket are the 100x plans"}"""
+      println(lines.last)
+    }
     basket.foreach { name =>
       val t0 = System.nanoTime()
       val c0 = cpuNs()
@@ -179,7 +214,17 @@ object ScaleSmoke {
         // separates a contended box from a genuinely costlier plan
         val cpu = (cpuNs() - c0) / 1e9
         total += secs
-        lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
+        if (servedQueries.contains(name)) {
+          // second (warm) run = serve-only cost; first-run surplus is the
+          // one-time index build this query triggered (≈0 when another
+          // query already built the shared store — also visible)
+          val t1 = System.nanoTime()
+          queries(name)(spark, outDir).count()
+          val serve = (System.nanoTime() - t1) / 1e9
+          val build = math.max(0.0, secs - serve)
+          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"build_sec":$build%.3f,"serve_sec":$serve%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
+        } else
+          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"rows":$rows}"""
         println(lines.last)
       } catch {
         case e: Throwable =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.model.FraudConstants
 import graft.streaming.FraudStream
@@ -424,6 +424,41 @@ object StreamBench {
         else "percolate_q1000_docs_per_sec"
       println(f"""{"metric":"$metric","value":${perc1kDocs.length / s1k}%.0f,"unit":"docs/sec","docs":${perc1kDocs.length},"standing_queries":${frozen1k.queries.size},"matches":$m1k,"wall_sec":$s1k%.3f${tele(cpu1k)}}""")
     }
+
+    // ---- percolator standing-query REGISTRATION (operators/PercStore):
+    // streamed registration batches persisted BESIDE the postings store
+    // (per-term df resolved once at registration against the frozen
+    // vocabulary, exactly-once batch_id dirs) — registrations/sec the
+    // prospective-search control plane absorbs. The persisted population
+    // must then reload and serve with no rebuild (PercStoreSpec proves
+    // verdict parity; here the reload count gates coverage).
+    val regQueries = graft.operators.BmStore.syntheticStandingQueries(
+      spark, bmRoot, "sbreg", 4000, termsPerQuery = 8)
+      .map { case (id, ts) => (id, ts.mkString(" ")) }
+    def runRegister(rows: Seq[(Long, String)], batchSize: Int): Double = {
+      val in = MemoryStream[(Long, String)]
+      rows.grouped(batchSize).foreach(b => in.addData(b))
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_reg_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = in.toDS().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: Dataset[(Long, String)], bid: Long) =>
+          val qs = batch.collect().toSeq
+            .map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+          graft.operators.PercStore.registerBatch(spark, bmRoot, qs, bid)
+        }
+        .start()
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally q.stop()
+    }
+    runRegister(regQueries.take(500), 250) // warmup: codegen + df footers
+    val (regSecs, cpuRg) = withCpu(runRegister(regQueries, 1000))
+    val regLoaded = graft.operators.PercStore.loadFrozen(spark, bmRoot)
+    require(regLoaded.queries.size >= 4000,
+      s"registration reload lost queries: ${regLoaded.queries.size} of 4000")
+    println(f"""{"metric":"percolate_register_queries_per_sec","value":${regQueries.length / regSecs}%.0f,"unit":"queries/sec","queries":${regQueries.length},"reloaded":${regLoaded.queries.size},"wall_sec":$regSecs%.3f${tele(cpuRg)}}""")
 
     // ---- decontamination gate: arrivals probed against the frozen eval
     // artifacts (bloom + exact shingle set + winnow fingerprints —

@@ -511,7 +511,14 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
   @transient private lazy val scratch: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch(terms.size, qIds.length))
 
-  def hits(input: ArrayData): ArrayData = {
+  def hits(input: ArrayData): ArrayData = hitsFor(input, input.numElements().toLong)
+
+  /** Scoring core with an EXPLICIT document length: the unary form passes
+    * the token array's length, [[PercolateHitsDl]] passes a stored dl —
+    * a store-reconstructed document carries only the standing-vocabulary
+    * tokens, so its array length is NOT the document's true length.
+    */
+  def hitsFor(input: ArrayData, dl: Long): ArrayData = {
     val sc = scratch.get()
     val tfs = sc.tfs
     val touched = sc.touched
@@ -530,7 +537,6 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
       }
       i += 1
     }
-    val dl = nTok.toLong
     // batch: lit(sumDl) / lit(nDocs) — long/long Divide = double division
     val avgdl = sumDl.toDouble / nDocs.toDouble
     var nQ = 0
@@ -585,6 +591,50 @@ case class PercolateHits(child: Expression, nDocs: Long, sumDl: Long,
 
   override protected def withNewChildInternal(newChild: Expression): PercolateHits =
     copy(child = newChild)
+}
+
+/** [[PercolateHits]] with an EXPLICIT document-length operand — the form
+  * the postings-store serving path uses: a document reconstructed from
+  * its stored (token, tf) rows contains only standing-vocabulary tokens,
+  * so the true `dl` (stored per posting at index-build time) must ride
+  * in as a column, not be inferred from the array length. Scoring is the
+  * shared [[PercolateHits.hitsFor]] core, so stream-percolation parity
+  * (PercolateSpec) transfers verbatim.
+  */
+case class PercolateHitsDl(tokens: Expression, dlExpr: Expression,
+    nDocs: Long, sumDl: Long, terms: Seq[String], termDf: Seq[Long],
+    termQueries: Seq[Seq[Long]]) extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = dlExpr
+  override def dataType: DataType = core.dataType
+  override def prettyName: String = "percolate_hits_dl"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, dlExpr.dataType) match {
+      case (ArrayType(StringType, _), LongType) if terms.nonEmpty &&
+        terms.size == termDf.size && terms.size == termQueries.size =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "percolate_hits_dl(array<string>, bigint), aligned nonempty term/df/query lists")
+    }
+
+  @transient private lazy val core: PercolateHits =
+    PercolateHits(tokens, nDocs, sumDl, terms, termDf, termQueries)
+
+  def hitsFor(input: ArrayData, dl: Long): ArrayData = core.hitsFor(input, dl)
+
+  override def nullSafeEval(input1: Any, input2: Any): Any =
+    hitsFor(input1.asInstanceOf[ArrayData], input2.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("percolateHitsDl", this, classOf[PercolateHitsDl].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.hitsFor($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PercolateHitsDl =
+    copy(tokens = newLeft, dlExpr = newRight)
 }
 
 /** Product-quantization encoder: split a d-dim vector into
@@ -700,6 +750,29 @@ object GraftFunctions {
     val name = "percolate_hits_" + md.digest().map("%02x".format(_)).mkString
     registerOnce(spark, name,
       exprs => PercolateHits(exprs.head, nDocs, sumDl, terms, termDf, termQueries))
+    name
+  }
+
+  /** Register a [[PercolateHitsDl]] (explicit-dl percolation scorer) and
+    * return its content-addressed session function name.
+    */
+  def registerPercolateHitsDl(spark: SparkSession, nDocs: Long, sumDl: Long,
+      terms: Seq[String], termDf: Seq[Long],
+      termQueries: Seq[Seq[Long]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(nDocs); bb.putLong(sumDl)
+    md.update(bb.array())
+    terms.zip(termDf).zip(termQueries).foreach { case ((t, df), qs) =>
+      md.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+      val b = java.nio.ByteBuffer.allocate(8 * (qs.size + 1))
+      b.putLong(df); qs.foreach(b.putLong)
+      md.update(b.array())
+    }
+    val name = "percolate_hits_dl_" + md.digest().map("%02x".format(_)).mkString
+    registerOnce(spark, name,
+      exprs => PercolateHitsDl(exprs(0), exprs(1), nDocs, sumDl, terms, termDf, termQueries))
     name
   }
 

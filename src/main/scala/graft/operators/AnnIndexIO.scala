@@ -181,11 +181,11 @@ object AnnIndexIO {
     * so a corpus-member query returns exactly its batch-query rows.
     */
   private[graft] def serveVectors(s: SparkSession, root: String,
-      qs: Seq[(Long, Array[Double])], k: Int = 5): DataFrame = {
+      qs: Seq[(Long, Array[Double])], k: Int = 5, nprobe: Int = 2): DataFrame = {
     require(qs.nonEmpty, "serveVectors: empty query batch")
     val (cents, cbs) = readModel(s, root)
     val luts = Similarity.pqLuts(qs, cbs).toMap
-    val probes = qs.map { case (id, v) => (id, probeCells(cents, v, 2)) }
+    val probes = qs.map { case (id, v) => (id, probeCells(cents, v, nprobe)) }
     import s.implicits._
     val qdf = probes.flatMap { case (id, cells) =>
       cells.map(c => (id, c, luts(id)))

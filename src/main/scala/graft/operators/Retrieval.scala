@@ -146,6 +146,22 @@ object Retrieval {
     FrozenIndexStats(nDocs, sumDl, union, byQuery)
   }
 
+  /** Invert frozen standing-query statistics to the TERM→QUERIES index
+    * layout `(terms, per-term df, per-term sorted query lists)` the
+    * percolation-style scorers consume ([[graft.functions.PercolateHits]]
+    * / PercolateHitsDl) — shared by the streaming percolator and the
+    * postings-store doc-vector serve, so both bind the identical index.
+    * df is term-level: every query sharing a term carries the same df.
+    */
+  private[graft] def invertedIndex(frozen: FrozenIndexStats)
+      : (Seq[String], Seq[Long], Seq[Seq[Long]]) = {
+    val byTerm = frozen.queries
+      .flatMap(q => q.terms.map(t => (t.idx, t.term, t.df, q.query_id)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    (byTerm.map(_._2.head._2), byTerm.map(_._2.head._3),
+      byTerm.map(_._2.map(_._4).sorted.toSeq))
+  }
+
   /** (query_id, doc_id, n_terms, sum_q): quantized BM25 partial sums for
     * every (query, candidate) pair sharing ≥1 term, self-pairs excluded.
     * Shared by the standalone top-k, the hybrid fusion, and the

@@ -895,7 +895,7 @@ object Similarity {
     * to FuseDepth with the same frozen-index arithmetic.
     */
   private[graft] def ivfpqOracleFor(qIdsSql: String, k: Int,
-      corpusPred: String = "TRUE"): String =
+      corpusPred: String = "TRUE", nprobe: Int = 2): String =
     s"""WITH $embCte,
        |h AS (SELECT vec_id, emb, ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT h FROM e),
        |cent AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) cell_id, emb cv
@@ -906,7 +906,7 @@ object Similarity {
        |       FROM e CROSS JOIN cent c),
        |crk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id DESC) r FROM cs),
        |cells AS (SELECT vec_id, label, cell_id FROM crk WHERE r = 1),
-       |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= 2 AND vec_id IN ($qIdsSql)),
+       |qc AS (SELECT vec_id query_id, cell_id FROM crk WHERE r <= $nprobe AND vec_id IN ($qIdsSql)),
        |smp AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) k, emb
        |        FROM h ORDER BY h, vec_id LIMIT 4),
        |cb AS (SELECT m, k, emb[m*8+1 : m*8+8] cv FROM smp, unnest(range(0, 8)) t(m)),

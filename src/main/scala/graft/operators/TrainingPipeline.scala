@@ -102,6 +102,21 @@ object TrainingPipeline {
     * the whole funnel — quality expression, exact-hash canonicalization,
     * and the near-dup connected-components fixpoint — in one query.
     */
+  /** The 80/10/10 leakage-safe split projection over any
+    * (doc_id, cluster_id) label frame — shared by the one-shot and
+    * stored-label forms so the hash backbone cannot drift between them.
+    */
+  private def leakageSafeSplit(labels: DataFrame): DataFrame =
+    labels
+      .select("doc_id", "cluster_id")
+      .withColumn("split_bucket", expr(
+        "cast(conv(substring(md5(concat('gsplit:', cast(cluster_id as string))), 1, 8), 16, 10) as bigint) % 100"))
+      .withColumn("split",
+        when(col("split_bucket") < 80, "train")
+          .when(col("split_bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_id", "split_bucket", "split")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_decisions" -> ((s, d) =>
       decisions(s, d, 0.5).select(
@@ -183,17 +198,21 @@ object TrainingPipeline {
     // split (the fixture's planted 338-member chain drags train to ~94%
     // at sf0.001) — that skew is the price of the guarantee and shrinks
     // as dedup rate does; the CLUSTER-level distribution stays 80/10/10.
-    "split_assign_leakage_safe" -> ((s, d) => {
-      Dedup.queries("dedup_components")(s, d)
-        .select("doc_id", "cluster_id")
-        .withColumn("split_bucket", expr(
-          "cast(conv(substring(md5(concat('gsplit:', cast(cluster_id as string))), 1, 8), 16, 10) as bigint) % 100"))
-        .withColumn("split",
-          when(col("split_bucket") < 80, "train")
-            .when(col("split_bucket") < 90, "val")
-            .otherwise("test"))
-        .select("doc_id", "cluster_id", "split_bucket", "split")
-    }),
+    "split_assign_leakage_safe" -> ((s, d) =>
+      leakageSafeSplit(Dedup.queries("dedup_components")(s, d))),
+
+    // The PRODUCTION shape of the leakage-safe split (VERDICT r12 #4):
+    // cluster labels come from the PERSISTED SigStore label state
+    // (dedup_components_stored — base labels + absorbed deltas, never a
+    // from-scratch clustering), and the split itself is one stateless
+    // hash projection over that label read. The one-shot form above
+    // stays as the oracle-scale anchor; at 100 TB the one-shot
+    // clustering is a nightly index job, not a per-split cost — this
+    // query is what the nightly-indexed deployment actually runs, and
+    // the scale artifacts measure it as such. Same oracle: the store's
+    // own contract is that its labels ARE the full-corpus clustering.
+    "split_assign_leakage_safe_stored" -> ((s, d) =>
+      leakageSafeSplit(SigStore.queries("dedup_components_stored")(s, d))),
 
     // Token-budget chunking: assign each doc (in doc_id order) a chunk id
     // so every chunk covers ChunkBudget tokens of the concatenated stream
@@ -354,6 +373,19 @@ object TrainingPipeline {
     })
   )
 
+  // nested-CTE composition over the (individually hash-matched)
+  // clustering oracle — the cluster hash replays the Spark expression;
+  // one text shared by the one-shot and stored-label split forms
+  private lazy val leakageSafeSql: String =
+    s"""WITH cc AS (${Dedup.oracleSql("dedup_components")}),
+       |b AS (SELECT doc_id, cluster_id,
+       |  ('0x' || substr(md5('gsplit:' || cluster_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket
+       |  FROM cc)
+       |SELECT doc_id, cluster_id, split_bucket,
+       |  CASE WHEN split_bucket < 80 THEN 'train'
+       |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "corpus_train_manifest" -> {
       // renamed copies of the shingle/sig/band CTEs (shingleCte's `t`
@@ -428,17 +460,10 @@ object TrainingPipeline {
         |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
 
-    // nested-CTE composition over the (individually hash-matched)
-    // clustering oracle — the cluster hash replays the Spark expression
-    "split_assign_leakage_safe" ->
-      s"""WITH cc AS (${Dedup.oracleSql("dedup_components")}),
-         |b AS (SELECT doc_id, cluster_id,
-         |  ('0x' || substr(md5('gsplit:' || cluster_id::VARCHAR), 1, 8))::BIGINT % 100 AS split_bucket
-         |  FROM cc)
-         |SELECT doc_id, cluster_id, split_bucket,
-         |  CASE WHEN split_bucket < 80 THEN 'train'
-         |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
-         |FROM b""".stripMargin,
+    "split_assign_leakage_safe" -> leakageSafeSql,
+    // identical oracle for the stored-label form: the persisted label
+    // state must BE the full-corpus clustering (the store's own gate)
+    "split_assign_leakage_safe_stored" -> leakageSafeSql,
 
     "pack_windows" ->
       s"""WITH toks AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tokens FROM documents),

