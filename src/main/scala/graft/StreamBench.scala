@@ -425,6 +425,53 @@ object StreamBench {
       println(f"""{"metric":"$metric","value":${perc1kDocs.length / s1k}%.0f,"unit":"docs/sec","docs":${perc1kDocs.length},"standing_queries":${frozen1k.queries.size},"matches":$m1k,"wall_sec":$s1k%.3f${tele(cpu1k)}}""")
     }
 
+    // ---- BM25 serving on a SKEWED vocabulary: the fixture corpus is a
+    // flat 31-word vocabulary (every doc matches every query — no pruning
+    // strategy can reduce candidates, and the doc-vector plan above is
+    // the right one there). Real corpora are Zipfian, and that is the
+    // regime the WAND/MaxScore plan exists for — so serve the same wide
+    // query shape against a synthetic Zipf-ish store (10 stopwords in
+    // every doc + rare terms, df=8-ish) and measure the SAME BmServe
+    // loop under the exhaustive plan vs the auto-selected (WAND) plan.
+    // Both are exact (BmStoreSpec proves identical top-k); the gap is
+    // the essential-term pruning collapsing the stopword fan-out.
+    // 20k docs / 2k rare keys (df=10) keeps the EXHAUSTIVE leg's stopword
+    // fan-out at ~50M join rows per 250-query batch — big enough to show
+    // the pruning, bounded enough to bench
+    val skewRoot = java.nio.file.Files
+      .createTempDirectory("sb_bmskew").toString + "/store"
+    val skewCommon = (0 until 10).map(i => s"common$i")
+    graft.operators.BmStore.buildFrom(spark, skewRoot,
+      spark.range(20000).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (skewCommon.map(lit(_)) ++ Seq(
+            concat(lit("rare_"), pmod(col("id"), lit(2000))),
+            concat(lit("rare_"), pmod(col("id") + 13, lit(2000)), lit("_b")),
+            concat(lit("tail_"), col("id")))): _*).as("text")))
+    val skewQueries = (0 until 1000).map { q =>
+      graft.streaming.BmServe.BmQuery(9000000L + q,
+        (skewCommon ++ (0 until 8).map(j => s"rare_${(q * 7 + j) % 2000}") ++
+          (0 until 4).map(j => s"rare_${(q * 5 + j) % 2000}_b")).mkString(" "))
+    }
+    def runSkewServe(rows: Seq[graft.streaming.BmServe.BmQuery],
+        batchSize: Int): Double = {
+      val in = MemoryStream[graft.streaming.BmServe.BmQuery]
+      rows.grouped(batchSize).foreach(b => in.addData(b))
+      val t0 = System.nanoTime()
+      val q = graft.streaming.BmServe.serve(in.toDS(), skewRoot,
+        (df, _) => { df.count(): Unit }, trigger = Trigger.AvailableNow())
+      try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+      finally q.stop()
+    }
+    Seq("exhaustive", "auto").foreach { mode =>
+      if (mode == "exhaustive")
+        System.setProperty("graft.bm.serve.plan", "exhaustive")
+      else System.clearProperty("graft.bm.serve.plan")
+      runSkewServe(skewQueries.take(250), 250) // warmup (+ auto's one probe)
+      val (skSecs, cpuSk) = withCpu(runSkewServe(skewQueries, 250))
+      println(f"""{"metric":"bm25_serve_skewed_${mode}_queries_per_sec","value":${skewQueries.length / skSecs}%.0f,"unit":"queries/sec","queries":${skewQueries.length},"wall_sec":$skSecs%.3f${tele(cpuSk)}}""")
+    }
+
     // ---- percolator standing-query REGISTRATION (operators/PercStore):
     // streamed registration batches persisted BESIDE the postings store
     // (per-term df resolved once at registration against the frozen

@@ -351,13 +351,21 @@ object BmStore {
       .filter(col("token").isin(terms: _*))
       .join(broadcast(queryTerms), "token")
       .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("idf",
+      .transform(withImpact(frozen))
+  }
+
+  /** The quantized per-posting impact `q` over (tf, dl, df) columns —
+    * [[Retrieval.bmScored]]'s expression tree with the frozen scalars
+    * spliced as long literals; one definition shared by every serving
+    * sub-plan so the arithmetic cannot drift between them.
+    */
+  private def withImpact(frozen: FrozenIndexStats)(df: DataFrame): DataFrame =
+    df.withColumn("idf",
         log(lit(1.0) + (lit(frozen.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("tfw",
         col("tf") * lit(2.2) / (col("tf") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (lit(frozen.sumDl) / lit(frozen.nDocs)))))
       .withColumn("q", round(col("idf") * col("tfw") * lit(1e6)).cast("long"))
-  }
 
   private def queryTermsDf(s: SparkSession, frozen: FrozenIndexStats): DataFrame = {
     import s.implicits._
@@ -510,20 +518,50 @@ object BmStore {
         }
     }
     val fullVol = frozen.queries.flatMap(_.terms.map(_.df)).map(BigDecimal(_)).sum
-    val ratio =
-      if (fullVol == 0) 1.0
-      else (essPairs.map(_._3).map(BigDecimal(_)).sum / fullVol).toDouble
-    val ess = essPairs.map { case (qid, term, _) => (qid, term) }
-      .toDF("query_id", "token")
-    val m = matchedPostings(s, root, frozen,
-      queryTermsDf(s, frozen), frozen.unionTerms)
-    val cands = m.join(broadcast(ess), Seq("query_id", "token"))
+    val essVol = essPairs.map(_._3).map(BigDecimal(_)).sum
+    val ratio = if (fullVol == 0) 1.0 else (essVol / fullVol).toDouble
+    // Candidates from ESSENTIAL postings ONLY — this join's fan-out is
+    // the essential volume the ratio measures, by construction. (A first
+    // cut semi-joined the FULL matched stream against candidates, which
+    // still paid the Σ df·Q stopword fan-out before filtering — the
+    // measured skew bench showed it costing MORE cpu than exhaustive.
+    // Pruning must happen at the join, not after it.)
+    val essTerms = essPairs.map(_._2).distinct.sorted
+    import s.implicits._
+    val cands = matchedPostings(s, root, frozen,
+        essPairs.toDF("query_id", "token", "df"), essTerms)
       .select("query_id", "doc_id").distinct()
-    val out = m.join(cands, Seq("query_id", "doc_id"), "left_semi")
+    // Final scoring drives the postings scan THROUGH the candidates:
+    // join on doc_id first (fan-out = candidate docs × their standing-
+    // vocabulary postings), then keep each candidate query's own terms
+    // via the qdf membership join. For a candidate pair the kept rows
+    // are exactly the exhaustive plan's matched rows, so the aggregate
+    // is identical. The candidate frame is broadcast when the measured
+    // essential volume bounds it small (driver-resident decision).
+    val candsSide =
+      if (essVol <= BigDecimal(WandCandBroadcastRows)) broadcast(cands)
+      else cands
+    val buckets = frozen.unionTerms.toDF("token")
+      .select(tokBucket(col("token")).as("b")).distinct()
+      .as[Int].collect().sorted.toSeq
+    val out = s.read.parquet(new Path(root, "postings.parquet").toString)
+      .filter(col("tok_bucket").isin(buckets: _*))
+      .filter(col("token").isin(frozen.unionTerms: _*))
+      .join(candsSide, "doc_id")
+      .join(broadcast(queryTermsDf(s, frozen)), Seq("query_id", "token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .transform(withImpact(frozen))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"), sum("q").as("sum_q"))
     (out, ratio)
   }
+
+  /** Candidate-pair broadcast bound for the WAND final join: the
+    * essential postings volume (an upper bound on candidate pairs) must
+    * sit under this to ride a broadcast; past it the candidates join as
+    * a shuffle side — still candidate-sized, never fan-out-sized.
+    */
+  private[graft] val WandCandBroadcastRows = 2000000L
 
   /** Doc-vector serving via the percolation index — the wide-query plan
     * for LOW-SKEW vocabularies, where every document genuinely matches
