@@ -27,12 +27,22 @@ import graft.sources.Tables
   * hashes into k buckets reads k directories and SKIPS the rest at the
   * parquet-partition level (the [[AnnIndexIO]] nprobe idiom — the spec
   * asserts the pruned scan), and the token IN (…) filter then prunes row
-  * groups inside them via the sorted column's min/max stats. The one
-  * shuffle in a serve carries candidate postings only; the corpus text is
-  * never touched — the serving plan contains NO documents scan at all
+  * groups inside them via the sorted column's min/max stats. The corpus
+  * text is never touched — NO serving plan contains a documents scan
   * (query-term statistics are frozen driver-side, below). At 100 TB the
   * same layout holds with more buckets; each serve touches
   * `|query vocab buckets| / NumBuckets` of the postings files.
+  *
+  * Above the shared scan, [[servedRanked]] auto-selects among THREE
+  * exact scoring strategies (r13): exhaustive join+aggregate for short
+  * queries; MaxScore/WAND essential-term pruning for wide queries over
+  * a skewed (real, Zipfian) vocabulary — candidates built from rare
+  * postings, final aggregation driven candidates-first so the stopword
+  * fan-out never materializes; and doc-vector percolation scoring for
+  * wide queries over a flat vocabulary, where no pruning can shrink the
+  * candidate set but the (posting × query) join fan-out still can. All
+  * three are value-identical (one oracle), and the wand-vs-docvec
+  * choice comes from a measured probe, not a heuristic.
   *
   * == Frozen statistics (the staleness contract) ==
   *
