@@ -156,6 +156,16 @@ object Dedup {
     */
   private[graft] val JaccardPrefixThreshold = 0.6
 
+  /** Broadcast gate for the prefix verify's fingerprint side: the
+    * (doc_id, n_sh, sorted 60-bit shingle fps) frame weighs ~postings×8
+    * bytes; under this it rides to both candidate joins as a broadcast
+    * (the tens-of-millions-of-pairs candidate stream then never
+    * shuffles), above it the joins fall back to shuffles. 512 MB suits
+    * the 128 GiB single-node test rig; a cluster tunes it to executor
+    * memory like any broadcast threshold.
+    */
+  private[graft] val ScreenBroadcastBytes = 512L * 1024 * 1024
+
   /** Plan auto-select gate for dedup_ngram_jaccard_prefix: run the prefix
     * pipeline only when the inverted-index candidate volume Σ df·(df−1)/2
     * exceeds this multiple of the postings count — i.e. when the join is
@@ -644,16 +654,64 @@ object Dedup {
       } else {
         val byDocCanonical =
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+        // materialized: BOTH self-join sides read it, and the window sort
+        // over the full postings is the one stage worth paying once
         val prefix = ex0.join(df, Seq("s"))
           .withColumn("rk", row_number().over(byDocCanonical))
           .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
           .select("doc_id", "s")
+          .transform(Materialize.once)
         val cand = prefix.select(col("doc_id").as("d1"), col("s"))
           .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
           .filter(col("d1") < col("d2"))
           .select("d1", "d2")
           .distinct()
-        cand
+        // TWO-STAGE VERIFY (r13, sf10-profiled): candidate volume at the
+        // 0.6 threshold is tens of millions of pairs, and verifying each
+        // against the STRING shingle arrays is ~100 UTF8 comparisons per
+        // pair whichever way the intersection is computed — measured
+        // 212 s of a 330 s sf10 run (array_intersect's per-row hash set)
+        // and 189 s even as a sorted linear merge: the string compares
+        // themselves dominate. So pairs are screened first against
+        // per-doc SORTED 60-bit shingle-fingerprint arrays (8 bytes and
+        // one long compare per element; [[graft.functions.SortedInterCount]]
+        // is the zero-allocation merge kernel). The screen is a provable
+        // SUPERSET filter: a hash collision can only INFLATE the count
+        // (each shared shingle contributes min-multiplicity ≥ 1 on both
+        // sides), so hash-jaccard ≥ true jaccard and no true pair is
+        // dropped. The survivors — output-sized, ~0.1% of candidates —
+        // then re-verify EXACTLY on the string arrays, so the emitted
+        // rows are bit-identical to the single-stage form and the
+        // oracle is untouched. Per-doc work (fp hashing, two
+        // array_sorts) happens once per doc, per-pair work is the long
+        // merge. Measured at sf10: verify 212 s → ~10 s.
+        graft.functions.GraftFunctions.register(s)
+        // the screen side is (doc_id, n_sh, sorted 8-byte fingerprints) —
+        // ~postings×8 bytes in toto. BROADCAST it (both pair sides probe
+        // it map-side, so the candidate stream never shuffles) when the
+        // driver-resident postings count bounds it under the gate;
+        // past the gate it joins as a plain shuffle — candidate-sized
+        // exchanges, still never string-array-sized.
+        val shh = sh.select(col("doc_id"), col("n_sh"),
+          array_sort(expr(
+            "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+            .as("shh"))
+          .transform(Materialize.once) // the screen joins it twice
+        def gated(d: DataFrame): DataFrame =
+          if (postings * 8L <= ScreenBroadcastBytes) broadcast(d) else d
+        val screened = cand
+          .join(gated(shh.select(col("doc_id").as("d1"), col("shh").as("h1"),
+            col("n_sh").as("n1"))), Seq("d1"))
+          .join(gated(shh.select(col("doc_id").as("d2"), col("shh").as("h2"),
+            col("n_sh").as("n2"))), Seq("d2"))
+          .withColumn("ih", expr("sorted_inter_count(h1, h2)"))
+          .filter(round(col("ih").cast("double") /
+            (col("n1") + col("n2") - col("ih")), 4) > t)
+          .select("d1", "d2")
+        // exact confirm on the output-sized survivors, against the
+        // ORIGINAL string arrays — identical rows to the single-stage
+        // verify, so the oracle is untouched
+        screened
           .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
             col("n_sh").as("n1")), Seq("d1"))
           .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),

@@ -368,8 +368,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // equality below (exactly what the pre-BigDecimal overflow did:
     // Long.MaxValue × even postings wrapped negative and both legs ran
     // prefix, self-review r10)
+    // the prefix pipeline's window now hides behind its checkpoint, but
+    // its two-stage verify's fingerprint screen (sorted_inter_count) is
+    // in the returned plan; the direct aggregate has neither
     def isPrefixPlan(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.optimizedPlan.toString.contains("row_number")
+      df.queryExecution.optimizedPlan.toString.contains("sorted_inter_count")
     val key = "graft.jaccard.prefix.ratio"
     val old = sys.props.get(key)
     try {
