@@ -92,6 +92,16 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * comparisons with zero allocation). Output equals
   * size(array_intersect(a, b)) for distinct-element inputs regardless
   * of which total order was used to sort, since only equality counts.
+  *
+  * Registered as a general session function (ADVICE r13), so inputs the
+  * dedup screen never produces are defined rather than crashes: NULL
+  * ELEMENTS (the ArrayType signatures admit containsNull) are skipped
+  * on either side — a null is not equal to anything, matching
+  * array_intersect's null-excluding count. SORTEDNESS stays the
+  * caller's precondition and is deliberately not verified per row (the
+  * zero-overhead contract): unsorted input yields a deterministic
+  * UNDERCOUNT (only merge-order-visible equal pairs are counted), never
+  * an error or overcount.
   */
 case class SortedInterCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -120,18 +130,26 @@ case class SortedInterCount(left: Expression, right: Expression)
     var n = 0
     if (isString) {
       while (i < na && j < nb) {
-        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        if (c == 0) { n += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          if (c == 0) { n += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
       }
     } else {
       while (i < na && j < nb) {
-        val x = a.getLong(i)
-        val y = b.getLong(j)
-        if (x == y) { n += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
+        if (a.isNullAt(i)) i += 1
+        else if (b.isNullAt(j)) j += 1
+        else {
+          val x = a.getLong(i)
+          val y = b.getLong(j)
+          if (x == y) { n += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
       }
     }
     n

@@ -157,14 +157,26 @@ object Dedup {
   private[graft] val JaccardPrefixThreshold = 0.6
 
   /** Broadcast gate for the prefix verify's fingerprint side: the
-    * (doc_id, n_sh, sorted 60-bit shingle fps) frame weighs ~postings×8
-    * bytes; under this it rides to both candidate joins as a broadcast
-    * (the tens-of-millions-of-pairs candidate stream then never
-    * shuffles), above it the joins fall back to shuffles. 512 MB suits
-    * the 128 GiB single-node test rig; a cluster tunes it to executor
-    * memory like any broadcast threshold.
+    * (doc_id, n_sh, sorted 60-bit shingle fps) frame; under this it
+    * rides to both candidate joins as a broadcast (the
+    * tens-of-millions-of-pairs candidate stream then never shuffles),
+    * above it the joins fall back to shuffles. 512 MB suits the 128 GiB
+    * single-node test rig; a cluster tunes it to executor memory like
+    * any broadcast threshold.
     */
   private[graft] val ScreenBroadcastBytes = 512L * 1024 * 1024
+
+  /** In-memory bytes per fingerprint POSTING for the gate's size
+    * estimate (ADVICE r13): the 8-byte long payload alone undercounts
+    * the broadcast relation ~2.5× — each UnsafeArrayData carries an
+    * 8-byte-per-element offset-free long region PLUS header/null bits,
+    * and each row adds doc_id, n_sh, and UnsafeRow overhead; the
+    * broadcast HashedRelation then keys it. 20 bytes/posting bounds the
+    * measured shape conservatively, so the 512 MB gate admits ~25 M
+    * postings (~640 MB resident) instead of ~67 M (~1.7 GB resident —
+    * an executor-OOM risk on rigs smaller than the test box).
+    */
+  private[graft] val ScreenBytesPerPosting = 20L
 
   /** Plan auto-select gate for dedup_ngram_jaccard_prefix: run the prefix
     * pipeline only when the inverted-index candidate volume Σ df·(df−1)/2
@@ -698,7 +710,9 @@ object Dedup {
             .as("shh"))
           .transform(Materialize.once) // the screen joins it twice
         def gated(d: DataFrame): DataFrame =
-          if (postings * 8L <= ScreenBroadcastBytes) broadcast(d) else d
+          if (postings * ScreenBytesPerPosting <= ScreenBroadcastBytes)
+            broadcast(d)
+          else d
         val screened = cand
           .join(gated(shh.select(col("doc_id").as("d1"), col("shh").as("h1"),
             col("n_sh").as("n1"))), Seq("d1"))

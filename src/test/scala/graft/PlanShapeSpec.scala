@@ -142,15 +142,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(checked > 0, "vacuous: expected at least one global-agg exchange")
   }
 
+  /** The BM25-SERVE queries whose wide-query plan may legitimately
+    * replace the broadcast query-terms join with the expression-resident
+    * percolation index (`percolate_hits_dl`) — an even stronger form of
+    * "the small side never shuffles". Only these may substitute it for
+    * rule 4's BroadcastHashJoin requirement (ADVICE r13: a global
+    * exemption would let an UNRELATED join in a docvec-plan query
+    * regress from broadcast to shuffle unnoticed).
+    */
+  private val mayServeByPercolation: Set[String] =
+    Set("text_bm25_served_topk", "ann_hybrid_served_rrf")
+
   test("rule 4: broadcast-pruned joins really broadcast") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     mustBroadcast.foreach { name =>
-      // the doc-vector BM25 serve replaces its broadcast query-terms join
-      // with the expression-resident percolation index (r13) — the prune
-      // is the index riding inside percolate_hits_dl, an even stronger
-      // form of "the small side never shuffles"; accept either shape
-      val percolates = executed(name).exists(_.expressions.exists(
-        _.exists(_.isInstanceOf[graft.functions.PercolateHitsDl])))
+      val percolates = mayServeByPercolation.contains(name) &&
+        executed(name).exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.PercolateHitsDl])))
       assert(percolates ||
         executed(name).exists(_.isInstanceOf[BroadcastHashJoinExec]),
         s"$name executed no BroadcastHashJoin — a prune was un-broadcast")

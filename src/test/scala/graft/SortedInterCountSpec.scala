@@ -55,4 +55,23 @@ class SortedInterCountSpec extends AnyFunSuite {
     // at 60 bits on these sizes the screen should in fact be exact
     assert(df.filter(col("inter_h") =!= col("inter_s")).count() === 0)
   }
+
+  test("null elements are skipped, not NPE (general-session-function contract)") {
+    // ADVICE r13: the function is registered for the whole session, so
+    // arrays with null slots (containsNull = true — e.g. a raw
+    // `array('a', NULL, 'c')` literal) must count nulls as matching
+    // nothing, exactly as array_intersect excludes them.
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.sql(
+      """SELECT
+        |  sorted_inter_count(array('a', NULL, 'c'), array('a', 'c', NULL)) s1,
+        |  sorted_inter_count(array(CAST(NULL AS STRING), CAST(NULL AS STRING)), array('a')) s2,
+        |  sorted_inter_count(array(CAST(NULL AS BIGINT), 1L, 3L), array(1L, 2L, 3L)) l1,
+        |  sorted_inter_count(CAST(NULL AS ARRAY<STRING>), array('a')) n1
+        |""".stripMargin).head()
+    assert(df.getInt(0) === 2) // 'a' and 'c' match; nulls skipped
+    assert(df.getInt(1) === 0)
+    assert(df.getInt(2) === 2) // 1 and 3 match
+    assert(df.isNullAt(3)) // null ARRAY stays null (nullSafeEval)
+  }
 }
