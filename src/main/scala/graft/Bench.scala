@@ -157,10 +157,17 @@ object Bench {
       .withDefaultValue(Nil)
     val cpuSamples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // cold cache builds per query, recorded on whichever run they fire
+    // (normally the query's first — VERDICT r13 #7: a row whose first
+    // sample absorbed a one-time trainer/store build says so in the
+    // artifact, and the median-over-runs discipline already keeps that
+    // sample from becoming the reported number)
+    val coldBuilds = scala.collection.mutable.Map.empty[String, Seq[String]]
     val loadStart = loadAvg()
     for (r <- 1 to runs; name <- basket) {
       val t0 = System.nanoTime()
       val c0 = processCpuNs()
+      val cb0 = graft.ColdBuilds.mark()
       val ok =
         try { queries(name)(spark, sfDir).count(); true }
         catch {
@@ -169,6 +176,9 @@ object Bench {
             errors += name
             false
         }
+      val colds = graft.ColdBuilds.since(cb0)
+      if (colds.nonEmpty)
+        coldBuilds(name) = coldBuilds.getOrElse(name, Seq.empty) ++ colds
       // a failed run contributes no sample, never its partial wall time
       if (ok) {
         samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
@@ -202,7 +212,11 @@ object Bench {
       if (cpuSamples(n).nonEmpty) Some(median(cpuSamples(n))) else None).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val load = f"""[$loadStart%.2f,$loadEnd%.2f]"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"errors":$errs,"sf":"$sfDir"}"""
+    val coldJson = basket.filter(coldBuilds.contains)
+      .map(n => "\"" + n + "\":" +
+        coldBuilds(n).map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"cold_builds":$coldJson,"loadavg":$load,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query/spread JSON is ~4 KB on one line; a bounded tail
     // capture of stdout can slice it mid-line and kill the parse (that is
     // exactly what happened to BENCH_r07). Persist the full detail to a

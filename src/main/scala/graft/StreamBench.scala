@@ -507,6 +507,56 @@ object StreamBench {
       s"registration reload lost queries: ${regLoaded.queries.size} of 4000")
     println(f"""{"metric":"percolate_register_queries_per_sec","value":${regQueries.length / regSecs}%.0f,"unit":"queries/sec","queries":${regQueries.length},"reloaded":${regLoaded.queries.size},"wall_sec":$regSecs%.3f${tele(cpuRg)}}""")
 
+    // ---- STEADY-STATE percolation serving over the PERSISTED standing
+    // set (VERDICT r13 #3): each micro-batch resolves the live standing
+    // set via PercStore.loadFrozenCached — in steady state that is two
+    // directory listings and ZERO standing-store parquet reads (r13
+    // reloaded + re-collected the store every batch); only a
+    // registration/removal batch bumping the high-water pays a real
+    // load. The rows carry the measured full-load count so the artifact
+    // is self-attributing: 0 during the steady window, exactly 1 after
+    // the mid-stream registration burst, with the serve rate holding.
+    def runServedPerc(rows: Seq[IngestEvent], nBatches: Int): (Double, Long) = {
+      val in = MemoryStream[IngestEvent]
+      rows.grouped(math.max(1, rows.length / nBatches)).foreach(b => in.addData(b))
+      val matches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("sb_psrv_ckpt").toString
+      val t0 = System.nanoTime()
+      val q = in.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val fz = graft.operators.PercStore.loadFrozenCached(spark, bmRoot)
+          matches.addAndGet(graft.streaming.Percolate.scoreIndexed(
+            df.repartition(spark.sparkContext.defaultParallelism), fz).count()): Unit
+        }
+        .start()
+      val secs =
+        try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
+        finally q.stop()
+      (secs, matches.get())
+    }
+    graft.operators.PercStore.clearLoadedCache()
+    val servePool = docRows.take(math.min(20000, nDocs))
+    runServedPerc(servePool.take(math.min(2500, servePool.length)), 1) // warmup: pays the cold load
+    val lSteady0 = graft.operators.PercStore.loadCount.get()
+    val ((svSecs, svMatches), cpuPs) = withCpu(runServedPerc(servePool, 8))
+    val steadyLoads = graft.operators.PercStore.loadCount.get() - lSteady0
+    require(steadyLoads == 0,
+      s"steady-state serve paid $steadyLoads standing-store loads (expected 0)")
+    println(f"""{"metric":"percolate_served_steady_docs_per_sec","value":${servePool.length / svSecs}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size},"store_loads_in_window":$steadyLoads,"matches":$svMatches,"wall_sec":$svSecs%.3f${tele(cpuPs)}}""")
+    // registration burst mid-stream: exactly one reload, rate holds
+    graft.operators.PercStore.registerBatch(spark, bmRoot,
+      graft.operators.BmStore.syntheticStandingQueries(
+        spark, bmRoot, "sbburst", 200, termsPerQuery = 8), 99L)
+    val lBurst0 = graft.operators.PercStore.loadCount.get()
+    val ((svSecs2, svMatches2), cpuPs2) = withCpu(runServedPerc(servePool, 8))
+    val burstLoads = graft.operators.PercStore.loadCount.get() - lBurst0
+    require(burstLoads == 1,
+      s"post-burst serve paid $burstLoads standing-store loads (expected 1)")
+    println(f"""{"metric":"percolate_served_postburst_docs_per_sec","value":${servePool.length / svSecs2}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size + 200},"store_loads_in_window":$burstLoads,"matches":$svMatches2,"wall_sec":$svSecs2%.3f${tele(cpuPs2)}}""")
+
     // ---- decontamination gate: arrivals probed against the frozen eval
     // artifacts (bloom + exact shingle set + winnow fingerprints —
     // streaming/DecontamGate, the decontam family's ingest twin).

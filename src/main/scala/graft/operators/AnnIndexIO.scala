@@ -258,6 +258,7 @@ object AnnIndexIO {
       val root = indexRoot(d, "full")
       val f = fs(s, new Path(root))
       if (!f.exists(new Path(root))) {
+        graft.ColdBuilds.record("ann_store_build")
         val e = Similarity.withEmb(s, d)
         val idx = Similarity.annIndex(e, d)
         buildTo(s, root, e, idx.centroids, idx.codebooks)

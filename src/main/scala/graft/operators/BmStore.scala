@@ -92,7 +92,10 @@ object BmStore {
     */
   val NumBuckets = 16
 
-  private val FormatVersion = 1
+  // v2: adds the docvec.parquet forward-index layout (r14) — bumping the
+  // version re-keys store roots so pre-docvec stores rebuild rather than
+  // serve with a missing layout
+  private val FormatVersion = 2
 
   private def md5hex(sIn: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -126,7 +129,8 @@ object BmStore {
       fs(s, p).delete(p, true)
       frozenCache.remove(storeRoot(d, v))
       metaCache.remove(storeRoot(d, v))
-      planCache.remove(storeRoot(d, v))
+      planCache.keySet.filter(_._1 == storeRoot(d, v))
+        .foreach(planCache.remove)
     }
 
   private def tokBucket(c: Column): Column =
@@ -144,26 +148,50 @@ object BmStore {
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
 
+  /** Stable fingerprint of a build's INPUT frame — the canonicalized
+    * logical plan (attribute ids normalized positionally, so the string
+    * is identical across JVMs for the same source + transforms). Written
+    * into `_STORE_READY` so the crash-heal adoption below can tell
+    * whether a READY tmp was built from THESE docs (ADVICE r13: managed
+    * roots are content-fingerprinted in the root path, but a direct
+    * buildFrom(root, docs) caller — tests, benches — that crashed
+    * mid-publish and later rebuilds the same root with different docs
+    * must not silently adopt the stale store).
+    */
+  private def inputFingerprint(baseDocs: DataFrame): String =
+    md5hex(baseDocs.queryExecution.analyzed.canonicalized.toString)
+
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   /** Build a store at `root` from a base documents frame (crash-safe:
     * staged + atomic rename). Base postings publish as `batch_id=-1`.
-    * ONE corpus pass: the materialized tf frame feeds postings AND df.
+    * ONE corpus pass: the materialized tf frame feeds postings, df, AND
+    * the doc-vector serving layout.
     */
   private[graft] def buildFrom(s: SparkSession, root: String,
       baseDocs: DataFrame): Unit = {
     val rootPath = new Path(root)
     val f = fs(s, rootPath)
     val tmp = new Path(root + ".build_tmp")
+    val inputFp = inputFingerprint(baseDocs)
     // Heal before building (ADVICE r12, the OverlapStream.absorb idiom):
     // a crash in the previous publish's swap window leaves a READY-marked
     // tmp and no (or an unmarked) root — adopt the finished build instead
-    // of paying the corpus pass again.
+    // of paying the corpus pass again. Adoption requires the tmp's
+    // recorded input fingerprint to match THIS build's input (ADVICE
+    // r13); a legacy empty marker or a different input rebuilds instead.
     if (f.exists(new Path(tmp, "_STORE_READY")) &&
-        !f.exists(new Path(rootPath, "_STORE_READY"))) {
+        !f.exists(new Path(rootPath, "_STORE_READY")) &&
+        readMarker(f, new Path(tmp, "_STORE_READY")) == inputFp) {
       f.delete(rootPath, true)
       require(f.rename(tmp, rootPath), s"bm store tmp adoption failed: $root")
       return
     }
     f.delete(tmp, true)
+    graft.ColdBuilds.record("bm_store_build")
     val tf = tfRows(baseDocs).transform(Materialize.once)
     tf.withColumn("tok_bucket", tokBucket(col("token")))
       .withColumn("batch_id", lit(-1L))
@@ -180,6 +208,22 @@ object BmStore {
       .sortWithinPartitions("token")
       .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
       .parquet(new Path(tmp, "df.parquet").toString)
+    // doc-vector serving layout (VERDICT r13 #6): each document's
+    // standing-agnostic token multiset as (doc_id, dl, tt=[(token, tf)])
+    // rows — the FORWARD index the wide-flat-vocabulary serve plan
+    // ([[servedDocVec]]) scans directly, replacing the per-serve
+    // groupBy(doc_id) re-aggregation of postings (the r13 shape paid
+    // that shuffle on EVERY serve call; a steady-state serve loop
+    // rebuilt identical doc vectors every micro-batch). Derived from the
+    // same materialized tf frame — still one corpus pass — and
+    // partitioned by batch_id so [[appendBatch]] grows it with the same
+    // dynamic-overwrite idiom as the postings.
+    tf.groupBy("doc_id", "dl")
+      .agg(collect_list(struct(col("token"), col("tf"))).as("tt"))
+      .withColumn("batch_id", lit(-1L))
+      .sortWithinPartitions("doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+      .parquet(new Path(tmp, "docvec.parquet").toString)
     // meta derives from the MATERIALIZED tf frame (every doc has >= 1
     // token row — split never yields an empty array — so the distinct
     // (doc_id, dl) set covers the corpus exactly): a direct baseDocs
@@ -191,7 +235,8 @@ object BmStore {
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(tmp, "meta.parquet").toString)
     Materialize.drop(tf)
-    f.create(new Path(tmp, "_STORE_READY")).close()
+    val ready = f.create(new Path(tmp, "_STORE_READY"))
+    try ready.write(inputFp.getBytes("UTF-8")) finally ready.close()
     // Swap protocol (ADVICE r12): rename the old root ASIDE — not
     // delete-then-rename — so the no-store window is two renames, and a
     // crash anywhere leaves either a marked root or the marked tmp the
@@ -210,15 +255,27 @@ object BmStore {
     * df/meta are NOT touched — the frozen-statistics contract above.
     */
   private[graft] def appendBatch(s: SparkSession, root: String,
-      docsBatch: DataFrame, batchId: Long): Unit =
+      docsBatch: DataFrame, batchId: Long): Unit = {
+    val tf = tfRows(docsBatch).transform(Materialize.once)
     graft.sources.Writers.writeShards(
-      tfRows(docsBatch)
-        .withColumn("tok_bucket", tokBucket(col("token")))
+      tf.withColumn("tok_bucket", tokBucket(col("token")))
         .withColumn("batch_id", lit(batchId)),
       new Path(root, "postings.parquet").toString,
       partitionCols = Seq("tok_bucket", "batch_id"),
       sortCols = Seq("token", "doc_id"), mode = SaveMode.Overwrite,
       options = Map("partitionOverwriteMode" -> "dynamic"))
+    // grow the doc-vector layout in lockstep (same exactly-once replay
+    // contract: the batch rewrites exactly its own batch_id dir)
+    graft.sources.Writers.writeShards(
+      tf.groupBy("doc_id", "dl")
+        .agg(collect_list(struct(col("token"), col("tf"))).as("tt"))
+        .withColumn("batch_id", lit(batchId)),
+      new Path(root, "docvec.parquet").toString,
+      partitionCols = Seq("batch_id"),
+      sortCols = Seq("doc_id"), mode = SaveMode.Overwrite,
+      options = Map("partitionOverwriteMode" -> "dynamic"))
+    Materialize.drop(tf)
+  }
 
   /** Fold a long-streamed store's cold per-batch dirs into bounded-file
     * generations, one bucket at a time (the shared crash-safe protocol;
@@ -230,12 +287,25 @@ object BmStore {
     val postings = new Path(root, "postings.parquet")
     val f = fs(s, postings)
     if (!f.exists(postings)) Seq.empty
-    else f.listStatus(postings).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("tok_bucket="))
-      .map(b => graft.sources.Writers.compactPartitionInternal(
-        s, postings.toString, b, dropCols = Seq("tok_bucket", "batch_id"),
-        targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
-        sortCols = Seq("token", "doc_id"), crashBeforeDelete = false)).toSeq
+    else {
+      val bucketStats = f.listStatus(postings).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("tok_bucket="))
+        .map(b => graft.sources.Writers.compactPartitionInternal(
+          s, postings.toString, b, dropCols = Seq("tok_bucket", "batch_id"),
+          targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
+          sortCols = Seq("token", "doc_id"), crashBeforeDelete = false)).toSeq
+      // the docvec layout accumulates the same per-batch dirs — fold it
+      // with the identical crash-safe protocol (it is itself a
+      // batch_id=N-partitioned dir, so the generic compactor applies)
+      val dv = new Path(root, "docvec.parquet")
+      val dvStats =
+        if (!f.exists(dv)) Seq.empty
+        else Seq(graft.sources.Writers.compactPartitionInternal(
+          s, root, "docvec.parquet", dropCols = Seq("batch_id"),
+          targetFileBytes = 128L * 1024 * 1024, maxRecordsPerFile = 1000000L,
+          sortCols = Seq("doc_id"), crashBeforeDelete = false))
+      bucketStats ++ dvStats
+    }
   }
 
   /** One frozen-stats collect per store root per JVM — refreshed by
@@ -256,6 +326,7 @@ object BmStore {
 
   private[graft] def storeMeta(s: SparkSession, root: String): (Long, Long) =
     metaCache.getOrElseUpdate(root, {
+      graft.ColdBuilds.record("bm_meta")
       val m = s.read.parquet(new Path(root, "meta.parquet").toString).head()
       (m.getLong(0), m.getLong(1))
     })
@@ -271,6 +342,7 @@ object BmStore {
     */
   private[graft] def frozenStats(s: SparkSession, root: String, d: String): FrozenIndexStats =
     frozenCache.getOrElseUpdate(root, {
+      graft.ColdBuilds.record("bm_frozen_stats")
       val qt = Tables.documents(s, d)
         .filter(Retrieval.isQueryDoc(col("doc_id")))
         .select(col("doc_id").as("query_id"),
@@ -426,16 +498,46 @@ object BmStore {
     * prunes nothing (every doc still matches the query through the flat
     * mass), which only the θ-vs-cumulative-bound arithmetic can see. The
     * probe's cost is the top-P rare-term postings pass; its verdict is
-    * cached per store root (corpus vocabulary shape, not the particular
-    * query batch, determines it), so a serving stream pays it once.
+    * cached per (store root × standing-query-set fingerprint) — r14,
+    * ADVICE r13: θ and the essential sets depend on the QUERY SET (its
+    * per-query terms and widths), not only corpus vocabulary shape, so
+    * a root serving several different standing sets gets one measured
+    * verdict each, while a steady-state serving stream (same frozen set
+    * every batch) still pays the probe exactly once.
     */
   private[graft] val WandMaxEssRatio = 0.3
 
-  /** wand-vs-docvec verdicts per store root (see [[WandMaxEssRatio]]);
-    * cleared by [[deleteStore]].
+  /** wand-vs-docvec verdicts per (store root, standing-set fingerprint)
+    * (see [[WandMaxEssRatio]]); cleared per root by [[deleteStore]].
     */
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** θ-probe executions in this JVM — the spec seam proving a mixed
+    * serve call probes once per wide class and a repeat serve probes
+    * zero times.
+    */
+  private[graft] val wandProbeCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Deterministic fingerprint of a frozen standing-query set: ids +
+    * per-query sorted terms (df rides with the root, so it adds nothing).
+    */
+  private[graft] def queryFingerprint(frozen: FrozenIndexStats): String =
+    md5hex(frozen.queries.map(q =>
+      s"${q.query_id}:${q.terms.map(_.term).mkString(",")}").mkString("\n"))
+
+  /** The subset of `frozen` covering `qids` only, with the union
+    * vocabulary and term positions re-derived (the percolation index and
+    * bucket prunes of a width-class sub-plan then see only that class's
+    * vocabulary).
+    */
+  private def subsetFrozen(frozen: FrozenIndexStats,
+      qids: Set[Long]): FrozenIndexStats =
+    Retrieval.assembleFrozen(
+      frozen.queries.filter(q => qids(q.query_id))
+        .flatMap(q => q.terms.map(t => (q.query_id, t.term, t.df))).toArray,
+      frozen.nDocs, frozen.sumDl)
 
   /** Terms per query in the threshold-estimation pass: the top-P terms
     * by impact bound. P=8 keeps the pass rare-postings-sized while the
@@ -578,31 +680,25 @@ object BmStore {
     * every query and no pruning strategy can reduce candidate count. The
     * exhaustive join's cost there is the materialized (posting × query)
     * fan-out: Σ_t df(t)·|queries∋t| join rows through a shuffle. This
-    * plan reconstructs each candidate document's standing-vocabulary
-    * token multiset FROM ITS POSTINGS (group postings by doc — shuffle
-    * volume is the postings themselves, NOT the fan-out) and scores all
-    * standing queries per doc in one [[graft.functions.PercolateHitsDl]]
-    * pass — the TERM→QUERIES inverted walk measured 47× over the explode
-    * form in streaming percolation, applied retrospectively. The stored
-    * per-posting `dl` rides in explicitly (the reconstructed array holds
-    * only standing-vocabulary tokens, so its length is not the true
-    * document length). Scoring core is shared with the percolator, so
-    * batch-parity transfers; still no documents scan.
+    * plan scans the store's PERSISTED forward index (`docvec.parquet`,
+    * built once beside the postings — r14; the r13 shape re-aggregated
+    * postings by doc_id through a shuffle on EVERY serve call) and
+    * scores all standing queries per doc in one
+    * [[graft.functions.PercolateHitsDl]] pass — the TERM→QUERIES
+    * inverted walk measured 47× over the explode form in streaming
+    * percolation. ZERO shuffles: scan → expression → explode. The stored
+    * `dl` rides in explicitly, and the expression skips tokens outside
+    * the standing vocabulary in O(1) per token (hash-index miss), so the
+    * standing-agnostic layout costs Σ dl index probes, not a shuffle.
+    * Scoring core is shared with the percolator, so batch-parity
+    * transfers; still no documents scan.
     */
   private[graft] def servedDocVec(s: SparkSession, root: String,
       frozen: FrozenIndexStats): DataFrame = {
-    import s.implicits._
     val (terms, termDf, termQueries) = Retrieval.invertedIndex(frozen)
     val fn = graft.functions.GraftFunctions.registerPercolateHitsDl(
       s, frozen.nDocs, frozen.sumDl, terms, termDf, termQueries)
-    val buckets = frozen.unionTerms.toDF("token")
-      .select(tokBucket(col("token")).as("b")).distinct()
-      .as[Int].collect().sorted.toSeq
-    s.read.parquet(new Path(root, "postings.parquet").toString)
-      .filter(col("tok_bucket").isin(buckets: _*))
-      .filter(col("token").isin(frozen.unionTerms: _*))
-      .groupBy("doc_id", "dl")
-      .agg(collect_list(struct(col("token"), col("tf"))).as("tt"))
+    s.read.parquet(new Path(root, "docvec.parquet").toString)
       .withColumn("ws", expr(
         "flatten(transform(tt, x -> array_repeat(x.token, cast(x.tf as int))))"))
       .withColumn("p", explode(expr(s"$fn(ws, dl)")))
@@ -611,40 +707,59 @@ object BmStore {
         col("p.n").as("n_terms"), col("p.s").as("sum_q"))
   }
 
+  /** The wide-query strategy for ONE width class: probe-or-cached
+    * verdict per (root, class fingerprint), then the pruned MaxScore
+    * plan where the measured ratio says the vocabulary genuinely prunes,
+    * the doc-vector percolation plan where it doesn't. The probe
+    * DataFrame is reused as the serve plan when WAND wins, so a cold
+    * verdict never costs a second plan build.
+    */
+  private def wideServed(s: SparkSession, root: String,
+      frozen: FrozenIndexStats, k: Int): DataFrame = {
+    val key = (root, queryFingerprint(frozen))
+    planCache.get(key) match {
+      case Some("wand") => wandScored(s, root, frozen, k)
+      case Some(_) => servedDocVec(s, root, frozen)
+      case None =>
+        wandProbeCount.incrementAndGet()
+        val (wand, ratio) = wandScoredWithRatio(s, root, frozen, k)
+        val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
+        planCache.putIfAbsent(key, verdict)
+        if (verdict == "wand") wand else servedDocVec(s, root, frozen)
+    }
+  }
+
   /** Served candidates ranked per query to depth k — the serving twin of
     * Retrieval's bmRanked (same salted two-stage top-k, same total
-    * order), shared with the hybrid fusion. Strategy auto-selects (the
-    * Jaccard-family auto-select discipline — every plan is exact, so the
-    * choice is invisible to the oracle): short queries take exhaustive
-    * scoring outright; for wide queries the WAND θ probe runs once per
-    * store root and its MEASURED essential-volume ratio decides —
-    * pruned MaxScore plan where the vocabulary genuinely prunes, the
-    * doc-vector percolation plan where it doesn't (the probe verdict is
-    * a property of the corpus vocabulary shape, so it is cached per root
-    * and a serving stream pays the probe on its first batch only).
-    * Overridable for A/B and specs via
-    * `-Dgraft.bm.serve.plan=exhaustive|wand|docvec`.
+    * order), shared with the hybrid fusion. Strategy auto-selects PER
+    * QUERY-WIDTH CLASS (r14 — VERDICT r13 #4: one mixed batch of short
+    * and wide queries previously got a single whole-batch verdict; now
+    * the short class takes exhaustive scoring outright while the wide
+    * class gets the WAND θ probe, in the same serve call, and the two
+    * exact sub-plans union before the shared top-k). Every plan is exact
+    * — the Jaccard-family auto-select discipline — so the routing is
+    * invisible to the oracle. The wide verdict caches per (root,
+    * standing-set fingerprint): a steady-state serving stream pays the
+    * probe on its first batch only, while a DIFFERENT standing set
+    * against the same root re-probes (ADVICE r13). Overridable for A/B
+    * and specs via `-Dgraft.bm.serve.plan=exhaustive|wand|docvec`.
     */
   private[graft] def servedRanked(s: SparkSession, root: String,
       frozen: FrozenIndexStats, k: Int): DataFrame = {
-    val maxTerms =
-      if (frozen.queries.isEmpty) 0 else frozen.queries.map(_.terms.size).max
     val planOverride = sys.props.get("graft.bm.serve.plan")
     val scored = planOverride match {
       case Some("wand") => wandScored(s, root, frozen, k)
       case Some("docvec") => servedDocVec(s, root, frozen)
       case Some("exhaustive") => servedScored(s, root, frozen)
-      case _ if maxTerms <= WideQueryMinTerms => servedScored(s, root, frozen)
       case _ =>
-        planCache.get(root) match {
-          case Some("wand") => wandScored(s, root, frozen, k)
-          case Some(_) => servedDocVec(s, root, frozen)
-          case None =>
-            val (wand, ratio) = wandScoredWithRatio(s, root, frozen, k)
-            val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
-            planCache.putIfAbsent(root, verdict)
-            if (verdict == "wand") wand else servedDocVec(s, root, frozen)
-        }
+        val (wide, short) =
+          frozen.queries.partition(_.terms.size > WideQueryMinTerms)
+        if (wide.isEmpty) servedScored(s, root, frozen)
+        else if (short.isEmpty) wideServed(s, root, frozen, k)
+        else
+          servedScored(s, root, subsetFrozen(frozen, short.map(_.query_id).toSet))
+            .unionByName(wideServed(s, root,
+              subsetFrozen(frozen, wide.map(_.query_id).toSet), k))
     }
     Similarity.twoStageTopKBy(scored, k,
       col("query_id"), xxhash64(col("doc_id")),

@@ -106,6 +106,7 @@ object Dsir {
 
   private[graft] def modelRows(s: SparkSession, d: String): Array[(Long, Long, Long, Long)] =
     modelCache.getOrElseUpdate(s"$d@${Tables.tableFingerprint(d, "documents")}", {
+      graft.ColdBuilds.record("dsir_model")
       val counts = occ(s, d).groupBy("bucket").agg(
         sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
         sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))

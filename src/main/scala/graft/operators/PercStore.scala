@@ -96,13 +96,65 @@ object PercStore {
       options = Map("partitionOverwriteMode" -> "dynamic"))
   }
 
+  /** Loaded standing sets per store root, keyed by the registration
+    * HIGH-WATER stamp (VERDICT r13 #3): the sorted `batch_id=` dir names
+    * under standing.parquet and standing_tomb.parquet. A registration or
+    * removal batch lands a new dir → new stamp → the next serve reloads;
+    * otherwise [[loadFrozenCached]] revalidates with two directory
+    * LISTINGS and zero parquet reads, so a steady-state percolation
+    * serve loop (the [[loadFrozen]]-per-batch shape r13 shipped) stops
+    * re-reading and re-collecting an unchanged standing store every
+    * micro-batch. Dir-name granularity is exactly right for the
+    * exactly-once contract: a REPLAYED batch rewrites its own dir with
+    * identical content (no stamp change needed), while any new
+    * registration/tombstone batch is a new dir by construction.
+    */
+  private val loadedCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, FrozenIndexStats)]
+
+  /** Full [[loadFrozen]] executions in this JVM — the spec seam proving
+    * steady-state serves hit the cache.
+    */
+  private[graft] val loadCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def clearLoadedCache(): Unit = loadedCache.clear()
+
+  private def regStamp(s: SparkSession, root: String): String = {
+    def dirs(p: String): String = {
+      val path = new Path(p)
+      val f = fs(s, p)
+      if (!f.exists(path)) ""
+      else f.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).sorted.mkString(",")
+    }
+    dirs(standingPath(root)) + "|" + dirs(tombPath(root))
+  }
+
+  /** [[loadFrozen]] behind the high-water cache — the serve-loop entry
+    * point: O(2 directory listings) when the standing set is unchanged,
+    * a full load + collect only after a registration/removal batch.
+    */
+  def loadFrozenCached(s: SparkSession, root: String): FrozenIndexStats = {
+    val stamp = regStamp(s, root)
+    loadedCache.get(root) match {
+      case Some((st, fz)) if st == stamp => fz
+      case _ =>
+        val fz = loadFrozen(s, root)
+        loadedCache.put(root, (stamp, fz))
+        fz
+    }
+  }
+
   /** Assemble the live standing set from the persisted state: one
     * standing-set-sized job + the O(standing-vocab) driver collect every
     * freeze pays ([[BmStore.frozenStatsForQueries]]'s contract), then
     * the shared [[Retrieval.assembleFrozen]] layout. Corpus scalars come
-    * from the store's frozen meta.
+    * from the store's frozen meta. Serve loops should call
+    * [[loadFrozenCached]] instead.
     */
   def loadFrozen(s: SparkSession, root: String): FrozenIndexStats = {
+    loadCount.incrementAndGet()
+    graft.ColdBuilds.record("perc_standing_load")
     val (nDocs, sumDl) = BmStore.storeMeta(s, root)
     if (!fs(s, standingPath(root)).exists(new Path(standingPath(root))))
       return Retrieval.assembleFrozen(Array.empty, nDocs, sumDl)

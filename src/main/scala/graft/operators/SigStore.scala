@@ -144,9 +144,11 @@ object SigStore {
   private[graft] def ensureBuilt(s: SparkSession, d: String): String =
     synchronized {
       val root = storeRoot(d)
-      if (!fs(s, new Path(root)).exists(new Path(root, "_STORE_READY")))
+      if (!fs(s, new Path(root)).exists(new Path(root, "_STORE_READY"))) {
+        graft.ColdBuilds.record("sig_store_build")
         buildFrom(s, root,
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+      }
       root
     }
 

@@ -135,12 +135,16 @@ object Similarity {
     s"$d@${Tables.tableFingerprint(d, "embeddings")}"
 
   private def embCount(s: SparkSession, d: String): Long =
-    embCounts.getOrElseUpdate(cacheKey(d),
-      Tables.embeddings(s, d).select("vec_id").count())
+    embCounts.getOrElseUpdate(cacheKey(d), {
+      graft.ColdBuilds.record("emb_count")
+      Tables.embeddings(s, d).select("vec_id").count()
+    })
 
   private def embDim(s: SparkSession, d: String): Int =
-    embDims.getOrElseUpdate(cacheKey(d),
-      Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0))
+    embDims.getOrElseUpdate(cacheKey(d), {
+      graft.ColdBuilds.record("emb_dim")
+      Tables.embeddings(s, d).select(size(col("embedding"))).head.getInt(0)
+    })
 
   /** Metadata predicate for ann_ivfpq_filtered_topk: labels 0-9 are
     * ~uniform, so `label < 3` keeps ~30% of the corpus — selective enough
@@ -282,6 +286,7 @@ object Similarity {
 
   private def trainedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     kmeansCents.getOrElseUpdate(cacheKey(d), {
+      graft.ColdBuilds.record("kmeans_trainer")
       val e = withEmb(s, d)
       val k = kmeansKFor(embCount(s, d))
       // k-means init = k-prefix of the deterministic hash order (for
@@ -384,6 +389,7 @@ object Similarity {
       // the build probe stays keyed by the BARE dir: a content refresh
       // that legitimately retrains should count as a second build there
 
+      graft.ColdBuilds.record("ann_index_train")
       annTrainBuilds.put(d, annTrainBuilds.getOrElse(d, 0L) + 1L)
       val sample8 = hashSample(e, 8)
       // query-vector fetch: IN-pushed parquet scan, O(K) rows collected
@@ -745,13 +751,29 @@ object Similarity {
         .select("method", "hits", "recall_at_5")
     }),
     "q_approx_distinct" -> ((s, d) => {
-      // HLL sketch vs exact - no oracle (sketch internals differ across
-      // engines); rows-only check + deterministic output.
+      // HLL sketch vs exact — no oracle (sketch internals differ across
+      // engines), but SELF-GRADING (r14, VERDICT r13 #9): the estimate
+      // must sit within the published HLL++ error envelope of the exact
+      // count computed in the same query (default rsd 0.05; 3σ ≈ 0.15
+      // relative error), enforced in-plan via assert_true — a sketch
+      // regression now FAILS the run instead of hiding behind the
+      // rows-only check. rel_err columns land in the output so the
+      // artifact shows the actual accuracy, not just the pass.
+      val HllRelErrBound = 0.15
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        countDistinct(col("l_suppkey")).as("exact_supps"))
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .withColumn("rel_err_parts", round(
+          abs(col("approx_parts") - col("exact_parts")) /
+            greatest(col("exact_parts"), lit(1L)), 4))
+        .withColumn("rel_err_supps", round(
+          abs(col("approx_supps") - col("exact_supps")) /
+            greatest(col("exact_supps"), lit(1L)), 4))
+        .filter(assert_true(
+          col("rel_err_parts") <= HllRelErrBound &&
+            col("rel_err_supps") <= HllRelErrBound).isNull)
     }),
     "q_approx_distinct_kmv" -> ((s, d) => {
       // The hash-green sibling of q_approx_distinct: a KMV (k-minimum-

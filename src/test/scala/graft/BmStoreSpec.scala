@@ -218,6 +218,124 @@ class BmStoreSpec extends AnyFunSuite {
     assert(scans >= 2, s"skewed wide queries did not take the WAND plan ($scans postings scans)")
   }
 
+  test("docvec serve scans the persisted forward index: zero shuffles, no per-serve re-aggregation") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val root = BmStore.ensureFullBuilt(spark, sf)
+    val frozen = BmStore.frozenStats(spark, root, sf)
+    val dv = BmStore.servedDocVec(spark, root, frozen)
+    val nodes = TestSpark.executedNodes(dv)
+    // r14: the doc vectors are BUILT ONCE into docvec.parquet — the
+    // steady-state serve is scan → percolation expression → explode,
+    // with no groupBy(doc_id) exchange rebuilt per serve call
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "docvec serve still shuffles — the forward index is being re-aggregated")
+    val scans = TestSpark.executedScans(dv)
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("docvec.parquet")))
+    assert(scans.forall(p =>
+      !p.contains("postings.parquet") && !p.contains("documents.parquet")))
+  }
+
+  test("mixed short+wide batch routes per width class in ONE serve call; verdict caches per standing-set fingerprint") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // the Zipf-ish skewed corpus again: wide queries genuinely prune
+    // there, so the wide class must take WAND while the short class
+    // takes exhaustive — in the same servedRanked call (VERDICT r13 #4)
+    val common = (0 until 10).map(i => s"common$i")
+    val docs = (0L until 400L).map { i =>
+      val rare = Seq(s"rare_${i % 50}", s"rare_${(i + 13) % 50}_b", s"tail_$i")
+      (i, (common ++ rare ++ Seq(s"common${i % 10}", s"common${(i * 3) % 10}"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("bm_mixed").toString + "/store"
+    BmStore.buildFrom(spark, root, docs)
+    val wide = (0 until 4).map { q =>
+      (5000L + q, common ++ (0 until 8).map(j => s"rare_${(q * 7 + j) % 50}") ++
+        (0 until 4).map(j => s"rare_${(q * 5 + j) % 50}_b"))
+    }
+    val short = (0 until 3).map { q =>
+      (6000L + q, Seq(s"rare_${q * 3}", s"rare_${(q * 3 + 1) % 50}", s"common$q"))
+    }
+    val frozen = BmStore.frozenStatsForQueries(spark, root, short ++ wide)
+    val k = Retrieval.BmTopK
+    val p0 = BmStore.wandProbeCount.get()
+    val ranked = BmStore.servedRanked(spark, root, frozen, k)
+    val got = ranked.collect().map(_.toSeq).sortBy(_.toString)
+    // exactly ONE θ probe: the wide class's; the short class never probes
+    assert(BmStore.wandProbeCount.get() === p0 + 1)
+    // exactness: identical to the exhaustive-forced plan over the whole batch
+    sys.props("graft.bm.serve.plan") = "exhaustive"
+    val want = try BmStore.servedRanked(spark, root, frozen, k)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      finally sys.props.remove("graft.bm.serve.plan")
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+    // both sub-plans ran: the wide class's WAND DAG reads postings twice,
+    // the short class's exhaustive read adds a third
+    val scans = TestSpark.executedScans(BmStore.servedRanked(spark, root, frozen, k))
+      .map(_.relation.location.rootPaths.mkString(","))
+      .count(_.contains("postings.parquet"))
+    assert(scans >= 3, s"mixed batch did not run both class sub-plans ($scans postings scans)")
+    // steady state: a REPEAT serve of the same standing set re-probes nothing
+    val p1 = BmStore.wandProbeCount.get()
+    BmStore.servedRanked(spark, root, frozen, k)
+    assert(BmStore.wandProbeCount.get() === p1)
+    // ADVICE r13: a DIFFERENT wide standing set against the SAME root has
+    // its own prunability profile — it must get its own probe, not the
+    // cached first-batch verdict
+    val wide2 = (0 until 4).map { q =>
+      (7000L + q, common ++ (0 until 9).map(j => s"rare_${(q * 11 + j) % 50}"))
+    }
+    val frozen2 = BmStore.frozenStatsForQueries(spark, root, wide2)
+    BmStore.servedRanked(spark, root, frozen2, k)
+    assert(BmStore.wandProbeCount.get() === p1 + 1,
+      "a changed standing set did not re-probe (stale per-root verdict)")
+  }
+
+  test("crash-heal adopts a READY tmp only when built from the same input (ADVICE r13)") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val dir = java.nio.file.Files.createTempDirectory("bm_heal").toString
+    val root = dir + "/store"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docsA = docs.filter(col("doc_id") % 10 =!= 0)
+    val docsB = docs.filter(col("doc_id") % 10 === 0)
+    def crashIntoTmp(): Unit = {
+      // simulate a crash inside the publish swap window: the finished
+      // build sits READY-marked at the tmp path, no root
+      val r = new java.io.File(root)
+      val t = new java.io.File(root + ".build_tmp")
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      if (t.exists()) rmrf(t)
+      assert(r.renameTo(t))
+    }
+    def nDocs(): Long =
+      spark.read.parquet(s"$root/meta.parquet").head().getLong(0)
+    def listing(): Seq[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        if (f.isDirectory) kids.flatMap(walk) else Seq(f)
+      }
+      walk(new java.io.File(root)).map(f =>
+        (f.getAbsolutePath.stripPrefix(root), f.length)).sortBy(_._1)
+    }
+    BmStore.buildFrom(spark, root, docsA)
+    val aCount = nDocs()
+    crashIntoTmp()
+    // rebuild with DIFFERENT docs: the stale READY tmp must NOT be adopted
+    BmStore.buildFrom(spark, root, docsB)
+    assert(nDocs() !== aCount, "stale tmp adopted for a different input")
+    val bListing = listing()
+    crashIntoTmp()
+    // rebuild with the SAME input: adoption replays the finished build
+    // byte-for-byte (a real rebuild would re-land part files under fresh
+    // UUID names)
+    BmStore.buildFrom(spark, root, docsB)
+    assert(listing() === bListing, "same-input heal rebuilt instead of adopting")
+  }
+
   test("WAND == exhaustive at fusion depth; short queries take the exhaustive plan") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val root = BmStore.ensureFullBuilt(spark, sf)

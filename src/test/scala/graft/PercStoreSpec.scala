@@ -106,4 +106,38 @@ class PercStoreSpec extends AnyFunSuite {
     PercStore.removeBatch(spark, root, Seq(victims.head), 4L)
     assert(PercStore.loadFrozen(spark, root).queries.size === 45)
   }
+
+  test("steady-state serve loads from cache: zero store reads until a batch bumps the high-water") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // private store: the shared `root`'s standing dirs are mutated by the
+    // other tests in suite-order-dependent ways
+    val r = java.nio.file.Files.createTempDirectory("perc_cache").toString + "/store"
+    BmStore.buildFrom(spark, r, spark.read.parquet(s"$sf/documents.parquet"))
+    val qs = BmStore.syntheticStandingQueries(spark, r, "percD", 30, termsPerQuery = 6)
+    PercStore.registerBatch(spark, r, qs, 0L)
+    PercStore.clearLoadedCache()
+    val l0 = PercStore.loadCount.get()
+    val f1 = PercStore.loadFrozenCached(spark, r)
+    assert(PercStore.loadCount.get() === l0 + 1) // cold: one real load
+    // steady state (the per-micro-batch serve shape): SAME object back,
+    // no load, no parquet read — validity is two directory listings
+    val f2 = PercStore.loadFrozenCached(spark, r)
+    val f3 = PercStore.loadFrozenCached(spark, r)
+    assert(PercStore.loadCount.get() === l0 + 1)
+    assert(f2.eq(f1) && f3.eq(f1))
+    // a REGISTRATION batch bumps the high-water -> next serve reloads
+    PercStore.registerBatch(spark, r,
+      Seq((9999L, qs.head._2)), 1L)
+    val f4 = PercStore.loadFrozenCached(spark, r)
+    assert(PercStore.loadCount.get() === l0 + 2)
+    assert(f4.queries.size === f1.queries.size + 1)
+    // a REMOVAL batch invalidates the same way
+    PercStore.removeBatch(spark, r, Seq(9999L), 2L)
+    val f5 = PercStore.loadFrozenCached(spark, r)
+    assert(PercStore.loadCount.get() === l0 + 3)
+    assert(f5.queries.size === f1.queries.size)
+    // and the cached load equals a fresh uncached one exactly
+    val fresh = PercStore.loadFrozen(spark, r)
+    assert(f5.queries === fresh.queries && f5.unionTerms === fresh.unionTerms)
+  }
 }
