@@ -616,6 +616,7 @@ object Dedup {
       // the skewed shingle key — same reasoning as the capped twin).
       val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
       val (postings, candVolume2x) = prefixPlanStats.getOrElseUpdate(docKey(d), {
+        graft.ColdBuilds.record("jaccard_df_stats")
         val statsRow = df
           // The DOUBLED candidate sum Σ df·(df−1) aggregates as
           // DECIMAL(38,0): a single shingle with df > ~4.3e9 overflows
@@ -667,15 +668,52 @@ object Dedup {
         val byDocCanonical =
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
         // materialized: BOTH self-join sides read it, and the window sort
-        // over the full postings is the one stage worth paying once
+        // over the full postings is the one stage worth paying once. The
+        // prefix rows CARRY (n_sh, rk) so the join below can apply
+        // PPJoin's positional + length filters (r14, VERDICT r13 #2).
         val prefix = ex0.join(df, Seq("s"))
           .withColumn("rk", row_number().over(byDocCanonical))
           .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
-          .select("doc_id", "s")
+          .select("doc_id", "n_sh", "rk", "s")
           .transform(Materialize.once)
-        val cand = prefix.select(col("doc_id").as("d1"), col("s"))
-          .join(prefix.select(col("doc_id").as("d2"), col("s")), Seq("s"))
+        // PPJoin filters on top of the prefix filter (Xiao et al. WWW'08
+        // via the Vernica et al. SIGMOD'10 distributed form) — both are
+        // LOSSLESS at threshold t, derived from jaccard > t ⟺
+        // inter > t/(1+t)·(n1+n2):
+        //  - LENGTH: inter ≤ min(n1,n2), so a qualifying pair needs
+        //    min(n1,n2) > t·max(n1,n2) — size-mismatched pairs drop
+        //    before the distinct shuffle.
+        //  - POSITIONAL: for the pair's globally-SMALLEST shared shingle
+        //    (present in both prefixes by the prefix property), every
+        //    other intersection member orders after it on both sides, so
+        //    inter ≤ 1 + min(n1−rk1, n2−rk2); a row failing that bound
+        //    for the required inter cannot be the first match of a
+        //    qualifying pair, and the first-match row of every
+        //    qualifying pair provably survives — distinct() still sees
+        //    it. (Deep-prefix matches of big docs drop: the quadratic
+        //    boilerplate keys the prefix filter alone lets through.)
+        // The 1e-9 relative slack keeps the double-valued bound from
+        // clipping an exactly-boundary pair (t/(1+t) is not exactly
+        // representable); it loosens, never tightens, the filter.
+        // `-Dgraft.jaccard.ppjoin=off` disables both filters for
+        // interleaved same-JVM A/B (output is identical either way —
+        // they only prune candidates the verify stage would reject).
+        val ppjoinOn = !sys.props.get("graft.jaccard.ppjoin").contains("off")
+        val posBound = lit(t) / (lit(1.0) + lit(t)) *
+          (col("cn1") + col("cn2")) * (lit(1.0) - lit(1e-9))
+        val joined = prefix.select(col("doc_id").as("d1"), col("n_sh").as("cn1"),
+            col("rk").as("rk1"), col("s"))
+          .join(prefix.select(col("doc_id").as("d2"), col("n_sh").as("cn2"),
+            col("rk").as("rk2"), col("s")), Seq("s"))
           .filter(col("d1") < col("d2"))
+        val filtered =
+          if (!ppjoinOn) joined
+          else joined
+            .filter(least(col("cn1"), col("cn2")).cast("double") >
+              lit(t) * greatest(col("cn1"), col("cn2")) * (lit(1.0) - lit(1e-9)))
+            .filter((lit(1) + least(col("cn1") - col("rk1"),
+              col("cn2") - col("rk2"))).cast("double") > posBound)
+        val cand = filtered
           .select("d1", "d2")
           .distinct()
         // TWO-STAGE VERIFY (r13, sf10-profiled): candidate volume at the

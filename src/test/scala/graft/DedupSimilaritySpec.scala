@@ -354,6 +354,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s" extra=${pref.diff(truth).take(3)}")
   }
 
+  test("PPJoin positional+length filters are lossless at the 0.6 boundary (r14)") {
+    // Constructed corpus hitting both new candidate filters exactly at
+    // their bounds: docs built from unique word vocabularies sharing a
+    // 25-word block (23 shared 3-gram shingles).
+    //  - (1,2): jaccard 23/38 = .6053 — qualifies, and its first-match
+    //    row sits EXACTLY on the positional bound (1 + min slack = 23 =
+    //    ⌊t/(1+t)·(n1+n2)⌋ + 1), so an off-by-one in the filter drops it;
+    //  - (1,3): 23/39 = .5897 — just below threshold, must stay out;
+    //  - (4,5): 3 shared shingles between a 3-shingle doc and a
+    //    53-shingle doc — the length filter's target shape.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin").toString
+    def words(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d")
+    val shared = words("s", 25)
+    val docs = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ words("fa", 15)).mkString(" ")),
+      (3L, (shared ++ words("fb", 16)).mkString(" ")),
+      (4L, (words("fc", 50) ++ shared.take(5)).mkString(" ")),
+      (5L, shared.take(5).mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.queries("dedup_ngram_jaccard_prefix")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val key = "graft.jaccard.prefix.ratio"
+    val old = sys.props.get(key)
+    try {
+      sys.props(key) = "-1" // force the prefix + PPJoin pipeline
+      val viaPrefix = run()
+      sys.props(key) = Long.MaxValue.toString // force the direct aggregate
+      val viaDirect = run()
+      assert(viaPrefix === viaDirect,
+        s"PPJoin filters changed output: prefixOnly=${viaPrefix.diff(viaDirect)}" +
+          s" directOnly=${viaDirect.diff(viaPrefix)}")
+      assert(viaPrefix.exists(p => p._1 == 1L && p._2 == 2L),
+        "boundary pair (1,2) at jaccard .6053 lost by a filter")
+      assert(!viaPrefix.exists(p => p._1 == 1L && p._2 == 3L),
+        "sub-threshold pair (1,3) at jaccard .5897 leaked through")
+      assert(!viaPrefix.exists(p => Set(p._1, p._2) == Set(4L, 5L)))
+    } finally {
+      old match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props.remove(key)
+      }
+    }
+  }
+
   test("prefix auto-select: both plan branches produce identical output") {
     // r10: the operator picks direct-aggregate vs prefix-pipeline from the
     // df histogram (Dedup.PrefixPlanRatio). Force each branch via the
