@@ -92,10 +92,12 @@ object BmStore {
     */
   val NumBuckets = 16
 
-  // v2: adds the docvec.parquet forward-index layout (r14) — bumping the
-  // version re-keys store roots so pre-docvec stores rebuild rather than
-  // serve with a missing layout
-  private val FormatVersion = 2
+  // v3: docvec.parquet stores the flattened token multiset (ws) directly
+  // (v2 briefly stored (token, tf) structs reconstructed per serve; v1
+  // had no forward index) — bumping the version re-keys store roots so
+  // older stores rebuild rather than serve with a missing/mismatched
+  // layout
+  private val FormatVersion = 3
 
   private def md5hex(sIn: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -131,6 +133,7 @@ object BmStore {
       metaCache.remove(storeRoot(d, v))
       planCache.keySet.filter(_._1 == storeRoot(d, v))
         .foreach(planCache.remove)
+      verdictHistory.remove(storeRoot(d, v))
     }
 
   private def tokBucket(c: Column): Column =
@@ -147,6 +150,15 @@ object BmStore {
         explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl, ws) forward-index rows from a tf frame: the token
+    * multiset reconstructed once at build/append time (tf repeats
+    * expanded), shared by [[buildFrom]] and [[appendBatch]].
+    */
+  private def docVecRows(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id", "dl")
+      .agg(flatten(collect_list(
+        expr("array_repeat(token, cast(tf as int))"))).as("ws"))
 
   /** Stable fingerprint of a build's INPUT frame — the canonicalized
     * logical plan (attribute ids normalized positionally, so the string
@@ -209,17 +221,20 @@ object BmStore {
       .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
       .parquet(new Path(tmp, "df.parquet").toString)
     // doc-vector serving layout (VERDICT r13 #6): each document's
-    // standing-agnostic token multiset as (doc_id, dl, tt=[(token, tf)])
+    // standing-agnostic token MULTISET as (doc_id, dl, ws=[token...])
     // rows — the FORWARD index the wide-flat-vocabulary serve plan
     // ([[servedDocVec]]) scans directly, replacing the per-serve
     // groupBy(doc_id) re-aggregation of postings (the r13 shape paid
     // that shuffle on EVERY serve call; a steady-state serve loop
-    // rebuilt identical doc vectors every micro-batch). Derived from the
-    // same materialized tf frame — still one corpus pass — and
+    // rebuilt identical doc vectors every micro-batch). The multiset is
+    // flattened HERE, once, at build time — serving applies the
+    // percolation expression to the stored array with zero per-serve
+    // reconstruction (the interpreted flatten/transform/array_repeat
+    // chain measurably taxed every serve when run per call). Derived
+    // from the same materialized tf frame — still one corpus pass — and
     // partitioned by batch_id so [[appendBatch]] grows it with the same
     // dynamic-overwrite idiom as the postings.
-    tf.groupBy("doc_id", "dl")
-      .agg(collect_list(struct(col("token"), col("tf"))).as("tt"))
+    docVecRows(tf)
       .withColumn("batch_id", lit(-1L))
       .sortWithinPartitions("doc_id")
       .write.mode(SaveMode.Overwrite).partitionBy("batch_id")
@@ -267,9 +282,7 @@ object BmStore {
     // grow the doc-vector layout in lockstep (same exactly-once replay
     // contract: the batch rewrites exactly its own batch_id dir)
     graft.sources.Writers.writeShards(
-      tf.groupBy("doc_id", "dl")
-        .agg(collect_list(struct(col("token"), col("tf"))).as("tt"))
-        .withColumn("batch_id", lit(batchId)),
+      docVecRows(tf).withColumn("batch_id", lit(batchId)),
       new Path(root, "docvec.parquet").toString,
       partitionCols = Seq("batch_id"),
       sortCols = Seq("doc_id"), mode = SaveMode.Overwrite,
@@ -513,9 +526,27 @@ object BmStore {
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** PROBED verdict history per store root, newest first (bounded at
+    * [[VerdictStickyAfter]]) — the convergence cache behind
+    * [[wideServed]]: a serving stream whose batches carry DIFFERENT
+    * standing sets each batch (BmServe's shape — per-batch freeze ⇒
+    * per-batch fingerprint) would otherwise pay a θ probe every batch
+    * just to rediscover the docvec verdict its workload always gets.
+    * Once the last [[VerdictStickyAfter]] probed verdicts agree, later
+    * unseen fingerprints adopt that verdict probe-free; a workload
+    * whose verdicts genuinely vary never converges and keeps probing
+    * (the ADVICE r13 behavior). Note the asymmetry: a WAND-routed batch
+    * loses nothing by probing (wandScored needs the per-query θs
+    * anyway), so stickiness only saves the docvec-routed probe.
+    */
+  private val verdictHistory =
+    scala.collection.concurrent.TrieMap.empty[String, List[String]]
+
+  private[graft] val VerdictStickyAfter = 3
+
   /** θ-probe executions in this JVM — the spec seam proving a mixed
-    * serve call probes once per wide class and a repeat serve probes
-    * zero times.
+    * serve call probes once per wide class, a repeat serve probes zero
+    * times, and a converged workload stops probing.
     */
   private[graft] val wandProbeCount =
     new java.util.concurrent.atomic.AtomicLong
@@ -699,8 +730,6 @@ object BmStore {
     val fn = graft.functions.GraftFunctions.registerPercolateHitsDl(
       s, frozen.nDocs, frozen.sumDl, terms, termDf, termQueries)
     s.read.parquet(new Path(root, "docvec.parquet").toString)
-      .withColumn("ws", expr(
-        "flatten(transform(tt, x -> array_repeat(x.token, cast(x.tf as int))))"))
       .withColumn("p", explode(expr(s"$fn(ws, dl)")))
       .filter(col("doc_id") =!= col("p.query_id"))
       .select(col("p.query_id").as("query_id"), col("doc_id"),
@@ -721,11 +750,22 @@ object BmStore {
       case Some("wand") => wandScored(s, root, frozen, k)
       case Some(_) => servedDocVec(s, root, frozen)
       case None =>
-        wandProbeCount.incrementAndGet()
-        val (wand, ratio) = wandScoredWithRatio(s, root, frozen, k)
-        val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
-        planCache.putIfAbsent(key, verdict)
-        if (verdict == "wand") wand else servedDocVec(s, root, frozen)
+        val hist = verdictHistory.getOrElse(root, Nil)
+        val converged = hist.size >= VerdictStickyAfter && hist.distinct.size == 1
+        if (converged) {
+          // adopt the converged verdict probe-free (not recorded in the
+          // history — only real probes vote on convergence)
+          planCache.putIfAbsent(key, hist.head)
+          if (hist.head == "wand") wandScored(s, root, frozen, k)
+          else servedDocVec(s, root, frozen)
+        } else {
+          wandProbeCount.incrementAndGet()
+          val (wand, ratio) = wandScoredWithRatio(s, root, frozen, k)
+          val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
+          planCache.putIfAbsent(key, verdict)
+          verdictHistory.put(root, (verdict :: hist).take(VerdictStickyAfter))
+          if (verdict == "wand") wand else servedDocVec(s, root, frozen)
+        }
     }
   }
 

@@ -293,6 +293,39 @@ class BmStoreSpec extends AnyFunSuite {
       "a changed standing set did not re-probe (stale per-root verdict)")
   }
 
+  test("verdict convergence: a homogeneous wide workload stops probing after agreeing verdicts") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // BmServe's shape: every batch freezes a DIFFERENT standing set
+    // (new fingerprint each time). On this flat-vocab corpus every wide
+    // batch's probe returns docvec — after VerdictStickyAfter agreeing
+    // probes, later unseen fingerprints must adopt it probe-free.
+    val dir = java.nio.file.Files.createTempDirectory("bm_conv").toString
+    val root = dir + "/store"
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    BmStore.buildFrom(spark, root, docsDf)
+    val wideDocs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.distinct.size > BmStore.WideQueryMinTerms + 4)
+    assert(wideDocs.length >= 20, "fixture lacks wide documents for this spec")
+    val p0 = BmStore.wandProbeCount.get()
+    val frozens = (0 until 5).map { i =>
+      val qs = wideDocs.slice(i * 4, i * 4 + 4).toSeq
+        .map { case (id, ts) => (1000000L * (i + 1) + id, ts) }
+      BmStore.frozenStatsForQueries(spark, root, qs)
+    }
+    frozens.foreach(f => BmStore.servedRanked(spark, root, f, Retrieval.BmTopK))
+    assert(BmStore.wandProbeCount.get() - p0 === BmStore.VerdictStickyAfter.toLong,
+      "probe count != VerdictStickyAfter: convergence cache not engaged")
+    // the adopted-verdict serve is still exact
+    sys.props("graft.bm.serve.plan") = "exhaustive"
+    val want = try BmStore.servedRanked(spark, root, frozens.last, Retrieval.BmTopK)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      finally sys.props.remove("graft.bm.serve.plan")
+    val got = BmStore.servedRanked(spark, root, frozens.last, Retrieval.BmTopK)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("crash-heal adopts a READY tmp only when built from the same input (ADVICE r13)") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val dir = java.nio.file.Files.createTempDirectory("bm_heal").toString
