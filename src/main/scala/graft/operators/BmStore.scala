@@ -544,6 +544,19 @@ object BmStore {
 
   private[graft] val VerdictStickyAfter = 3
 
+  /** Query-sample bound for the VERDICT probe: the essential-volume
+    * ratio is a workload-SHAPE measurement (how prunable is this kind
+    * of query against this corpus), not a per-query computation, so a
+    * bounded deterministic sample measures it at bounded cost — a
+    * whole-batch probe over a 100-wide-query serving batch costs
+    * nearly a full serve on exactly the flat corpora that route to
+    * docvec (measured: 2× serve cpu while the convergence window
+    * fills). When WAND wins, the full wandScored recomputes θs for
+    * every query anyway (the probe is part of that plan), so sampling
+    * loses nothing there either.
+    */
+  private[graft] val ProbeSampleQueries = 16
+
   /** θ-probe executions in this JVM — the spec seam proving a mixed
     * serve call probes once per wide class, a repeat serve probes zero
     * times, and a converged workload stops probing.
@@ -760,11 +773,19 @@ object BmStore {
           else servedDocVec(s, root, frozen)
         } else {
           wandProbeCount.incrementAndGet()
-          val (wand, ratio) = wandScoredWithRatio(s, root, frozen, k)
+          val probeFrozen =
+            if (frozen.queries.size <= ProbeSampleQueries) frozen
+            else subsetFrozen(frozen,
+              frozen.queries.take(ProbeSampleQueries).map(_.query_id).toSet)
+          val (wandProbe, ratio) = wandScoredWithRatio(s, root, probeFrozen, k)
           val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
           planCache.putIfAbsent(key, verdict)
           verdictHistory.put(root, (verdict :: hist).take(VerdictStickyAfter))
-          if (verdict == "wand") wand else servedDocVec(s, root, frozen)
+          if (verdict == "wand") {
+            // reuse the probe plan only when it covered the whole set
+            if (probeFrozen eq frozen) wandProbe
+            else wandScored(s, root, frozen, k)
+          } else servedDocVec(s, root, frozen)
         }
     }
   }
