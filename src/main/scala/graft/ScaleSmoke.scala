@@ -171,6 +171,16 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Memory envelope (VERDICT r13 #8): shuffle.partitions=cpus keeps
+      // small-stage latency down, but at sf10 a 16-partition sort of the
+      // components edge pipeline needs ~2 GiB/partition and OOMs the
+      // default 8 GiB heap (r13 ran it at 32 GiB). Letting AQE START
+      // wide and coalesce down makes each sort partition fit-and-spill
+      // instead: measured, one-shot dedup_components at sf10 completes
+      // in 160 s wall / 1735 cpu-s with -Xmx8g and this setting — no
+      // 32 GiB provisioning rule needed. Coalescing folds the width back
+      // for the small stages, so sf1 rows are unaffected.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 128)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

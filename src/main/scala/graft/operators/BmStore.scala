@@ -590,6 +590,62 @@ object BmStore {
     */
   private[graft] val WandPhase1Terms = 8
 
+  /** The non-essential-prefix computation shared by the measured probe
+    * and the driver-side bound: per query, terms sorted by ascending
+    * impact bound drop while the cumulative bound stays ≤ θ−1 (a doc
+    * matching only dropped terms scores < θ, so it cannot enter the
+    * top-k — see [[wandScored]] step 2); the rest are essential, as
+    * (query_id, term, df) triples.
+    */
+  private def essentialPairs(frozen: FrozenIndexStats,
+      ubOf: Map[(Long, String), Long],
+      thetaOf: Long => Long): Seq[(Long, String, Long)] =
+    frozen.queries.flatMap { q =>
+      val th = thetaOf(q.query_id)
+      var cum = 0L
+      q.terms.map(t => (t.term, ubOf((q.query_id, t.term)), t.df))
+        .sortBy { case (term, ub, _) => (ub, term) }
+        .flatMap { case (term, ub, df) =>
+          cum += ub
+          if (cum > th - 1) Some((q.query_id, term, df)) else None
+        }
+    }
+
+  private def essentialRatio(frozen: FrozenIndexStats,
+      essPairs: Seq[(Long, String, Long)]): Double = {
+    val fullVol = frozen.queries.flatMap(_.terms.map(_.df)).map(BigDecimal(_)).sum
+    val essVol = essPairs.map(_._3).map(BigDecimal(_)).sum
+    if (fullVol == 0) 1.0 else (essVol / fullVol).toDouble
+  }
+
+  /** Driver-side LOWER BOUND on the essential-volume ratio — the
+    * job-free verdict pre-check. θ_ub(q) = Σ of the query's top-
+    * [[WandPhase1Terms]] term bounds is ≥ any document's phase-1
+    * partial score, hence ≥ the measured θ (a k-th order statistic of
+    * those scores); a larger θ drops a longer non-essential prefix, so
+    * the θ_ub-essential set is the SMALLEST any real θ could produce
+    * and its volume ratio bounds the measured ratio from below. When
+    * even this optimistic bound exceeds [[WandMaxEssRatio]], no θ probe
+    * can route the class to WAND — the verdict is docvec at the cost of
+    * driver arithmetic over the already-resident frozen stats. This is
+    * exactly the flat-vocabulary case, where the probe job would have
+    * cost nearly a full serve (every term's postings are corpus-sized);
+    * on prunable (skewed) vocabularies the bound passes and the real
+    * probe runs against rare-term postings — cheap there by the same
+    * skew. Overridable for the stickiness specs via
+    * `-Dgraft.bm.serve.precheck=off`.
+    */
+  private[graft] def minEssentialRatio(frozen: FrozenIndexStats): Double = {
+    val ubOf: Map[(Long, String), Long] = frozen.queries.flatMap(q =>
+      q.terms.map(t => (q.query_id, t.term) -> termUb(frozen.nDocs, t.df))).toMap
+    val thetaUb: Map[Long, Long] = frozen.queries.map { q =>
+      q.query_id -> q.terms.map(t => ubOf((q.query_id, t.term)))
+        .sorted(Ordering[Long].reverse).take(WandPhase1Terms).sum
+    }.toMap
+    essentialRatio(frozen,
+      essentialPairs(frozen, ubOf, thetaUb.getOrElse(_, 0L)))
+  }
+
   /** MaxScore-pruned exact scoring (the WAND family, adapted to a batch
     * dataflow engine; Turtle & Flood 1995's MaxScore, Broder et al.
     * 2003's WAND): LOSSLESS top-k short-circuiting — the output top-k is
@@ -663,19 +719,8 @@ object BmStore {
     // essential terms per query, driver-side: ascending-bound prefix
     // sums vs θ−1 over the already-resident frozen stats (θ=0 for a
     // query with < k phase-1 docs — no pruning there, still exact)
-    val essPairs = frozen.queries.flatMap { q =>
-      val th = theta.getOrElse(q.query_id, 0L)
-      var cum = 0L
-      q.terms.map(t => (t.term, ubOf((q.query_id, t.term)), t.df))
-        .sortBy { case (term, ub, _) => (ub, term) }
-        .flatMap { case (term, ub, df) =>
-          cum += ub
-          if (cum > th - 1) Some((q.query_id, term, df)) else None
-        }
-    }
-    val fullVol = frozen.queries.flatMap(_.terms.map(_.df)).map(BigDecimal(_)).sum
-    val essVol = essPairs.map(_._3).map(BigDecimal(_)).sum
-    val ratio = if (fullVol == 0) 1.0 else (essVol / fullVol).toDouble
+    val essPairs = essentialPairs(frozen, ubOf, theta.getOrElse(_, 0L))
+    val ratio = essentialRatio(frozen, essPairs)
     // Candidates from ESSENTIAL postings ONLY — this join's fan-out is
     // the essential volume the ratio measures, by construction. (A first
     // cut semi-joined the FULL matched stream against candidates, which
@@ -694,6 +739,7 @@ object BmStore {
     // are exactly the exhaustive plan's matched rows, so the aggregate
     // is identical. The candidate frame is broadcast when the measured
     // essential volume bounds it small (driver-resident decision).
+    val essVol = essPairs.map(_._3).map(BigDecimal(_)).sum
     val candsSide =
       if (essVol <= BigDecimal(WandCandBroadcastRows)) broadcast(cands)
       else cands
@@ -749,19 +795,21 @@ object BmStore {
         col("p.n").as("n_terms"), col("p.s").as("sum_q"))
   }
 
-  /** The wide-query strategy for ONE width class: probe-or-cached
-    * verdict per (root, class fingerprint), then the pruned MaxScore
-    * plan where the measured ratio says the vocabulary genuinely prunes,
-    * the doc-vector percolation plan where it doesn't. The probe
-    * DataFrame is reused as the serve plan when WAND wins, so a cold
-    * verdict never costs a second plan build.
+  /** The wide-class verdict ("wand" | "docvec") for a standing set,
+    * plus — when WAND wins and the probe's plan covered the whole set —
+    * the probe DataFrame, reusable as the serve plan so a cold verdict
+    * never costs a second plan build. Resolution order, cheapest first:
+    * (1) cached verdict per (root, class fingerprint); (2) converged
+    * per-root history adopted probe-free; (3) the job-free
+    * [[minEssentialRatio]] bound — a vocabulary that cannot prune below
+    * the gate even under an optimistic θ verdicts docvec with zero
+    * Spark work; (4) the measured θ probe over a bounded query sample.
     */
-  private def wideServed(s: SparkSession, root: String,
-      frozen: FrozenIndexStats, k: Int): DataFrame = {
+  private def wideVerdictPlan(s: SparkSession, root: String,
+      frozen: FrozenIndexStats, k: Int): (String, Option[DataFrame]) = {
     val key = (root, queryFingerprint(frozen))
     planCache.get(key) match {
-      case Some("wand") => wandScored(s, root, frozen, k)
-      case Some(_) => servedDocVec(s, root, frozen)
+      case Some(v) => (v, None)
       case None =>
         val hist = verdictHistory.getOrElse(root, Nil)
         val converged = hist.size >= VerdictStickyAfter && hist.distinct.size == 1
@@ -769,23 +817,27 @@ object BmStore {
           // adopt the converged verdict probe-free (not recorded in the
           // history — only real probes vote on convergence)
           planCache.putIfAbsent(key, hist.head)
-          if (hist.head == "wand") wandScored(s, root, frozen, k)
-          else servedDocVec(s, root, frozen)
+          (hist.head, None)
         } else {
-          wandProbeCount.incrementAndGet()
           val probeFrozen =
             if (frozen.queries.size <= ProbeSampleQueries) frozen
             else subsetFrozen(frozen,
               frozen.queries.take(ProbeSampleQueries).map(_.query_id).toSet)
-          val (wandProbe, ratio) = wandScoredWithRatio(s, root, probeFrozen, k)
-          val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
-          planCache.putIfAbsent(key, verdict)
-          verdictHistory.put(root, (verdict :: hist).take(VerdictStickyAfter))
-          if (verdict == "wand") {
-            // reuse the probe plan only when it covered the whole set
-            if (probeFrozen eq frozen) wandProbe
-            else wandScored(s, root, frozen, k)
-          } else servedDocVec(s, root, frozen)
+          val precheckOn = !sys.props.get("graft.bm.serve.precheck").contains("off")
+          if (precheckOn && minEssentialRatio(probeFrozen) > WandMaxEssRatio) {
+            planCache.putIfAbsent(key, "docvec")
+            verdictHistory.put(root, ("docvec" :: hist).take(VerdictStickyAfter))
+            ("docvec", None)
+          } else {
+            wandProbeCount.incrementAndGet()
+            val (wandProbe, ratio) = wandScoredWithRatio(s, root, probeFrozen, k)
+            val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
+            planCache.putIfAbsent(key, verdict)
+            verdictHistory.put(root, (verdict :: hist).take(VerdictStickyAfter))
+            (verdict,
+              if (verdict == "wand" && (probeFrozen eq frozen)) Some(wandProbe)
+              else None)
+          }
         }
     }
   }
@@ -795,9 +847,12 @@ object BmStore {
     * order), shared with the hybrid fusion. Strategy auto-selects PER
     * QUERY-WIDTH CLASS (r14 — VERDICT r13 #4: one mixed batch of short
     * and wide queries previously got a single whole-batch verdict; now
-    * the short class takes exhaustive scoring outright while the wide
-    * class gets the WAND θ probe, in the same serve call, and the two
-    * exact sub-plans union before the shared top-k). Every plan is exact
+    * the wide class gets its own verdict in the same serve call). When
+    * the wide class routes to WAND, the short class takes exhaustive
+    * scoring and the two exact sub-plans union before the shared top-k;
+    * when it routes to docvec, the WHOLE batch — short class included —
+    * rides the one forward-index pass, which scores every standing
+    * query at zero marginal cost per query. Every plan is exact
     * — the Jaccard-family auto-select discipline — so the routing is
     * invisible to the oracle. The wide verdict caches per (root,
     * standing-set fingerprint): a steady-state serving stream pays the
@@ -816,11 +871,26 @@ object BmStore {
         val (wide, short) =
           frozen.queries.partition(_.terms.size > WideQueryMinTerms)
         if (wide.isEmpty) servedScored(s, root, frozen)
-        else if (short.isEmpty) wideServed(s, root, frozen, k)
-        else
-          servedScored(s, root, subsetFrozen(frozen, short.map(_.query_id).toSet))
-            .unionByName(wideServed(s, root,
-              subsetFrozen(frozen, wide.map(_.query_id).toSet), k))
+        else {
+          val wideFrozen =
+            if (short.isEmpty) frozen
+            else subsetFrozen(frozen, wide.map(_.query_id).toSet)
+          wideVerdictPlan(s, root, wideFrozen, k) match {
+            // docvec scores every standing query in the SAME single
+            // forward-index pass (exact at any width), so a mixed
+            // batch's short class rides along at zero marginal cost —
+            // a separate exhaustive sub-plan + union would only add a
+            // second postings job per batch (measured 2× serve cpu on
+            // the whole-document serving row)
+            case ("docvec", _) => servedDocVec(s, root, frozen)
+            case (_, reused) =>
+              val widePlan = reused.getOrElse(wandScored(s, root, wideFrozen, k))
+              if (short.isEmpty) widePlan
+              else servedScored(s, root,
+                  subsetFrozen(frozen, short.map(_.query_id).toSet))
+                .unionByName(widePlan)
+          }
+        }
     }
     Similarity.twoStageTopKBy(scored, k,
       col("query_id"), xxhash64(col("doc_id")),

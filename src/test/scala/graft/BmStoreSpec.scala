@@ -39,7 +39,10 @@ class BmStoreSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
     assert(scans.forall(!_.contains("documents.parquet")),
       s"documents scanned in serving plan: $scans")
-    assert(scans.exists(_.contains("postings.parquet")))
+    // either persisted index satisfies "no corpus re-read": the flat
+    // fixture's whole-doc standing set routes to the forward index
+    assert(scans.exists(p =>
+      p.contains("postings.parquet") || p.contains("docvec.parquet")))
   }
 
   test("postings scan statically prunes to the query vocabulary's buckets") {
@@ -130,7 +133,8 @@ class BmStoreSpec extends AnyFunSuite {
     assert(scans.forall(p =>
       !p.contains("documents.parquet") && !p.contains("embeddings.parquet")),
       s"corpus table scanned in served fusion plan: $scans")
-    assert(scans.exists(_.contains("postings.parquet")) &&
+    assert(scans.exists(p =>
+      p.contains("postings.parquet") || p.contains("docvec.parquet")) &&
       scans.exists(_.contains("codes.parquet")))
   }
 
@@ -299,6 +303,11 @@ class BmStoreSpec extends AnyFunSuite {
     // (new fingerprint each time). On this flat-vocab corpus every wide
     // batch's probe returns docvec — after VerdictStickyAfter agreeing
     // probes, later unseen fingerprints must adopt it probe-free.
+    // precheck=off: the flat-vocab free verdict (tested separately
+    // below) would otherwise answer every batch before the stickiness
+    // machinery this spec exists to exercise.
+    sys.props("graft.bm.serve.precheck") = "off"
+    try {
     val dir = java.nio.file.Files.createTempDirectory("bm_conv").toString
     val root = dir + "/store"
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
@@ -323,6 +332,49 @@ class BmStoreSpec extends AnyFunSuite {
       finally sys.props.remove("graft.bm.serve.plan")
     val got = BmStore.servedRanked(spark, root, frozens.last, Retrieval.BmTopK)
       .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+    } finally sys.props.remove("graft.bm.serve.precheck")
+  }
+
+  test("flat-vocab wide class verdicts docvec JOB-FREE; a mixed batch rides one forward-index pass") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // the driver-side minEssentialRatio bound: on a flat vocabulary no
+    // θ can prune the essential volume below the WAND gate, so the
+    // verdict must cost ZERO θ-probe jobs — the probe used to cost
+    // nearly a full serve on exactly this corpus shape (r14)
+    val dir = java.nio.file.Files.createTempDirectory("bm_flatfree").toString
+    val root = dir + "/store"
+    BmStore.buildFrom(spark, root, spark.read.parquet(s"$sf/documents.parquet"))
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(80).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val wide = docRows.filter(_._2.distinct.size > BmStore.WideQueryMinTerms)
+    val short = docRows.filter(_._2.distinct.size <= BmStore.WideQueryMinTerms)
+    assert(wide.length >= 10 && short.length >= 3,
+      "fixture lacks a mixed width profile for this spec")
+    val mixed = (short.take(3) ++ wide.take(12)).toSeq
+      .map { case (id, ts) => (7000000L + id, ts) }
+    val frozen = BmStore.frozenStatsForQueries(spark, root, mixed)
+    val p0 = BmStore.wandProbeCount.get()
+    val ranked = BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+    val got = ranked.collect().map(_.toSeq).sortBy(_.toString)
+    assert(BmStore.wandProbeCount.get() === p0,
+      "flat-vocab verdict ran a θ-probe job — the driver-side bound did not engage")
+    // the whole MIXED batch (short class included) rides the single
+    // docvec pass: no postings/documents scan anywhere in the plan
+    val scans = TestSpark.executedScans(
+        BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK))
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(scans.exists(_.contains("docvec.parquet")))
+    assert(scans.forall(p =>
+      !p.contains("postings.parquet") && !p.contains("documents.parquet")),
+      s"mixed flat batch still runs a postings sub-plan: $scans")
+    // and it is exact vs the exhaustive-forced plan
+    sys.props("graft.bm.serve.plan") = "exhaustive"
+    val want = try BmStore.servedRanked(spark, root, frozen, Retrieval.BmTopK)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      finally sys.props.remove("graft.bm.serve.plan")
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
 
