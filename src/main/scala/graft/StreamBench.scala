@@ -467,7 +467,13 @@ object StreamBench {
       if (mode == "exhaustive")
         System.setProperty("graft.bm.serve.plan", "exhaustive")
       else System.clearProperty("graft.bm.serve.plan")
-      runSkewServe(skewQueries.take(250), 250) // warmup (+ auto's one probe)
+      // warmup to STEADY STATE: the auto arm's per-class verdict needs
+      // VerdictStickyAfter agreeing probes before unseen standing-set
+      // fingerprints adopt it probe-free (r14 stickiness) — run that
+      // many batches so the timed window measures converged serving,
+      // not the one-time probe ramp (each probe is a bounded θ job)
+      runSkewServe(skewQueries.take(
+        250 * graft.operators.BmStore.VerdictStickyAfter), 250)
       val (skSecs, cpuSk) = withCpu(runSkewServe(skewQueries, 250))
       println(f"""{"metric":"bm25_serve_skewed_${mode}_queries_per_sec","value":${skewQueries.length / skSecs}%.0f,"unit":"queries/sec","queries":${skewQueries.length},"wall_sec":$skSecs%.3f${tele(cpuSk)}}""")
     }
@@ -479,6 +485,10 @@ object StreamBench {
     // prospective-search control plane absorbs. The persisted population
     // must then reload and serve with no rebuild (PercStoreSpec proves
     // verdict parity; here the reload count gates coverage).
+    // persisted roots outlive the JVM: drop standing state left by any
+    // prior (possibly crashed) run so the load-count gates below measure
+    // THIS run's lifecycle, not leftover registrations
+    graft.operators.PercStore.clearStanding(spark, bmRoot)
     val regQueries = graft.operators.BmStore.syntheticStandingQueries(
       spark, bmRoot, "sbreg", 4000, termsPerQuery = 8)
       .map { case (id, ts) => (id, ts.mkString(" ")) }
@@ -549,7 +559,9 @@ object StreamBench {
     // registration burst mid-stream: exactly one reload, rate holds
     graft.operators.PercStore.registerBatch(spark, bmRoot,
       graft.operators.BmStore.syntheticStandingQueries(
-        spark, bmRoot, "sbburst", 200, termsPerQuery = 8), 99L)
+        spark, bmRoot, "sbburst", 200, termsPerQuery = 8,
+        idBase = 2000000L), // disjoint from the sbreg ids: the burst ADDS
+      99L)                  // 200 monitors rather than replacing existing
     val lBurst0 = graft.operators.PercStore.loadCount.get()
     val ((svSecs2, svMatches2), cpuPs2) = withCpu(runServedPerc(servePool, 8))
     val burstLoads = graft.operators.PercStore.loadCount.get() - lBurst0

@@ -399,14 +399,15 @@ object BmStore {
     * floorMod, not abs: abs(Int.MinValue) is negative.
     */
   private[graft] def syntheticStandingQueries(s: SparkSession, root: String,
-      prefix: String, n: Int, termsPerQuery: Int = 8): Seq[(Long, Seq[String])] = {
+      prefix: String, n: Int, termsPerQuery: Int = 8,
+      idBase: Long = 1000000L): Seq[(Long, Seq[String])] = {
     val vocab = s.read.parquet(new Path(root, "df.parquet").toString)
       .select("token").collect().map(_.getString(0)).sorted
     (0 until n).map { qid =>
       val terms = (0 until termsPerQuery).map(j => vocab(
         math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s"$prefix$qid:$j"),
           vocab.length)))
-      (1000000L + qid, terms.distinct.toSeq)
+      (idBase + qid, terms.distinct.toSeq)
     }
   }
 

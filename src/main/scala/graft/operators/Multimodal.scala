@@ -232,6 +232,123 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over JDK `javax.sound.sampled` — no external
+    * libraries, completing the seam's third modality (images:
+    * [[ImageIoCodec]] r13, video frames: animated GIF r14, audio: here).
+    * Decode parses actual WAV/AIFF/AU payloads to PCM (any bit depth /
+    * channel count the JDK converts — normalized to signed-16 mono
+    * first), and features are per-window RMS amplitudes: the waveform
+    * split into [[featureDim]] equal time windows, each reduced to its
+    * root-mean-square in [0, 1] — the audio analogue of the image
+    * codec's per-strip luminance, under the same fixed-width contract.
+    * Resize maps the (w, h) dimension budget onto audio as a w·h sample
+    * frame budget: linear-interpolation resample to exactly w·h frames,
+    * sample rate rescaled so DURATION is preserved, re-encoded as
+    * 16-bit PCM WAV. Frame sampling fingerprints each stepMs instant
+    * with the RMS of its window mapped proportionally onto the sample
+    * timeline (the uniform-timeline contract sampleFrames documents),
+    * scaled to [0, 255]. NOT oracle-checkable (PCM decode is not
+    * SQL-expressible) — pinned by WavCodecSpec on constructed waveforms
+    * with closed-form RMS, through the SAME Dataset pipeline.
+    */
+  object WavCodec extends Codec {
+    override val featureDim: Int = FakeCodec.FeatureDim
+
+    /** Decode any JDK-supported encoded audio payload to mono double
+      * samples in [-1, 1] plus the source sample rate (frames/sec).
+      */
+    private[graft] def samples(content: Array[Byte]): (Array[Double], Float) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val src = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, 1, 2, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val out = new Array[Double](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // signed high byte, LE
+            out(i) = ((hi << 8) | lo) / 32768.0
+            i += 1
+          }
+          (out, src.getSampleRate)
+        } finally pcm.close()
+      } finally in.close()
+    }
+
+    private def rms(s: Array[Double], from: Int, until: Int): Double = {
+      val hi = math.min(s.length, math.max(from + 1, until))
+      var sum = 0.0
+      var i = math.max(0, math.min(from, s.length - 1))
+      val lo = i
+      while (i < hi) { sum += s(i) * s(i); i += 1 }
+      if (hi <= lo) 0.0 else math.sqrt(sum / (hi - lo))
+    }
+
+    def decode(content: Array[Byte], kind: String): Array[Double] = {
+      require(kind == "audio", s"WavCodec decodes audio, got '$kind'")
+      val (s, _) = samples(content)
+      require(s.nonEmpty, "audio payload holds no PCM frames")
+      Array.tabulate(featureDim)(j =>
+        rms(s, (j.toLong * s.length / featureDim).toInt,
+          ((j + 1).toLong * s.length / featureDim).toInt))
+    }
+
+    def resize(content: Array[Byte], kind: String, w: Int, h: Int): Array[Byte] = {
+      require(kind == "audio", s"WavCodec resizes audio, got '$kind'")
+      val (s, rate) = samples(content)
+      require(s.nonEmpty, "audio payload holds no PCM frames")
+      val m = math.max(1, w * h)
+      val res = Array.tabulate(m) { k =>
+        // endpoint-preserving linear interpolation onto the new grid
+        val pos = if (m == 1) 0.0 else k.toDouble * (s.length - 1) / (m - 1)
+        val i0 = pos.toInt
+        val frac = pos - i0
+        if (i0 + 1 >= s.length) s(s.length - 1)
+        else s(i0) * (1 - frac) + s(i0 + 1) * frac
+      }
+      // duration preserved: m frames play over the original n/rate secs
+      val outRate = math.max(1f, rate * m / s.length)
+      val pcm = new Array[Byte](2 * m)
+      var i = 0
+      while (i < m) {
+        val v = math.max(-32768, math.min(32767,
+          math.round(res(i) * 32767.0))).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        outRate, 16, 1, 2, outRate, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, m.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def sampleFrames(content: Array[Byte], kind: String,
+        durationMs: Long, stepMs: Long): Seq[(Int, Long, Int)] = {
+      require(kind == "audio", s"WavCodec samples audio payloads, got '$kind'")
+      val (s, _) = samples(content)
+      require(s.nonEmpty, "audio payload holds no PCM frames")
+      (0L until durationMs by stepMs).zipWithIndex.map { case (t, idx) =>
+        val from = (t * s.length / math.max(1L, durationMs)).toInt
+        val until = math.max(from + 1,
+          (math.min(durationMs, t + stepMs) * s.length /
+            math.max(1L, durationMs)).toInt)
+        (idx, t, math.min(255, math.round(255.0 * rms(s, from, until)).toInt))
+      }
+    }
+  }
+
   /** Synthesize a deterministic media table from `documents`: the text
     * bytes play the role of an opaque encoded payload.
     */

@@ -124,10 +124,28 @@ object PercStore {
       val path = new Path(p)
       val f = fs(s, p)
       if (!f.exists(path)) ""
-      else f.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch_id=")).sorted.mkString(",")
+      else f.listStatus(path).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch_id="))
+        // name + mod-time: a REWRITE of an existing batch dir (a crashed
+        // run replayed over a persisted store re-lands the same batch
+        // id) must invalidate too — same listing call, no extra I/O; an
+        // identical-content replay costs at worst one spurious reload
+        .map(st => st.getPath.getName + "@" + st.getModificationTime)
+        .sorted.mkString(",")
     }
     dirs(standingPath(root)) + "|" + dirs(tombPath(root))
+  }
+
+  /** Drop ALL standing registrations and tombstones at `root` (the
+    * postings store itself is untouched) and invalidate the loaded
+    * cache — bench/test hygiene for persisted roots that outlive a JVM.
+    */
+  private[graft] def clearStanding(s: SparkSession, root: String): Unit = {
+    Seq(standingPath(root), tombPath(root)).foreach { p =>
+      val f = fs(s, p)
+      if (f.exists(new Path(p))) f.delete(new Path(p), true): Unit
+    }
+    loadedCache.remove(root): Unit
   }
 
   /** [[loadFrozen]] behind the high-water cache — the serve-loop entry
