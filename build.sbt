@@ -37,4 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward graft.* system properties into the forked run/test JVMs, so
+  // plan-override knobs (-Dgraft.jaccard.prefix.ratio, -Dgraft.bm.serve.plan)
+  // reach mains like Explain/AbProbe: SBT_OPTS land in the sbt launcher
+  // JVM, not the fork, without this
+  sys.props.toSeq.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }

@@ -708,6 +708,23 @@ object Dedup {
         // `-Dgraft.jaccard.ppjoin=off` disables both filters for
         // interleaved same-JVM A/B (output is identical either way —
         // they only prune candidates the verify stage would reject).
+        //
+        // FALSIFIED REFINEMENT (r14, kept out deliberately): PPJoin's
+        // asymmetric INDEXING prefix — orienting pairs by (n_sh, doc_id)
+        // and joining the smaller side from its first n − ⌊2t/(1+t)·n⌋
+        // positions (0.25·n at t=0.6 vs the 0.4·n probe prefix) — is
+        // lossless (inter > 2t/(1+t)·n1 and every intersection member
+        // orders ≥ the first shared shingle) and shrinks the JOIN INPUT,
+        // which the post-join filters cannot. Measured interleaved at
+        // sf10 it LOST ~6-10% cpu vs this form (2280-2428 vs 2120-2165
+        // cpu-s; plain AllPairs baseline in between), both plans two
+        // full Exchange+Sort sides with no ReusedExchange either way —
+        // the smaller sort does not pay for the orientation disjunction
+        // and the lost symmetric-side uniformity on this corpus. The
+        // boundary spec for its bound (DedupSimilaritySpec "indexing
+        // prefix ... AT the bound") is kept as an output-correctness
+        // pin. Re-try only if the join input itself becomes the
+        // measured bottleneck on a skewed-df corpus.
         val ppjoinOn = !sys.props.get("graft.jaccard.ppjoin").contains("off")
         val posBound = lit(t) / (lit(1.0) + lit(t)) *
           (col("cn1") + col("cn2")) * (lit(1.0) - lit(1e-9))

@@ -448,6 +448,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("asymmetric indexing prefix keeps a pair whose first shared shingle sits AT the bound (r14)") {
+    // The r14 indexing-prefix filter joins side 1 (the smaller doc) from
+    // its first n − ⌊2t/(1+t)·n⌋ positions only. Construct a qualifying
+    // pair whose globally-smallest shared shingle ranks EXACTLY at that
+    // bound in the smaller doc, so a one-tighter cut loses the pair:
+    // docs of 19 words = 17 shingles each — 4 unique ones (df=1, so they
+    // sort FIRST in the (df, s) canonical order) + 13 shared. First
+    // shared rank = 5 = 17 − ⌊0.75·17⌋; jaccard = 13/21 ≈ .6190 > .6.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxprefix").toString
+    def words(p: String, n: Int) = (1 to n).map(i => f"$p$i%03d")
+    val shared = words("sx", 15)
+    val docs = Seq(
+      (6L, (words("ga", 4) ++ shared).mkString(" ")),
+      (7L, (words("hb", 4) ++ shared).mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val key = "graft.jaccard.prefix.ratio"
+    val old = sys.props.get(key)
+    try {
+      sys.props(key) = "-1" // force the prefix + PPJoin pipeline
+      val out = Dedup.queries("dedup_ngram_jaccard_prefix")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set((6L, 7L, 0.619)),
+        s"boundary-rank pair lost or distorted by the indexing prefix: $out")
+    } finally {
+      old match { case Some(v) => sys.props(key) = v; case None => sys.props -= key }
+    }
+  }
+
   test("substring dedup finds planted verbatim spans, content-defined (alignment-free)") {
     import spark.implicits._
     val span = (1 to 40).map(i => s"sharedword$i").mkString(" ") // ~600 chars
