@@ -178,33 +178,37 @@ object Dedup {
     */
   private[graft] val ScreenBytesPerPosting = 20L
 
-  /** Plan auto-select gate for dedup_ngram_jaccard_prefix: run the prefix
-    * pipeline only when the inverted-index candidate volume Σ df·(df−1)/2
-    * exceeds this multiple of the postings count — i.e. when the join is
-    * genuinely QUADRATIC in document frequency. Below it, the direct
-    * postings self-join + aggregate wins: prefix filtering pays ~4 extra
-    * shuffle stages (df join-back, per-doc window sort, candidate
-    * distinct, two verify joins), and on a low-df corpus those fixed
-    * stages cost more than the candidate rows they avoid. Measured on the
-    * r10 sf0.1 corpus (max df 25, ratio 4.9): prefix 5.6 s vs direct
-    * ~3 s; a boilerplate-heavy corpus (df in the thousands) sits orders
-    * of magnitude past this gate and flips to prefix. Overridable for
-    * A/B via GRAFT_JACCARD_PREFIX_RATIO (env) or the
-    * `graft.jaccard.prefix.ratio` system property (takes precedence; a
-    * `def` so in-JVM tests can exercise both plan branches — env vars
-    * are immutable per process).
+  /** Plan-override seam for dedup_ngram_jaccard_prefix — the RETIRED
+    * auto-select gate (r14). The r10 gate ran the prefix pipeline only
+    * when Σ df·(df−1)/2 exceeded `ratio`×postings, calibrated on the r10
+    * sf0.1 corpus where the then-current prefix pipeline lost (5.6 s vs
+    * ~3 s direct). That calibration went stale as the pipeline improved
+    * (r13 two-stage fingerprint verify, r14 PPJoin filters): re-measured
+    * r14 across four scales, the prefix plan now wins EVERYWHERE —
+    * sf0.001 1.3 vs 7.8 s, sf0.01 1.2 vs 7.2 s, sf0.1 3.2 vs 9.8 s, sf1
+    * 7.5 vs 24.5 s, sf10 26.1 vs 172.9 s (6.6×; identical 25,916-row
+    * output) — while the stale gate was silently routing EVERY fixture,
+    * sf10 included, to the direct join (its Σ df·(df−1) ≈ 2.3×postings
+    * sat far under the 32× threshold). So the DEFAULT is now the prefix
+    * pipeline unconditionally, with no df-stats probe job at all.
+    * The override (system property `graft.jaccard.prefix.ratio`, env
+    * `GRAFT_JACCARD_PREFIX_RATIO`): negative → prefix (explicit);
+    * a positive value re-enables the legacy stats-based comparison —
+    * the spec/A-B seam that forces the direct branch (huge ratio) and
+    * exercises the stats path. Direct stays in-tree as the parity
+    * baseline and the right plan for sub-fixture corpora embedded in
+    * unit specs.
     */
-  private[graft] def PrefixPlanRatio: Long =
+  private[graft] def prefixRatioOverride: Option[Long] =
     sys.props.get("graft.jaccard.prefix.ratio")
       .orElse(sys.env.get("GRAFT_JACCARD_PREFIX_RATIO"))
       .flatMap { v =>
         val parsed = scala.util.Try(v.toLong).toOption
         if (parsed.isEmpty)
           System.err.println(
-            s"[graft] ignoring malformed jaccard prefix ratio override '$v' (not a long); using default 32")
+            s"[graft] ignoring malformed jaccard prefix ratio override '$v' (not a long); defaulting to the prefix plan")
         parsed
       }
-      .getOrElse(32L)
 
   private[graft] def requireAllPairsSafe(n: Long): Unit =
     require(n <= EmbTopkMaxRows,
@@ -595,22 +599,18 @@ object Dedup {
       // (array_intersect on the checkpointed narrow frame), so no
       // approximation ever reaches the output.
       //
-      // PLAN AUTO-SELECT (r10): prefix filtering is a bet that candidate
-      // volume is quadratic in df, and the sf corpus is NOT in that
-      // regime (max df 25; Σ df·(df−1)/2 = 4.9× postings) — measured
-      // there, the two plans are within noise of each other (prefix
-      // 2.7–5.6 s vs direct ~3 s across quiet/contended boxes; the r9
-      // "5.5× prefix regression" turned out to be box contention, not
-      // data). The auto-select exists for the 100 TB asymmetry the sf
-      // data can't show: at high df the direct join detonates as Σ df²
-      // while prefix prunes exactly those keys, and at low df prefix
-      // pays 4 extra shuffle stages for candidates the direct aggregate
-      // absorbs linearly. The operator reads the df histogram it already
-      // computes and picks: direct postings self-join + aggregate below
-      // [[PrefixPlanRatio]], the prefix pipeline above it. Both plans are
-      // EXACT at the same threshold — one oracle covers either choice —
-      // and the decision scalar is one tiny aggregate over the df frame,
-      // not a data scan.
+      // PLAN SELECTION (r10 auto-gate, RETIRED r14): the r10 gate read
+      // the df histogram and picked direct below a candidate-volume
+      // ratio, calibrated when the prefix pipeline still paid string-
+      // array verification. After the r13 fingerprint screen and the
+      // r14 PPJoin filters, re-measurement across sf0.001→sf10 found the
+      // prefix plan winning at EVERY scale (up to 6.6× at sf10) while
+      // the stale gate routed every fixture to direct — see
+      // [[prefixRatioOverride]] for the numbers. Default is now prefix;
+      // the direct postings self-join + aggregate stays reachable via
+      // the positive-ratio override as the parity baseline. Both plans
+      // are EXACT at the same threshold — one oracle covers either
+      // choice.
       val t = JaccardPrefixThreshold
       val sh = withShingles(Tables.documents(s, d))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
@@ -625,7 +625,12 @@ object Dedup {
       // df via map-side-combined aggregate + join back (not a window over
       // the skewed shingle key — same reasoning as the capped twin).
       val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      val (postings, candVolume2x) = prefixPlanStats.getOrElseUpdate(docKey(d), {
+      // Default plan: PREFIX, unconditionally — the df-stats probe job
+      // runs only when a positive ratio override re-enables the legacy
+      // stats gate (see [[prefixRatioOverride]] for the r14 retirement
+      // measurements). The stats themselves stay cached per corpus.
+      def corpusStats(): (Long, BigDecimal) =
+        prefixPlanStats.getOrElseUpdate(docKey(d), {
         graft.ColdBuilds.record("jaccard_df_stats")
         val statsRow = df
           // The DOUBLED candidate sum Σ df·(df−1) aggregates as
@@ -660,8 +665,16 @@ object Dedup {
       // branch-parity spec vacuous). BigDecimal on both sides; a NEGATIVE
       // ratio force-selects the prefix pipeline (the candidate sum is
       // never negative), the test hook's counterpart to huge-ratio
-      // force-direct.
-      if (candVolume2x <= BigDecimal(2) * BigDecimal(PrefixPlanRatio) * BigDecimal(postings)) {
+      // force-direct. No override (the deployment default) → prefix
+      // with no stats job on the DECISION path (the verify screen's
+      // broadcast gate still reads the cached stats once per corpus).
+      val usePrefix = prefixRatioOverride.forall { r =>
+        r < 0 || {
+          val (postings, candVolume2x) = corpusStats()
+          candVolume2x > BigDecimal(2) * BigDecimal(r) * BigDecimal(postings)
+        }
+      }
+      if (!usePrefix) {
         // Low-df regime: the exact inverted-index aggregate (the
         // dedup_ngram_jaccard shape) at the high-confidence threshold.
         val a = ex0.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
@@ -743,6 +756,16 @@ object Dedup {
         val cand = filtered
           .select("d1", "d2")
           .distinct()
+        // PROBE SEAM (default off, never set by any query path): with
+        // -Dgraft.jaccard.stage=cand (or env GRAFT_JACCARD_STAGE=cand —
+        // the env form survives sbt's fork boundary) the prefix pipeline
+        // returns the candidate set itself (jaccard stubbed 0), so
+        // AbProbe can time GENERATION alone and its `rows` field doubles
+        // as the candidate-volume counter for the PPJoin-filter A/B.
+        if (sys.props.get("graft.jaccard.stage")
+            .orElse(sys.env.get("GRAFT_JACCARD_STAGE")).contains("cand"))
+          cand.withColumn("jaccard", lit(0.0))
+        else {
         // TWO-STAGE VERIFY (r13, sf10-profiled): candidate volume at the
         // 0.6 threshold is tens of millions of pairs, and verifying each
         // against the STRING shingle arrays is ~100 UTF8 comparisons per
@@ -774,8 +797,12 @@ object Dedup {
             "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
             .as("shh"))
           .transform(Materialize.once) // the screen joins it twice
+        // corpusStats (cached per corpus) still backs THIS gate — the
+        // one remaining consumer of the df-stats aggregate now that the
+        // plan gate is retired; one cheap map-side-combined job per
+        // corpus per JVM
         def gated(d: DataFrame): DataFrame =
-          if (postings * ScreenBytesPerPosting <= ScreenBroadcastBytes)
+          if (corpusStats()._1 * ScreenBytesPerPosting <= ScreenBroadcastBytes)
             broadcast(d)
           else d
         val screened = cand
@@ -800,6 +827,7 @@ object Dedup {
             round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
           .filter(col("jaccard") > t)
           .select("d1", "d2", "jaccard")
+        }
       }
     }),
     "dedup_substring" -> ((s, d) => {

@@ -206,8 +206,10 @@ object SigStore {
   private[graft] def ensureLabelsBuilt(s: SparkSession, d: String): String =
     synchronized {
       val root = ensureBuilt(s, d)
-      if (!fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY")))
+      if (!fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY"))) {
+        graft.ColdBuilds.record("sig_labels_build")
         buildLabels(s, root)
+      }
       root
     }
 
@@ -652,6 +654,7 @@ object SigStore {
       val root = storeRoot(d) + "_absorbed"
       val f = fs(s, new Path(root))
       if (!f.exists(new Path(root, "_ABSORBED"))) {
+        graft.ColdBuilds.record("sig_store_absorb")
         f.delete(new Path(root), true)
         buildFrom(s, root,
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))

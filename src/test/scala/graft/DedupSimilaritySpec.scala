@@ -408,7 +408,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("prefix auto-select: both plan branches produce identical output") {
     // r10: the operator picks direct-aggregate vs prefix-pipeline from the
-    // df histogram (Dedup.PrefixPlanRatio). Force each branch via the
+    // df histogram (Dedup.prefixRatioOverride legacy stats gate). Force each branch via the
     // system-property override and require bit-identical results — the
     // plan choice must never be observable in the output.
     def build() = Dedup.queries("dedup_ngram_jaccard_prefix")(spark, sf)
