@@ -144,6 +144,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stderr: the driver's contract is ONE stdout JSON line (the total)
+    System.err.println(
+      Conditions.row("bench", "sf_dir" -> sfDir, "master" -> s"local[$cpus]"))
     // Warmup: JIT/codegen paths + parquet footers, so the first timed query
     // doesn't absorb one-time session costs.
     spark.read.parquet(s"$sfDir/lineitem.parquet")

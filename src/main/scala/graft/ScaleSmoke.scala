@@ -186,6 +186,8 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(Conditions.row(label, "base" -> base, "out_dir" -> outDir,
+      "replicas" -> replicas.toString))
 
     if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
       val t0 = System.nanoTime()
