@@ -40,9 +40,14 @@ object AbProbe {
       "B" -> List.empty[Double])
     val cpusSec = scala.collection.mutable.Map("A" -> List.empty[Double],
       "B" -> List.empty[Double])
-    // warmup (arm A): parquet footers, codegen, shared cache builds land
-    // OUTSIDE the timed samples for both arms equally
+    // warmup BOTH arms: parquet footers, codegen, and any ARM-SPECIFIC
+    // one-time cost (a plan-B-only file read or codegen path) land OUTSIDE
+    // the timed samples. Warming only arm A would let B's first timed
+    // sample absorb B-only cold costs.
     q(spark, dir).count()
+    sys.props(propKey) = propValB
+    q(spark, dir).count()
+    sys.props.remove(propKey)
     for (r <- 1 to rounds; arm <- Seq("A", "B")) {
       if (arm == "B") sys.props(propKey) = propValB
       else sys.props.remove(propKey)

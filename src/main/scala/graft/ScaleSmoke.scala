@@ -245,11 +245,20 @@ object ScaleSmoke {
           // another query already built the shared store — also visible)
           val t1 = System.nanoTime()
           val c1 = cpuNs()
+          val cb1 = graft.ColdBuilds.mark()
           queries(name)(spark, outDir).count()
           val serve = (System.nanoTime() - t1) / 1e9
           val serveCpu = (cpuNs() - c1) / 1e9
+          // the warm run is itself ColdBuilds-attributed (ADVICE r14): a
+          // build keyed off some OTHER cache that fires only on the
+          // second invocation would silently inflate the serve number —
+          // the exact conflation cold_builds exists to prevent. Non-empty
+          // serve_cold_builds = the serve figure is NOT serve-only.
+          val serveColds = graft.ColdBuilds.since(cb1)
+          val serveColdsJson =
+            serveColds.map("\"" + _ + "\"").mkString("[", ",", "]")
           val build = math.max(0.0, secs - serve)
-          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"build_sec":$build%.3f,"serve_sec":$serve%.3f,"cpu_sec":$cpu%.3f,"serve_cpu_sec":$serveCpu%.3f,"cold_builds":$coldsJson,"rows":$rows}"""
+          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"build_sec":$build%.3f,"serve_sec":$serve%.3f,"cpu_sec":$cpu%.3f,"serve_cpu_sec":$serveCpu%.3f,"cold_builds":$coldsJson,"serve_cold_builds":$serveColdsJson,"rows":$rows}"""
         } else
           lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"cold_builds":$coldsJson,"rows":$rows}"""
         println(lines.last)

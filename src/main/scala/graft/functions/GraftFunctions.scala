@@ -90,14 +90,19 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   * guarantees sortedness (array_sort upstream, once per DOC — the
   * whole point is doing per-doc work per doc and per-PAIR work in O(n)
   * comparisons with zero allocation). Output equals
-  * size(array_intersect(a, b)) for distinct-element inputs regardless
-  * of which total order was used to sort, since only equality counts.
+  * size(array_intersect(a, b)) for distinct NON-NULL-element inputs
+  * regardless of which total order was used to sort, since only
+  * equality counts.
   *
   * Registered as a general session function (ADVICE r13), so inputs the
   * dedup screen never produces are defined rather than crashes: NULL
   * ELEMENTS (the ArrayType signatures admit containsNull) are skipped
-  * on either side — a null is not equal to anything, matching
-  * array_intersect's null-excluding count. SORTEDNESS stays the
+  * on either side. NOTE this DIFFERS from `array_intersect` when BOTH
+  * sides contain null: Spark's array_intersect treats null as equal to
+  * null (a shared null element appears in its result), so
+  * size(array_intersect) counts it while this expression never does —
+  * harmless for the dedup screen (shingles are never null) but the two
+  * are not equivalent on null-bearing inputs. SORTEDNESS stays the
   * caller's precondition and is deliberately not verified per row (the
   * zero-overhead contract): unsorted input yields a deterministic
   * UNDERCOUNT (only merge-order-visible equal pairs are counted), never

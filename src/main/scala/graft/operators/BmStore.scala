@@ -527,6 +527,23 @@ object BmStore {
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** Driver-memory bound for [[planCache]] (ADVICE r14): the BmServe
+    * workload mints a NEW fingerprint every micro-batch, so unbounded
+    * putIfAbsent is a slow driver leak on long-running serve streams.
+    * Two defenses: converged adoptions are no longer cached at all (the
+    * per-root [[verdictHistory]] answers them in O(1) without a per-
+    * fingerprint entry), and real probed verdicts evict an arbitrary
+    * entry once the map is full — an evicted verdict costs at most one
+    * re-probe (bounded sample) or a job-free precheck, never wrongness.
+    */
+  private[graft] val PlanCacheMaxEntries = 1024
+
+  private def planCachePut(key: (String, String), verdict: String): Unit = {
+    if (planCache.size >= PlanCacheMaxEntries)
+      planCache.keysIterator.take(1).foreach(planCache.remove)
+    planCache.putIfAbsent(key, verdict)
+  }
+
   /** PROBED verdict history per store root, newest first (bounded at
     * [[VerdictStickyAfter]]) — the convergence cache behind
     * [[wideServed]]: a serving stream whose batches carry DIFFERENT
@@ -816,8 +833,10 @@ object BmStore {
         val converged = hist.size >= VerdictStickyAfter && hist.distinct.size == 1
         if (converged) {
           // adopt the converged verdict probe-free (not recorded in the
-          // history — only real probes vote on convergence)
-          planCache.putIfAbsent(key, hist.head)
+          // history — only real probes vote on convergence). Deliberately
+          // NOT cached per fingerprint: a serving stream mints a new
+          // fingerprint per batch, and the history already answers these
+          // lookups in O(1) (ADVICE r14 — unbounded planCache growth).
           (hist.head, None)
         } else {
           val probeFrozen =
@@ -826,14 +845,14 @@ object BmStore {
               frozen.queries.take(ProbeSampleQueries).map(_.query_id).toSet)
           val precheckOn = !sys.props.get("graft.bm.serve.precheck").contains("off")
           if (precheckOn && minEssentialRatio(probeFrozen) > WandMaxEssRatio) {
-            planCache.putIfAbsent(key, "docvec")
+            planCachePut(key, "docvec")
             verdictHistory.put(root, ("docvec" :: hist).take(VerdictStickyAfter))
             ("docvec", None)
           } else {
             wandProbeCount.incrementAndGet()
             val (wandProbe, ratio) = wandScoredWithRatio(s, root, probeFrozen, k)
             val verdict = if (ratio <= WandMaxEssRatio) "wand" else "docvec"
-            planCache.putIfAbsent(key, verdict)
+            planCachePut(key, verdict)
             verdictHistory.put(root, (verdict :: hist).take(VerdictStickyAfter))
             (verdict,
               if (verdict == "wand" && (probeFrozen eq frozen)) Some(wandProbe)

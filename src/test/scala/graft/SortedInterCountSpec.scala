@@ -60,7 +60,9 @@ class SortedInterCountSpec extends AnyFunSuite {
     // ADVICE r13: the function is registered for the whole session, so
     // arrays with null slots (containsNull = true — e.g. a raw
     // `array('a', NULL, 'c')` literal) must count nulls as matching
-    // nothing, exactly as array_intersect excludes them.
+    // nothing. Note array_intersect DIFFERS here: it treats null==null
+    // as a match when both sides hold a null, so the first case below
+    // would be 3 under size(array_intersect); we deliberately skip nulls.
     graft.functions.GraftFunctions.register(spark)
     val df = spark.sql(
       """SELECT
