@@ -109,6 +109,10 @@ object Bench {
     "text_pii_scrub",
     "sample_manifest",
     "corpus_train_manifest",
+    // the manifest's deployment shape: persisted SigStore labels instead
+    // of the inline components fixpoint (VERDICT r14 #1); rides the store
+    // dedup_components_stored already built this run
+    "corpus_train_manifest_stored",
     "multimodal_features",
     "text_bpe_tokens",
     "bpe_train_merges",

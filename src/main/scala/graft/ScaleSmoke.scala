@@ -88,6 +88,10 @@ object ScaleSmoke {
     "corpus_validate",
     "corpus_validate_refs",
     "corpus_train_manifest",
+    // the manifest's deployment shape (VERDICT r14 #1): cluster labels
+    // from the persisted SigStore state instead of an inline fixpoint —
+    // serve row should read ≪ the one-shot above
+    "corpus_train_manifest_stored",
     "text_distinct_shingles_by_lang",
     "text_quality",
     "text_entropy",
@@ -119,6 +123,7 @@ object ScaleSmoke {
     "ann_ivfpq_served_topk", "ann_ivfpq_incremental",
     "dedup_incremental_stored", "dedup_components_incremental",
     "dedup_components_stored", "split_assign_leakage_safe_stored",
+    "corpus_train_manifest_stored",
     // TRAINER-BACKED queries (r14, VERDICT r13 #1): their first
     // invocation pays the per-JVM Lloyd-trainer / ANN-sample cache build
     // inside the timer — the exact conflation suspected behind the r13

@@ -117,55 +117,78 @@ object TrainingPipeline {
           .otherwise("test"))
       .select("doc_id", "cluster_id", "split_bucket", "split")
 
+  /** The CAPSTONE manifest plan shared by the one-shot and stored-label
+    * forms (so the funnel expression cannot drift between them):
+    * everything a "what do I train on" decision needs in ONE
+    * hash-checked plan — quality gate, exact-hash canonical, near-dup
+    * cluster canonical (from the given label frame), train/val/test
+    * split, and the eval-contamination flag (train docs
+    * near-duplicating any eval doc must not be trained on, or the eval
+    * is compromised). keep_train = train split ∧ quality ≥ 0.5 ∧ both
+    * canonicals ∧ not contaminating. Every input column is an
+    * already-oracle-proven operator joined back on doc_id, so the whole
+    * funnel stays equi-join shaped; the one non-column piece
+    * (contaminating-train flag) is the transpose of decontam_neardup's
+    * verdict over the same shared pair set (Dedup.trainEvalNearDup —
+    * one shingle pass feeds both).
+    */
+  private def manifestOn(s: SparkSession, d: String,
+      compLabels: DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quality = TextOps.queries("text_quality")(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val byHash = Window.partitionBy(md5(col("text")))
+    val exact = docs
+      .withColumn("exact_canonical", col("doc_id") === min("doc_id").over(byHash))
+      .select("doc_id", "exact_canonical")
+    val comp = compLabels
+      .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
+    val contam = Dedup.trainEvalNearDup(s, d)._2
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contaminates_eval", lit(true))
+    docs
+      .select(col("doc_id"), expr(
+        "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+      ).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .join(quality, Seq("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(comp, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contaminates_eval",
+        coalesce(col("contaminates_eval"), lit(false)))
+      .withColumn("keep_train",
+        col("split") === "train" && col("quality_score") >= 0.5 &&
+          col("exact_canonical") && col("cluster_canonical") &&
+          !col("contaminates_eval"))
+      .select("doc_id", "split", "quality_score", "exact_canonical",
+        "cluster_canonical", "contaminates_eval", "keep_train")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_decisions" -> ((s, d) =>
       decisions(s, d, 0.5).select(
         "doc_id", "quality_score", "exact_canonical", "cluster_canonical", "keep")),
 
-    // The CAPSTONE manifest: everything a "what do I train on" decision
-    // needs, in ONE hash-checked plan — quality gate, exact-hash
-    // canonical, near-dup cluster canonical, train/val/test split, and
-    // the eval-contamination flag (train docs near-duplicating any eval
-    // doc must not be trained on, or the eval is compromised).
-    // keep_train = train split ∧ quality ≥ 0.5 ∧ both canonicals ∧ not
-    // contaminating. Every input column is an already-oracle-proven
-    // operator joined back on doc_id, so the whole funnel stays
-    // equi-join shaped; the one new piece (contaminating-train flag) is
-    // the transpose of decontam_neardup's verdict over the same shared
-    // pair set (Dedup.trainEvalNearDup — one shingle pass feeds both).
-    "corpus_train_manifest" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val quality = TextOps.queries("text_quality")(s, d)
-        .select(col("doc_id"), col("quality_score"))
-      val byHash = Window.partitionBy(md5(col("text")))
-      val exact = docs
-        .withColumn("exact_canonical", col("doc_id") === min("doc_id").over(byHash))
-        .select("doc_id", "exact_canonical")
-      val comp = Dedup.queries("dedup_components")(s, d)
-        .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
-      val contam = Dedup.trainEvalNearDup(s, d)._2
-        .select(col("train_id").as("doc_id")).distinct()
-        .withColumn("contaminates_eval", lit(true))
-      docs
-        .select(col("doc_id"), expr(
-          "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
-        ).as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test"))
-        .join(quality, Seq("doc_id"))
-        .join(exact, Seq("doc_id"))
-        .join(comp, Seq("doc_id"))
-        .join(contam, Seq("doc_id"), "left")
-        .withColumn("contaminates_eval",
-          coalesce(col("contaminates_eval"), lit(false)))
-        .withColumn("keep_train",
-          col("split") === "train" && col("quality_score") >= 0.5 &&
-            col("exact_canonical") && col("cluster_canonical") &&
-            !col("contaminates_eval"))
-        .select("doc_id", "split", "quality_score", "exact_canonical",
-          "cluster_canonical", "contaminates_eval", "keep_train")
-    }),
+    // one-shot form: cluster labels from a from-scratch connected-
+    // components fixpoint — the oracle-scale anchor (see [[manifestOn]])
+    "corpus_train_manifest" -> ((s, d) =>
+      manifestOn(s, d, Dedup.queries("dedup_components")(s, d))),
+
+    // The PRODUCTION shape of the manifest (VERDICT r14 #1): cluster
+    // labels come from the PERSISTED SigStore label state
+    // (dedup_components_stored — base labels + absorbed deltas), so the
+    // most user-facing composite query no longer re-runs the full
+    // clustering fixpoint inline (sf10: 1695 cpu-s, ~100% of the
+    // manifest's cost; decontam + quality + splits are ~25 cpu-s
+    // combined). At 100 TB the clustering is a nightly index job; this
+    // query is what the nightly-indexed deployment actually runs. Same
+    // oracle as the one-shot: the store's contract is that its labels
+    // ARE the full-corpus clustering.
+    "corpus_train_manifest_stored" -> ((s, d) =>
+      manifestOn(s, d, SigStore.queries("dedup_components_stored")(s, d))),
 
     // Deterministic hash-based train/val/test assignment (80/10/10): pure
     // per-row map, zero shuffle, and STABLE — a doc keeps its split across
@@ -386,8 +409,10 @@ object TrainingPipeline {
        |       WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
        |FROM b""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    "corpus_train_manifest" -> {
+  // one oracle text shared by the one-shot and stored-label manifest
+  // forms (same pattern as leakageSafeSql): the stored labels must BE
+  // the full-corpus clustering, so both hash-match the same SQL
+  private lazy val manifestSql: String = {
       // renamed copies of the shingle/sig/band CTEs (shingleCte's `t`
       // collides with wsCte's `t` inside one WITH), same expressions as
       // the proven decontam_neardup oracle
@@ -436,7 +461,11 @@ object TrainingPipeline {
          |JOIN q USING (doc_id) JOIN ex USING (doc_id)
          |JOIN lab USING (doc_id) JOIN bk USING (doc_id)
          |LEFT JOIN contam ON contam.train_id = d.doc_id""".stripMargin
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "corpus_train_manifest" -> manifestSql,
+    "corpus_train_manifest_stored" -> manifestSql,
 
     "training_decisions" ->
       s"""WITH RECURSIVE ${TextOps.wsCte}, ${TextOps.qualityCte},

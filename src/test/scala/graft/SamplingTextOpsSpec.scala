@@ -187,4 +187,23 @@ class SamplingTextOpsSpec extends AnyFunSuite {
       assert(r.getDouble(2) == q2 && r.getBoolean(3) == ex2 && r.getBoolean(4) == cl2)
     }
   }
+
+  test("corpus_train_manifest_stored: identical rows to the one-shot, labels from the persisted store") {
+    // VERDICT r14 #1: the deployment-shape manifest composes persisted
+    // SigStore labels instead of re-running the components fixpoint; the
+    // two forms must be row-identical (the store's labels ARE the
+    // clustering). Sorting by doc_id gives a total order (ids unique).
+    val sf = TestSpark.sf0001
+    val oneShot = TrainingPipeline.queries("corpus_train_manifest")(spark, sf)
+      .orderBy("doc_id").collect()
+    val stored = TrainingPipeline.queries("corpus_train_manifest_stored")(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(oneShot.length == 500 && stored.length == 500)
+    assert(oneShot.map(_.toString).toSeq == stored.map(_.toString).toSeq)
+    // warm serve reads ONLY persisted label state: no cold store build
+    // may fire on a repeat invocation (the ColdBuilds attribution seam)
+    val mark = graft.ColdBuilds.mark()
+    TrainingPipeline.queries("corpus_train_manifest_stored")(spark, sf).count()
+    assert(graft.ColdBuilds.since(mark).isEmpty)
+  }
 }
