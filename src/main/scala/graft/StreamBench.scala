@@ -58,8 +58,59 @@ object StreamBench {
     (r, if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9)
   }
 
-  private def tele(cpuSec: Double): String =
-    f""","cpu_sec":$cpuSec%.3f,"loadavg":${loadAvg()}%.2f"""
+  /** Telemetry suffix for every metric line: CPU burn, loadavg, and a
+    * freshly measured calibration rate (see [[runCalibration]]) captured
+    * at emission time — i.e. immediately after the timed measurement,
+    * when the box state is closest to what the measurement saw.
+    */
+  private def tele(cpuSec: Double): String = {
+    val calib = calibSession.fold(-1.0)(runCalibration)
+    f""","cpu_sec":$cpuSec%.3f,"loadavg":${loadAvg()}%.2f,"calib_eps":$calib%.0f"""
+  }
+
+  private var calibSession: Option[SparkSession] = None
+
+  /** Pinned in-JVM calibration arm (VERDICT r14 #4): a trivial
+    * flatMapGroupsWithState counting pass over a fixed deterministic
+    * event set, re-measured right after EVERY timed row and emitted as
+    * `calib_eps` in that row's JSON. Its definition is FROZEN — it is
+    * the denominator that turns cross-round STREAM comparisons into
+    * ratio-of-ratios (measured rate ÷ same-instant calibration rate),
+    * cancelling host/tenant drift the way the batch side's interleaved
+    * AbProbe does: if a row's wall moved but its rate/calib ratio did
+    * not, the box moved, not the code. Do NOT change CalibEvents, the
+    * key width, or the state body: any edit invalidates cross-round
+    * ratio reads (note it in the round log if ever necessary).
+    */
+  private val CalibEvents = 50000
+  private var calibSeq = 0
+
+  private def runCalibration(spark: SparkSession): Double = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    calibSeq += 1
+    val name = s"sb_calib_$calibSeq"
+    val in = MemoryStream[(Long, Long)]
+    in.addData((0 until CalibEvents).map(i => ((i % 64).toLong, i.toLong)))
+    val t0 = System.nanoTime()
+    val q = in.toDS().repartition(spark.sparkContext.defaultParallelism)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[(Long, Long)], st: GroupState[Long]) => {
+          var c = st.getOption.getOrElse(0L)
+          it.foreach(_ => c += 1)
+          st.update(c)
+          Iterator.single((k, c))
+        })
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.Once())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(name).toString)
+      .start()
+    q.awaitTermination()
+    CalibEvents / ((System.nanoTime() - t0) / 1e9)
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
@@ -78,6 +129,8 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(Conditions.row("stream"))
+    calibSession = Some(spark)
+    runCalibration(spark) // warm the calibration arm's own one-time costs
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
