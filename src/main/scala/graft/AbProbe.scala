@@ -25,6 +25,10 @@ object AbProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same memory envelope as ScaleSmoke (VERDICT r13 #8): start AQE
+      // wide so sf10-sized sorts fit the default heap, coalesce back for
+      // small stages — keeps A/B runs comparable to the scale artifacts
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 128)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

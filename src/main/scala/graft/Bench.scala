@@ -80,6 +80,8 @@ object Bench {
     "ann_ivfpq_incremental",
     "ann_recall",
     "ann_recall_incremental",
+    // production-config index quality, self-graded in-plan (r15)
+    "ann_recall_production",
     "text_bm25_topk",
     "text_bm25_served_topk",
     "text_bm25_incremental",

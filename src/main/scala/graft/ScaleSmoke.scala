@@ -61,6 +61,8 @@ object ScaleSmoke {
     "ann_ivfpq_served_topk",
     "ann_ivfpq_incremental",
     "ann_recall",
+    // production K/nprobe/codebook geometry, self-graded (VERDICT r14 #5)
+    "ann_recall_production",
     // documents/embeddings-backed only: the sf1 fixture has no TPC-H
     // tables, so lineitem-bound queries (e.g. q_approx_distinct_kmv)
     // don't belong here
@@ -129,7 +131,8 @@ object ScaleSmoke {
     // inside the timer — the exact conflation suspected behind the r13
     // kmeans 586-cpu-s artifact row. The warm second run isolates the
     // marginal (serve) cost; the cold_builds field attributes the rest.
-    "embedding_kmeans", "dedup_semantic", "embedding_prototypicality")
+    "embedding_kmeans", "dedup_semantic", "embedding_prototypicality",
+    "ann_recall_production")
 
   def generate(spark: SparkSession, base: String, outDir: String,
       replicas: Int): Unit = {

@@ -365,7 +365,46 @@ object Dedup {
       math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
     }
 
-  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  /** Frontier size below which the per-round pointer-jump self-join is
+    * skipped (r15, VERDICT r14 #2): the jump is a |touched|-sized shuffle
+    * whose only purpose is collapsing long label chains fast; once the
+    * frontier is this small the residual work is a handful of cheap
+    * relax-only rounds, and paying a full-graph shuffle per round to
+    * maybe save one of them is a loss (sf10 measured: rounds with
+    * frontier 289/13/4/0 each cost ~9 s of pure full-graph machinery).
+    */
+  private[graft] val CcJumpMinFrontier = 65536L
+
+  /** Frontier row-count ceiling for broadcasting the frontier into the
+    * message join (≈100 MB at 24 B/row worst case — comfortably inside
+    * both the driver and a 1000-executor cluster's broadcast budget).
+    * Above it the message join shuffles, exactly as the legacy plan.
+    */
+  private[graft] val CcBroadcastMaxFrontier = 4000000L
+
+  /** Per-round fixpoint observability — the counter-tripwire seam the r14
+    * stale-gate postmortem mandated for every plan router (VERDICT r14
+    * #9): each distributed-fixpoint round records (message_sources,
+    * changed) — message_sources is the frontier row count actually fed
+    * into the round's message join, or -1 when the join fed ALL touched
+    * nodes (every legacy round; frontier-mode round 1). A spec asserts
+    * the frontier and legacy arms differ OBSERVABLY (late-round sources
+    * ≪ touched) rather than trusting the toggle wiring. Reset before a
+    * measured run; single-JVM test seam.
+    */
+  private[graft] object CcProbe {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def reset(): Unit = synchronized(buf.clear())
+    def record(frontier: Long, changed: Long): Unit =
+      synchronized(buf += ((frontier, changed)))
+    def rounds: Seq[(Long, Long)] = synchronized(buf.toSeq)
+  }
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
+    connectedComponents(nodes, edges, CcDriverMaxEdges)
+
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      driverMaxEdges: Long): DataFrame = {
     // materialize the (possibly expensive) edge pipeline ONCE before the
     // symmetric union references it twice
     val e = edges.transform(Materialize.once)
@@ -377,7 +416,7 @@ object Dedup {
     // construction (root = component min). Count-guarded: past the cap
     // the distributed loop below runs instead — the collect is bounded
     // by the guard, never O(corpus).
-    if (e.count() <= CcDriverMaxEdges) {
+    if (e.count() <= driverMaxEdges) {
       val edgeArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       // edges are fully collected; the returned plan reads only the
       // broadcast local labels — free the edge checkpoint now
@@ -411,38 +450,69 @@ object Dedup {
     // returned plan reads it); keeps a reliable-checkpoint fixpoint at
     // O(1) files on disk instead of O(iterations) (ADVICE r11)
     var prevBack = labels
+    // DELTA (frontier) propagation — r15, VERDICT r14 #2. Labels only
+    // ever decrease, so a node whose label did NOT change in round k has
+    // nothing new to tell its neighbors in round k+1: whatever it holds
+    // was already broadcast the last time it changed (or in round 1,
+    // whose frontier is every touched node carrying the seed labels).
+    // Restricting the message join to last round's CHANGED nodes is
+    // therefore output-invariant, and the late rounds — measured at sf10
+    // as 4 × ~9 s of full-graph shuffles to propagate 289/13/4/0 changes
+    // — collapse to broadcast-join scans. `graft.cc.frontier=off` pins
+    // the legacy full-frontier plan as the interleaved A/B arm.
+    val legacy = sys.props.get("graft.cc.frontier").contains("off")
+    var frontier = labels // round 1: all touched nodes (seed labels)
+    var frontSize = Long.MaxValue // unknown until the first changed-count
     var changed = 1L
     while (changed > 0) {
       val tRound = System.nanoTime()
+      // Pointer jumping (label <- label(label)) collapses chains
+      // exponentially but costs a |touched|-sized self-join shuffle per
+      // round; once the frontier is small the relax-only rounds that
+      // replace it are each far cheaper than one jump round.
+      val useJump = legacy || frontSize >= CcJumpMinFrontier
+      val fr =
+        if (!legacy && frontSize <= CcBroadcastMaxFrontier) broadcast(frontier)
+        else frontier
       // edge relaxation: each node takes the min label among itself and
-      // its neighbors. The pre-relaxation label rides along as `prev`, so
-      // the convergence check is a filter on this frame — no extra join.
-      val nbrMin = sym.join(labels, col("v") === col("node"))
+      // the labels its (frontier) neighbors hold. The pre-relaxation
+      // label rides along as `prev`, so the convergence check is a
+      // filter on this frame — no extra join.
+      val nbrMin = sym.join(fr, col("v") === col("node"))
         .groupBy("u").agg(min("label").as("nbr"))
       val relaxed = labels.join(nbrMin, col("node") === col("u"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
           col("label").as("prev"))
-        .transform(Materialize.once) // both consumers below read it; un-checkpointed
-                               // self-join branches each recompute the subtree
-      // pointer jumping: label <- label(label); labels always point at
-      // reachable nodes, so the fixpoint (component min) is unchanged but
-      // chains collapse exponentially. (A second hop per round was
-      // measured to NOT reduce rounds here: convergence is bounded by
-      // relaxation distance through the edges, not label-chain length.)
-      val jump = relaxed.select(col("node").as("label"), col("label").as("label2"))
-      val next = relaxed.join(jump, Seq("label"))
-        .select(col("node"), col("label2").as("label"), col("prev"))
-        .transform(Materialize.once)
+      val next =
+        if (useJump) {
+          // both consumers below read relaxed; un-checkpointed self-join
+          // branches would each recompute the subtree
+          val relaxedM = relaxed.transform(Materialize.once)
+          val jump = relaxedM
+            .select(col("node").as("label"), col("label").as("label2"))
+          val n = relaxedM.join(jump, Seq("label"))
+            .select(col("node"), col("label2").as("label"), col("prev"))
+            .transform(Materialize.once)
+          Materialize.drop(relaxedM)
+          n
+        } else relaxed.transform(Materialize.once)
       changed = next.filter(col("label") < col("prev")).count()
-      // superseded this round: `relaxed` (consumed only by next's
-      // materialization) and the frame behind the previous `labels`
-      Materialize.drop(relaxed)
+      // superseded this round: the frame behind the previous `labels`
+      // (also backing the consumed frontier)
       Materialize.drop(prevBack)
       prevBack = next
       labels = next.select("node", "label")
+      // next round's message sources: exactly the nodes that changed
+      // (filter over the checkpointed frame — no extra job)
+      frontier =
+        if (legacy) labels
+        else next.filter(col("label") < col("prev")).select("node", "label")
+      CcProbe.record(
+        if (legacy || frontSize == Long.MaxValue) -1L else frontSize, changed)
+      frontSize = changed
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
-        System.err.println(f"[cc] round changed=$changed wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
+        System.err.println(f"[cc] round changed=$changed jump=$useJump wall=${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     // the returned plan reads only `labels` (backed by the final round's
     // checkpoint, kept) and `nodes`
