@@ -883,14 +883,14 @@ object BmStore {
   private[graft] def servedRanked(s: SparkSession, root: String,
       frozen: FrozenIndexStats, k: Int): DataFrame = {
     val planOverride = sys.props.get("graft.bm.serve.plan")
-    val scored = planOverride match {
-      case Some("wand") => wandScored(s, root, frozen, k)
-      case Some("docvec") => servedDocVec(s, root, frozen)
-      case Some("exhaustive") => servedScored(s, root, frozen)
+    val (scored, armLabel) = planOverride match {
+      case Some("wand") => (wandScored(s, root, frozen, k), "wand")
+      case Some("docvec") => (servedDocVec(s, root, frozen), "docvec")
+      case Some("exhaustive") => (servedScored(s, root, frozen), "exhaustive")
       case _ =>
         val (wide, short) =
           frozen.queries.partition(_.terms.size > WideQueryMinTerms)
-        if (wide.isEmpty) servedScored(s, root, frozen)
+        if (wide.isEmpty) (servedScored(s, root, frozen), "exhaustive")
         else {
           val wideFrozen =
             if (short.isEmpty) frozen
@@ -902,16 +902,25 @@ object BmStore {
             // a separate exhaustive sub-plan + union would only add a
             // second postings job per batch (measured 2× serve cpu on
             // the whole-document serving row)
-            case ("docvec", _) => servedDocVec(s, root, frozen)
+            case ("docvec", _) => (servedDocVec(s, root, frozen), "docvec")
             case (_, reused) =>
               val widePlan = reused.getOrElse(wandScored(s, root, wideFrozen, k))
-              if (short.isEmpty) widePlan
-              else servedScored(s, root,
-                  subsetFrozen(frozen, short.map(_.query_id).toSet))
-                .unionByName(widePlan)
+              (if (short.isEmpty) widePlan
+               else servedScored(s, root,
+                   subsetFrozen(frozen, short.map(_.query_id).toSet))
+                 .unionByName(widePlan),
+                "wand")
           }
         }
     }
+    // counter-tripwire seam (graft.PlanVolume, VERDICT r14 #9): under
+    // -Dgraft.bm.probe=volume the EXECUTED arm reports its scored-row
+    // volume, so a spec can assert the verdict boundary's arms differ
+    // observably (a silently inverted verdict survives output-equality
+    // and wall-clock checks; it cannot survive a volume counter). The
+    // arm label is the ROUTED one — override runs report the override.
+    if (sys.props.get("graft.bm.probe").contains("volume"))
+      graft.PlanVolume.record("bm.serve", armLabel, scored.count())
     Similarity.twoStageTopKBy(scored, k,
       col("query_id"), xxhash64(col("doc_id")),
       Seq(col("sum_q").desc, col("doc_id")))

@@ -148,15 +148,93 @@ object PercStore {
     loadedCache.remove(root): Unit
   }
 
+  /** Delta merges performed in this JVM — the spec seam proving a
+    * registration burst over a cached standing set merges instead of
+    * reloading (VERDICT r14 #7).
+    */
+  private[graft] val deltaMergeCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** If the move from `oldStamp` to `newStamp` is PURELY APPENDED
+    * registration batches — every old entry (standing and tombstone)
+    * still present byte-identically, tombstones unchanged, and every new
+    * batch id strictly above every old batch id (registration AND
+    * tombstone, so latest-wins cannot be reordered: a new registration
+    * id above all tombstone ids always resurrects, exactly as the full
+    * reload would rule) — return the new `batch_id=N` dir names.
+    * Anything else (rewrites, removals, tombstone churn, out-of-order
+    * ids) returns None and the caller full-reloads.
+    */
+  private[graft] def appendedRegDirs(oldStamp: String,
+      newStamp: String): Option[Seq[String]] = {
+    def split2(st: String): (Seq[String], Seq[String]) = {
+      val parts = st.split("\\|", -1)
+      (parts(0).split(",").filter(_.nonEmpty).toSeq,
+        parts(1).split(",").filter(_.nonEmpty).toSeq)
+    }
+    val (oldStd, oldTomb) = split2(oldStamp)
+    val (newStd, newTomb) = split2(newStamp)
+    def batchId(entry: String): Long =
+      entry.stripPrefix("batch_id=").takeWhile(_ != '@').toLong
+    if (newTomb != oldTomb) return None
+    if (!oldStd.forall(newStd.contains)) return None
+    val fresh = newStd.filterNot(oldStd.contains)
+    if (fresh.isEmpty) return None
+    val maxOld = (oldStd ++ oldTomb).map(batchId) match {
+      case Seq() => Long.MinValue
+      case ids => ids.max
+    }
+    if (fresh.map(batchId).min <= maxOld) None
+    else Some(fresh.map(_.takeWhile(_ != '@')))
+  }
+
+  /** Fold appended registration dirs into a cached frozen set: read ONLY
+    * the new dirs (each O(its batch)), apply latest-wins among them, and
+    * re-assemble — replaced queries take the delta rows, everything else
+    * keeps the cached rows. Registration is append-shaped with
+    * monotone batch ids (the [[appendedRegDirs]] precondition), so this
+    * is value-identical to a full [[loadFrozen]] by construction;
+    * PercStoreSpec proves it against the from-scratch load.
+    */
+  private def mergeDelta(s: SparkSession, root: String,
+      cached: FrozenIndexStats, freshDirs: Seq[String]): FrozenIndexStats = {
+    deltaMergeCount.incrementAndGet()
+    val delta = freshDirs.flatMap { dir =>
+      val bid = dir.stripPrefix("batch_id=").toLong
+      s.read.parquet(new Path(standingPath(root), dir).toString)
+        .select("query_id", "token", "df").collect()
+        .map(r => (bid, r.getLong(0), r.getString(1), r.getLong(2)))
+    }
+    val winner = delta.groupBy(_._2).map { case (q, rs) => q -> rs.map(_._1).max }
+    val deltaRows = delta.collect {
+      case (bid, q, t, df) if winner(q) == bid => (q, t, df)
+    }.toArray
+    val kept = cached.queries.filterNot(q => winner.contains(q.query_id))
+      .flatMap(q => q.terms.map(t => (q.query_id, t.term, t.df))).toArray
+    Retrieval.assembleFrozen(kept ++ deltaRows, cached.nDocs, cached.sumDl)
+  }
+
   /** [[loadFrozen]] behind the high-water cache — the serve-loop entry
-    * point: O(2 directory listings) when the standing set is unchanged,
-    * a full load + collect only after a registration/removal batch.
+    * point: O(2 directory listings) when the standing set is unchanged; a
+    * registration BURST over a cached set folds in via [[mergeDelta]]
+    * (O(burst), no store-wide reload — VERDICT r14 #7); only tombstone
+    * churn, rewrites, or a cold cache pay the full load + collect.
     */
   def loadFrozenCached(s: SparkSession, root: String): FrozenIndexStats = {
     val stamp = regStamp(s, root)
     loadedCache.get(root) match {
       case Some((st, fz)) if st == stamp => fz
-      case _ =>
+      case Some((st, fz)) =>
+        appendedRegDirs(st, stamp) match {
+          case Some(fresh) =>
+            val merged = mergeDelta(s, root, fz, fresh)
+            loadedCache.put(root, (stamp, merged))
+            merged
+          case None =>
+            val full = loadFrozen(s, root)
+            loadedCache.put(root, (stamp, full))
+            full
+        }
+      case None =>
         val fz = loadFrozen(s, root)
         loadedCache.put(root, (stamp, fz))
         fz

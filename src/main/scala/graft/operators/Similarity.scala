@@ -458,27 +458,37 @@ object Similarity {
     * at cosine ≈ 0.32), so brute-force recall@5 on natural queries is
     * data-bound for ANY pruning index — the row reports it, with its own
     * honest floor [[ProdRecall5Bound]], but grades chiefly on the planted
-    * retrieval regime every production ANN serves. Measured hit@1: 1.0 at
-    * sf0.001/sf0.01/sf0.1; the floor leaves room for unlucky cell
+    * retrieval regime every production ANN serves. Hit = rank-1's exact
+    * cosine ≥ mix − ε (robust to replicated-embedding fixtures where a
+    * seed's replica is an equally correct answer). Measured: 1.0 at
+    * every scale incl. sf10; the floor leaves room for unlucky cell
     * boundaries at other scales, not for a broken index.
     */
   private[graft] val ProdHitBound = 0.85
 
   /** Floor for the reported brute-force recall@5 on the planted-query
-    * workload: position 1 is the planted seed (measured found at rate
-    * 1.0 across scales); positions 2-5 are isotropic-noise neighbors
-    * whose cells are uncorrelated with the query, so their find rate is
-    * ~nprobe/K = 8/64 shrinking with corpus size as PQ ranking noise
-    * crowds them out (measured recall@5: 0.36 sf0.001, 0.26 sf0.01,
-    * 0.195 sf0.1; asymptote hit@1/k = 0.2). Floor sits under the
-    * asymptote minus PQ-noise margin.
+    * workload (ADC shortlist → exact re-rank serve): position 1 is the
+    * planted seed (found at rate ~1.0 across scales); positions 2-5 are
+    * isotropic-noise neighbors whose cells are uncorrelated with the
+    * query, so their structural find ceiling is ~nprobe/K = 8/64 plus
+    * whatever the re-ranked shortlist recovers (measured: 0.60 sf0.001,
+    * 0.52 sf0.01, 0.495 sf0.1, 0.964 sf10 — the last inflated by the
+    * scale fixture's replicated embeddings giving every query REAL
+    * near-duplicate neighbors, i.e. the regime where recall honestly
+    * rises). Floor sits under the natural-data trend with margin.
     */
-  private[graft] val ProdRecall5Bound = 0.15
+  private[graft] val ProdRecall5Bound = 0.35
 
   /** Mix weight for the planted queries: q ∝ w·seed + √(1−w²)·noise, so
     * cos(q, seed) ≈ w in high dimension (noise ⊥ seed w.h.p.).
     */
   private[graft] val ProdQueryMix = 0.95
+
+  /** ADC shortlist depth fed to the exact re-rank — the two-stage serve
+    * every production PQ deployment runs (compressed-domain candidate
+    * generation, exact scoring of the tiny shortlist).
+    */
+  private[graft] val ProdRerankDepth = 100
 
   /** Plain driver-side Lloyd over a bounded sample (L2 assignment, mean
     * update, empty cluster keeps its previous centroid). The sample is
@@ -941,18 +951,37 @@ object Similarity {
       val scored = corpus
         .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
         .withColumn("approx_dist", expr(adcExprN(ProdPqCodewords)))
-      val approx = twoStageTopK(scored, 5, col("approx_dist"))
-        .select("query_id", "rank", "vec_id")
+      // production serving shape: ADC SHORTLIST (top-ProdRerankDepth per
+      // query) → EXACT re-rank of the shortlist's original vectors
+      // (O(Q·depth) — the ann_hybrid_served_rerank idiom). Without the
+      // re-rank, PQ crowding erodes hit@1 as the corpus grows (measured
+      // sf10: 0.66 ADC-only); with it the number measures what the index
+      // actually serves.
+      val shortlist = twoStageTopK(scored, ProdRerankDepth, col("approx_dist"))
+        .select("query_id", "vec_id")
+      val approx = twoStageTopK(
+        shortlist
+          .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
+          .join(broadcast(qvec), Seq("query_id"))
+          .withColumn("cos_q", round(expr("dot_double(ce, qe)") /
+            sqrt(expr("dot_double(ce, ce)")) * lit(1e6)).cast("long")),
+        5, col("cos_q").desc)
+        .select("query_id", "rank", "vec_id", "cos_q")
       // exact ground truth for the same planted queries: brute-force
       // cosine top-5 (one corpus pass × 50 broadcast queries)
       val bf = twoStageTopK(
         cosineCols(e.select(col("vec_id"), col("emb").as("ce"))
           .join(broadcast(qvec), col("query_id") =!= col("vec_id"))),
         5, col("cosine").desc).select("query_id", "rank", "vec_id")
-      // the planted seed keeps its corpus vec_id as the query_id, so the
-      // planted-neighbor hit is simply rank-1 returning the query's own id
+      // planted-neighbor hit: rank-1 returns something AT LEAST AS CLOSE
+      // as the planted seed (exact cosine ≥ mix − ε). Graded by cosine,
+      // not id equality: the scale fixtures replicate embeddings, so the
+      // exact re-rank legitimately returns a replica of the seed — a
+      // correct retrieval an id check would score 0 (observed at sf10:
+      // id-hit 0.0 with recall@5 0.964).
+      val hitFloor = math.round((ProdQueryMix - 0.02) * 1e6)
       val hit1 = approx.filter(col("rank") === 1)
-        .agg(sum(when(col("vec_id") === col("query_id"), 1L).otherwise(0L))
+        .agg(sum(when(col("cos_q") >= hitFloor, 1L).otherwise(0L))
           .as("hits1"))
       val rec5 = approx.join(broadcast(bf), Seq("query_id", "vec_id"))
         .agg(count(lit(1)).as("hits5"))
@@ -1056,16 +1085,62 @@ object Similarity {
     * carrying 2×64 doubles per pair turns a ~200 MB ranking input into
     * gigabytes at sf1.
     */
+  /** The k-means assignment + norm pass behind dedup_semantic, PERSISTED
+    * per content version (r15, VERDICT r14 #6): the serve-side cost of
+    * dedup_semantic was dominated by re-running corpus × K centroid
+    * cosines on every invocation (sf10: 500 k vecs × ~1000 derived
+    * centroids × 64 dims ≈ 32 G multiply-adds ≈ the whole 192 cpu-s
+    * serve). The assignment is a pure function of the corpus (trained
+    * centroids are content-cached and deterministic), so it is written
+    * once as (vec_id, cluster_id, emb, nrm) parquet — the docvec.parquet
+    * idiom — and every later serve, including from a FRESH JVM, is a
+    * narrow scan needing neither the Lloyd trainer nor the assignment
+    * flops. `graft.sem.assign=inline` pins the legacy in-plan compute as
+    * the interleaved A/B arm. Torn writes rebuild: the _READY marker is
+    * created only after the parquet commit.
+    */
+  private def assignedFrame(s: SparkSession, d: String): DataFrame = {
+    def compute = {
+      val cents = trainedCentroids(s, d)
+      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
+      withEmb(s, d)
+        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"),
+          col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
+    }
+    if (sys.props.get("graft.sem.assign").contains("inline"))
+      // both self-join sides (and only they) consume the pass:
+      // materialize once — the sibling self-join convention
+      compute.transform(Materialize.once)
+    else synchronized {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(12)
+      val root = new java.io.File(new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign"), key)
+      val ready = new java.io.File(root, "_READY")
+      if (!ready.exists()) {
+        graft.ColdBuilds.record("sem_assign_build")
+        val p = new org.apache.hadoop.fs.Path(root.toString)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        compute.write.mode("overwrite")
+          .parquet(new java.io.File(root, "assign.parquet").toString)
+        ready.createNewFile()
+      }
+      // both self-join sides consume the read: one parquet scan per
+      // serve, not two (the same once-materialization the inline arm
+      // gets; at small scales the scan, not the assignment flops, is
+      // the marginal cost)
+      s.read.parquet(new java.io.File(root, "assign.parquet").toString)
+        .transform(Materialize.once)
+    }
+  }
+
   private def semanticPairs(s: SparkSession, d: String): DataFrame = {
-    val cents = trainedCentroids(s, d)
-    val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
-    // both self-join sides (and only they) consume the assignment + norm
-    // pass: materialize it once — the convention every sibling self-join
-    // follows
-    val assigned = withEmb(s, d)
-      .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"),
-        col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
-      .transform(Materialize.once)
+    // the stored assignedFrame path never touches withEmb, so the session
+    // functions (dot_double below) must register here explicitly
+    registerFns(s)
+    val assigned = assignedFrame(s, d)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"),
       col("emb").as("e1"), col("nrm").as("n1"))
     val b0 = assigned.select(col("cluster_id"), col("vec_id").as("id2"),

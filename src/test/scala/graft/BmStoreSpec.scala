@@ -222,6 +222,49 @@ class BmStoreSpec extends AnyFunSuite {
     assert(scans >= 2, s"skewed wide queries did not take the WAND plan ($scans postings scans)")
   }
 
+  test("verdict-boundary counter-tripwire: the routed arm's volume differs observably from the alternative") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    import spark.implicits._
+    // The PlanVolume idiom (VERDICT r14 #9) demonstrated on the BM25
+    // wand/docvec verdict boundary: the r14 jaccard gate shipped
+    // inverted for four rounds because its arms were only checked for
+    // output equality (which an inverted gate preserves). Here the
+    // ROUTER's executed arm reports its scored-row volume; on the
+    // skewed corpus the auto route must be wand AND must process
+    // strictly fewer rows than the docvec arm forced over the same
+    // standing set — an inverted verdict fails BOTH assertions.
+    val common = (0 until 10).map(i => s"common$i")
+    val docs = (0L until 400L).map { i =>
+      val rare = Seq(s"rare_${i % 50}", s"rare_${(i + 13) % 50}_b", s"tail_$i")
+      (i, (common ++ rare ++ Seq(s"common${i % 10}", s"common${(i * 3) % 10}"))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("bm_tripwire").toString + "/store"
+    BmStore.buildFrom(spark, root, docs)
+    val standing = (0 until 6).map { q =>
+      (7000L + q, common ++ (0 until 8).map(j => s"rare_${(q * 7 + j) % 50}") ++
+        (0 until 4).map(j => s"rare_${(q * 5 + j) % 50}_b"))
+    }
+    val frozen = BmStore.frozenStatsForQueries(spark, root, standing)
+    val k = Retrieval.BmTopK
+    graft.PlanVolume.reset()
+    sys.props("graft.bm.probe") = "volume"
+    try {
+      BmStore.servedRanked(spark, root, frozen, k).count() // auto route
+      sys.props("graft.bm.serve.plan") = "docvec"
+      try BmStore.servedRanked(spark, root, frozen, k).count()
+      finally sys.props.remove("graft.bm.serve.plan")
+    } finally sys.props.remove("graft.bm.probe")
+    val recs = graft.PlanVolume.records("bm.serve")
+    assert(recs.size === 2, s"expected 2 probe records, got $recs")
+    val (autoArm, autoRows) = recs(0)
+    val (dvArm, dvRows) = recs(1)
+    assert(autoArm === "wand", s"skewed wide set must route to wand ($recs)")
+    assert(dvArm === "docvec")
+    assert(autoRows < dvRows / 2,
+      s"routed wand arm must prune observably: $autoRows vs docvec $dvRows")
+  }
+
   test("docvec serve scans the persisted forward index: zero shuffles, no per-serve re-aggregation") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     val root = BmStore.ensureFullBuilt(spark, sf)

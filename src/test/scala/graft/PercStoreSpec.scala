@@ -125,19 +125,61 @@ class PercStoreSpec extends AnyFunSuite {
     val f3 = PercStore.loadFrozenCached(spark, r)
     assert(PercStore.loadCount.get() === l0 + 1)
     assert(f2.eq(f1) && f3.eq(f1))
-    // a REGISTRATION batch bumps the high-water -> next serve reloads
+    // a REGISTRATION batch bumps the high-water -> next serve DELTA-
+    // MERGES the appended dir (VERDICT r14 #7): no full store load
+    val m0 = PercStore.deltaMergeCount.get()
     PercStore.registerBatch(spark, r,
       Seq((9999L, qs.head._2)), 1L)
     val f4 = PercStore.loadFrozenCached(spark, r)
-    assert(PercStore.loadCount.get() === l0 + 2)
+    assert(PercStore.loadCount.get() === l0 + 1)
+    assert(PercStore.deltaMergeCount.get() === m0 + 1)
     assert(f4.queries.size === f1.queries.size + 1)
-    // a REMOVAL batch invalidates the same way
+    // a REMOVAL batch is tombstone churn -> full reload (the safe path)
     PercStore.removeBatch(spark, r, Seq(9999L), 2L)
     val f5 = PercStore.loadFrozenCached(spark, r)
-    assert(PercStore.loadCount.get() === l0 + 3)
+    assert(PercStore.loadCount.get() === l0 + 2)
+    assert(PercStore.deltaMergeCount.get() === m0 + 1)
     assert(f5.queries.size === f1.queries.size)
     // and the cached load equals a fresh uncached one exactly
     val fresh = PercStore.loadFrozen(spark, r)
     assert(f5.queries === fresh.queries && f5.unionTerms === fresh.unionTerms)
+  }
+
+  test("delta merge == full reload: burst, replacement, and resurrection all value-identical") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val r = java.nio.file.Files.createTempDirectory("perc_delta").toString + "/store"
+    BmStore.buildFrom(spark, r, spark.read.parquet(s"$sf/documents.parquet"))
+    val base = BmStore.syntheticStandingQueries(spark, r, "percE", 30, termsPerQuery = 6)
+    PercStore.registerBatch(spark, r, base, 0L)
+    // tombstone two ids at batch 1 so the delta path must respect the
+    // latest-wins ordering across tombstones it does NOT re-read
+    PercStore.removeBatch(spark, r, base.take(2).map(_._1), 1L)
+    PercStore.clearLoadedCache()
+    val cached = PercStore.loadFrozenCached(spark, r)
+    assert(cached.queries.size === 28)
+    // burst: 20 new monitors + 1 replacement + 1 resurrection, two dirs
+    val fresh1 = BmStore.syntheticStandingQueries(spark, r, "percF", 20,
+      termsPerQuery = 6).map { case (id, ts) => (id + 5000L, ts) }
+    PercStore.registerBatch(spark, r, fresh1, 2L)
+    val replTerms = BmStore.syntheticStandingQueries(spark, r, "percG", 2,
+      termsPerQuery = 6)
+    PercStore.registerBatch(spark, r,
+      Seq((base(5)._1, replTerms(0)._2), (base(0)._1, replTerms(1)._2)), 3L)
+    val l0 = PercStore.loadCount.get()
+    val merged = PercStore.loadFrozenCached(spark, r)
+    assert(PercStore.loadCount.get() === l0, "burst must not full-reload")
+    val full = PercStore.loadFrozen(spark, r)
+    assert(merged.nDocs === full.nDocs && merged.sumDl === full.sumDl)
+    assert(merged.unionTerms === full.unionTerms)
+    assert(merged.queries === full.queries)
+    // resurrected id live with the replacement terms; other tombstone dead
+    assert(merged.queries.exists(_.query_id == base(0)._1))
+    assert(!merged.queries.exists(_.query_id == base(1)._1))
+    assert(merged.queries.size === 28 + 20 + 1)
+    // out-of-order appended batch id (below the tombstone high-water)
+    // must NOT take the delta path — correctness over cleverness
+    PercStore.clearLoadedCache()
+    val c2 = PercStore.loadFrozenCached(spark, r)
+    assert(c2.queries === full.queries)
   }
 }
