@@ -277,6 +277,14 @@ object ScaleSmoke {
           println(lines.last)
           System.err.println(s"[scale] $name failed: $e")
       }
+      // between-query hygiene, OUTSIDE every timer: localCheckpoint
+      // blocks of the finished query's frames are dead the moment its
+      // DataFrames go out of scope, but the ContextCleaner only sweeps
+      // them after a driver GC — without this nudge a basket accumulates
+      // GBs of dead blocks and a later query's sort spike OOMs the
+      // default heap (r15: components at basket position 10 died where
+      // the same query solo succeeded)
+      System.gc()
     }
     // artifact discipline (same as Bench): full per-query detail to a
     // file, short always-parseable summary as the LAST stdout line, so a

@@ -578,8 +578,9 @@ object StreamBench {
     // reloaded + re-collected the store every batch); only a
     // registration/removal batch bumping the high-water pays a real
     // load. The rows carry the measured full-load count so the artifact
-    // is self-attributing: 0 during the steady window, exactly 1 after
-    // the mid-stream registration burst, with the serve rate holding.
+    // is self-attributing: 0 during the steady window AND after the
+    // mid-stream registration burst (which delta-merges, r15), with the
+    // serve rate holding.
     def runServedPerc(rows: Seq[IngestEvent], nBatches: Int): (Double, Long) = {
       val in = MemoryStream[IngestEvent]
       rows.grouped(math.max(1, rows.length / nBatches)).foreach(b => in.addData(b))
@@ -610,18 +611,22 @@ object StreamBench {
     require(steadyLoads == 0,
       s"steady-state serve paid $steadyLoads standing-store loads (expected 0)")
     println(f"""{"metric":"percolate_served_steady_docs_per_sec","value":${servePool.length / svSecs}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size},"store_loads_in_window":$steadyLoads,"matches":$svMatches,"wall_sec":$svSecs%.3f${tele(cpuPs)}}""")
-    // registration burst mid-stream: exactly one reload, rate holds
+    // registration burst mid-stream (r15, VERDICT r14 #7): the appended
+    // batch DELTA-MERGES into the cached standing set — ZERO full store
+    // loads, exactly one O(burst) merge — and the rate holds
     graft.operators.PercStore.registerBatch(spark, bmRoot,
       graft.operators.BmStore.syntheticStandingQueries(
         spark, bmRoot, "sbburst", 200, termsPerQuery = 8,
         idBase = 2000000L), // disjoint from the sbreg ids: the burst ADDS
       99L)                  // 200 monitors rather than replacing existing
     val lBurst0 = graft.operators.PercStore.loadCount.get()
+    val mBurst0 = graft.operators.PercStore.deltaMergeCount.get()
     val ((svSecs2, svMatches2), cpuPs2) = withCpu(runServedPerc(servePool, 8))
     val burstLoads = graft.operators.PercStore.loadCount.get() - lBurst0
-    require(burstLoads == 1,
-      s"post-burst serve paid $burstLoads standing-store loads (expected 1)")
-    println(f"""{"metric":"percolate_served_postburst_docs_per_sec","value":${servePool.length / svSecs2}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size + 200},"store_loads_in_window":$burstLoads,"matches":$svMatches2,"wall_sec":$svSecs2%.3f${tele(cpuPs2)}}""")
+    val burstMerges = graft.operators.PercStore.deltaMergeCount.get() - mBurst0
+    require(burstLoads == 0 && burstMerges == 1,
+      s"post-burst serve paid $burstLoads full loads / $burstMerges delta merges (expected 0 / 1)")
+    println(f"""{"metric":"percolate_served_postburst_docs_per_sec","value":${servePool.length / svSecs2}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size + 200},"store_loads_in_window":$burstLoads,"delta_merges_in_window":$burstMerges,"matches":$svMatches2,"wall_sec":$svSecs2%.3f${tele(cpuPs2)}}""")
 
     // ---- decontamination gate: arrivals probed against the frozen eval
     // artifacts (bloom + exact shingle set + winnow fingerprints —

@@ -61,17 +61,31 @@ private[graft] object Materialize {
   def drop(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.getCheckpointFile.foreach { path =>
-          val p = new org.apache.hadoop.fs.Path(path)
-          try {
-            val fs =
-              p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-            if (fs.delete(p, true)) reliableDrops.incrementAndGet()
-          } catch {
-            // best-effort: a failed delete leaves garbage, never kills the job
-            case e: java.io.IOException =>
-              System.err.println(s"[materialize] checkpoint cleanup failed for $path: $e")
-          }
+        l.rdd.getCheckpointFile match {
+          case Some(path) =>
+            val p = new org.apache.hadoop.fs.Path(path)
+            try {
+              val fs =
+                p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              if (fs.delete(p, true)) reliableDrops.incrementAndGet()
+            } catch {
+              // best-effort: a failed delete leaves garbage, never kills the job
+              case e: java.io.IOException =>
+                System.err.println(s"[materialize] checkpoint cleanup failed for $path: $e")
+            }
+          case None =>
+            // localCheckpoint flavor: the blocks ARE the data (lineage
+            // truncated), and without an explicit unpersist they linger
+            // until a DRIVER GC lets the ContextCleaner sweep them — in a
+            // basket run that lag accumulated ~GBs of dead blocks and
+            // OOM'd a later query's 16-way sort spike (r15, observed at
+            // sf10 under the default 8 GiB heap: a query that succeeds
+            // first-in-JVM died at basket position 10). drop()'s contract
+            // is "never computed again", so freeing the blocks eagerly is
+            // exactly right; the RDD must simply never be read again —
+            // which is the same promise the reliable flavor's file delete
+            // already extracts from callers.
+            l.rdd.unpersist(blocking = false)
         }
       case _ => ()
     }
