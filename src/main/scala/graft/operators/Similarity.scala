@@ -828,10 +828,14 @@ object Similarity {
           round(col("approx_dist"), 4).as("approx_dist"))
     }),
     "embedding_kmeans" -> ((s, d) => {
-      val fn = graft.functions.GraftFunctions.registerIvf(s, trainedCentroids(s, d), 1)
+      // assignments come from the persisted store (r15): a fresh-JVM
+      // serve is one narrow scan — no Lloyd trainer, no corpus × K
+      // assignment pass. Values identical by construction (the store is
+      // written from the same trained-centroid expression the inline arm
+      // evaluates; graft.sem.assign=inline pins that arm).
       val w = Window.partitionBy(col("cluster_id"))
-      withEmb(s, d)
-        .select(col("vec_id"), expr(s"element_at($fn(emb), 1)").as("cluster_id"))
+      assignedFrame(s, d)
+        .select("vec_id", "cluster_id")
         .withColumn("cluster_size", count(lit(1)).over(w))
         .select("vec_id", "cluster_id", "cluster_size")
     }),
@@ -849,14 +853,16 @@ object Similarity {
       // task. Centroids ride in as a broadcast (K × dims ≤ 64k rows).
       import s.implicits._
       val cents = trainedCentroids(s, d)
-      val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
       val cdf = cents.zipWithIndex
         .map { case (cv, i) => (i, cv.toSeq) }.toSeq
         .toDF("cluster_id", "cv")
       val byCluster = Window.partitionBy(col("cluster_id"))
-      withEmb(s, d)
-        .select(col("vec_id"), col("emb"),
-          expr(s"element_at($fn(emb), 1)").as("cluster_id"))
+      // assignment + norm from the persisted store (r15): `nrm` was
+      // written by the identical sqrt(dot_double(emb, emb)) expression,
+      // so cos_q below is bit-identical to the inline formulation. The
+      // trainer is still consulted for the centroid VALUES (cv) — a
+      // model-sized cost, cached per JVM.
+      assignedFrame(s, d)
         .join(broadcast(cdf), "cluster_id")
         // rank and keep derive from a 1e-6-QUANTIZED LONG, never a
         // round(double, 4): the 4-decimal double round is the
@@ -867,7 +873,7 @@ object Similarity {
         // cos_q/1e6, an identical long-by-literal double division in
         // both engines (bit-stable, exact to print).
         .withColumn("cos_q", round(expr("dot_double(emb, cv)") /
-          (sqrt(expr("dot_double(emb, emb)")) * sqrt(expr("dot_double(cv, cv)"))) * lit(1e6))
+          (col("nrm") * sqrt(expr("dot_double(cv, cv)"))) * lit(1e6))
           .cast("long"))
         .withColumn("cos_centroid", col("cos_q") / lit(1e6))
         .withColumn("rank_in_cluster", row_number().over(
