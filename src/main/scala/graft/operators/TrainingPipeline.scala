@@ -22,14 +22,23 @@ object TrainingPipeline {
 
   /** Filter + dedup decision per document (no side effects): keep iff
     * quality_score ≥ minQuality AND exact-hash canonical AND near-dup
-    * cluster canonical.
+    * cluster canonical. `storedLabels = true` composes the cluster
+    * verdict from the persisted SigStore label state instead of an
+    * inline from-scratch fixpoint — the shape a nightly materialization
+    * job runs (same values by the store's own oracle contract; the
+    * default stays one-shot because `training_decisions` is the
+    * oracle-scale anchor that pins the whole funnel).
     */
-  def decisions(s: SparkSession, d: String, minQuality: Double): DataFrame = {
+  def decisions(s: SparkSession, d: String, minQuality: Double,
+      storedLabels: Boolean = false): DataFrame = {
     val quality = TextOps.queries("text_quality")(s, d)
       .select(col("doc_id"), col("quality_score"))
     val exact = Dedup.queries("dedup_exact")(s, d)
       .select(col("doc_id"), col("is_canonical").as("exact_canonical"))
-    val comp = Dedup.queries("dedup_components")(s, d)
+    val compQ =
+      if (storedLabels) SigStore.queries("dedup_components_stored")
+      else Dedup.queries("dedup_components")
+    val comp = compQ(s, d)
       .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
     Tables.documents(s, d)
       .join(quality, "doc_id")
@@ -42,11 +51,13 @@ object TrainingPipeline {
 
   /** Materialize the kept documents as lang-partitioned parquet shards and
     * return a one-row per-stage funnel summary (total → quality pass →
-    * exact canonical → kept).
+    * exact canonical → kept). `storedLabels` as in [[decisions]] — the
+    * nightly shard job should pass true and ride the persisted
+    * clustering.
     */
   def materialize(s: SparkSession, d: String, outDir: String,
-      minQuality: Double = 0.5): DataFrame = {
-    val dec = decisions(s, d, minQuality)
+      minQuality: Double = 0.5, storedLabels: Boolean = false): DataFrame = {
+    val dec = decisions(s, d, minQuality, storedLabels)
     Writers.writeShards(
       dec.filter(col("keep"))
         .drop("exact_canonical", "cluster_canonical", "keep"),

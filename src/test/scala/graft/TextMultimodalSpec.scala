@@ -91,6 +91,18 @@ class TextMultimodalSpec extends AnyFunSuite {
     // lang-partitioned layout
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
     assert(dirs.nonEmpty && dirs.forall(_.getName.startsWith("lang=")))
+
+    // the STORED-LABEL variant (the nightly shard job's shape, r15)
+    // materializes the identical funnel — the store's labels ARE the
+    // clustering
+    val out2 = Files.createTempDirectory("shards_stored").toString
+    val summary2 = TrainingPipeline
+      .materialize(spark, sf, out2, minQ, storedLabels = true)
+      .collect().head
+    assert(summary2 == summary)
+    val shards2 = spark.read.parquet(out2)
+    assert(shards2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      shards.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("multimodal_dedup groups identical payloads and keeps min-id canonical") {
