@@ -55,6 +55,11 @@ object AbProbe {
     for (r <- 1 to rounds; arm <- Seq("A", "B")) {
       if (arm == "B") sys.props(propKey) = propValB
       else sys.props.remove(propKey)
+      // outside the timer: sweep the previous run's dead localCheckpoint
+      // blocks (the ScaleSmoke basket hygiene — repeated heavy runs in
+      // one JVM otherwise accumulate blocks until a sort spike OOMs the
+      // default heap) and level the GC state both arms start from
+      System.gc()
       val t0 = System.nanoTime()
       val c0 = cpuNs()
       val rows = q(spark, dir).count()
