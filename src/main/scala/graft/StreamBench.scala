@@ -91,6 +91,7 @@ object StreamBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     calibSeq += 1
     val name = s"sb_calib_$calibSeq"
+    val ckpt = java.nio.file.Files.createTempDirectory(name)
     val in = MemoryStream[(Long, Long)]
     in.addData((0 until CalibEvents).map(i => ((i % 64).toLong, i.toLong)))
     val t0 = System.nanoTime()
@@ -105,11 +106,20 @@ object StreamBench {
         })
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.Once())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(name).toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     q.awaitTermination()
-    CalibEvents / ((System.nanoTime() - t0) / 1e9)
+    val eps = CalibEvents / ((System.nanoTime() - t0) / 1e9)
+    // a calibration fires per metric row: drop its memory-sink view and
+    // checkpoint dir so neither the temp-view catalog nor /tmp grows
+    // with the row count
+    spark.catalog.dropTempView(name)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    rmTree(ckpt.toFile)
+    eps
   }
 
   def main(args: Array[String]): Unit = {

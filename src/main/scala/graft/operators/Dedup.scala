@@ -393,10 +393,17 @@ object Dedup {
     * measured run; single-JVM test seam.
     */
   private[graft] object CcProbe {
+    // bounded (ADVICE-r14 planCache lesson applied preemptively): a
+    // long-running maintainComponents stream records rounds forever, so
+    // keep only the newest MaxRounds — far more than any spec reads,
+    // zero driver growth in production
+    private val MaxRounds = 1024
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     def reset(): Unit = synchronized(buf.clear())
-    def record(frontier: Long, changed: Long): Unit =
-      synchronized(buf += ((frontier, changed)))
+    def record(frontier: Long, changed: Long): Unit = synchronized {
+      if (buf.size >= MaxRounds) buf.remove(0)
+      buf += ((frontier, changed))
+    }
     def rounds: Seq[(Long, Long)] = synchronized(buf.toSeq)
   }
 

@@ -51,12 +51,14 @@ private[graft] object Materialize {
   private[graft] val reliableWrites = new java.util.concurrent.atomic.AtomicLong
   private[graft] val reliableDrops = new java.util.concurrent.atomic.AtomicLong
 
-  /** Delete the reliable-checkpoint files behind `df`, for frames a loop
-    * has PROVABLY finished with (every consumer already materialized —
-    * after this the frame must never be computed again). No-op for the
-    * localCheckpoint flavor: its blocks are executor-cached, evicted LRU
-    * and GC'd by the ContextCleaner when the RDD is unreferenced, so
-    * there is no on-disk accumulation to manage there.
+  /** Free the checkpointed state behind `df`, for frames a loop has
+    * PROVABLY finished with (every consumer already materialized — after
+    * this the frame must NEVER be read again; a later read of either
+    * flavor fails, since the checkpoint cannot recompute). Reliable
+    * flavor: deletes the checkpoint files. localCheckpoint flavor (r15):
+    * eagerly unpersists the blocks — waiting on the ContextCleaner's
+    * GC-driven sweep let dead blocks accumulate GBs across a basket run
+    * and OOM a later query's sort spike under the default heap.
     */
   def drop(df: DataFrame): Unit =
     df.queryExecution.analyzed match {

@@ -604,10 +604,11 @@ object SigStore {
     require(f.rename(remapTmp, remapPath), s"remap publish failed: $remapPath")
     f.create(ready).close()
     // every frame this absorb checkpointed is now persisted in the store
-    // (sig bank, label_nodes, label_remap) — free the files so a
-    // long-running maintainComponents stream holds O(1) checkpoints on
-    // disk, not O(batches) (ADVICE r11). relabel/deltaOut are local
-    // relations on the small-graph path; drop no-ops there.
+    // (sig bank, label_nodes, label_remap) — free the checkpointed state
+    // (files or blocks, per flavor) so a long-running maintainComponents
+    // stream holds O(1) checkpoints, not O(batches) (ADVICE r11; r15:
+    // the local flavor now unpersists eagerly too). relabel/deltaOut are
+    // local relations on the small-graph path; drop no-ops on those.
     Seq(deltaSh, relabel, deltaOut, newRemap).foreach(Materialize.drop)
   }
 

@@ -467,17 +467,19 @@ object Similarity {
   private[graft] val ProdHitBound = 0.85
 
   /** Floor for the reported brute-force recall@5 on the planted-query
-    * workload (ADC shortlist → exact re-rank serve): position 1 is the
-    * planted seed (found at rate ~1.0 across scales); positions 2-5 are
-    * isotropic-noise neighbors whose cells are uncorrelated with the
-    * query, so their structural find ceiling is ~nprobe/K = 8/64 plus
-    * whatever the re-ranked shortlist recovers (measured: 0.60 sf0.001,
-    * 0.52 sf0.01, 0.495 sf0.1, 0.964 sf10 — the last inflated by the
-    * scale fixture's replicated embeddings giving every query REAL
-    * near-duplicate neighbors, i.e. the regime where recall honestly
-    * rises). Floor sits under the natural-data trend with margin.
+    * workload (ADC shortlist → exact re-rank serve; ground truth and
+    * serve share the seed-inclusion convention — the query is synthetic,
+    * so the seed is a legitimate neighbor on BOTH arms): position 1 is
+    * the planted seed (found at rate 1.0 across scales); positions 2-5
+    * are isotropic-noise neighbors whose cells are uncorrelated with the
+    * query, so their find rate is what nprobe/K pruning plus the
+    * re-ranked shortlist recovers (measured: 0.74 sf0.001, 0.64 sf0.01,
+    * 0.63 sf0.1, 0.964 sf10 — the last honestly higher because the scale
+    * fixture's replicated embeddings give every query REAL near-dup
+    * neighbors, the regime where an IVF index shines). Floor sits ~20%
+    * under the lowest measured scale.
     */
-  private[graft] val ProdRecall5Bound = 0.35
+  private[graft] val ProdRecall5Bound = 0.5
 
   /** Mix weight for the planted queries: q ∝ w·seed + √(1−w²)·noise, so
     * cos(q, seed) ≈ w in high dimension (noise ⊥ seed w.h.p.).
@@ -853,6 +855,12 @@ object Similarity {
       // task. Centroids ride in as a broadcast (K × dims ≤ 64k rows).
       import s.implicits._
       val cents = trainedCentroids(s, d)
+      // the stored assignedFrame path never touches withEmb, so the
+      // session functions (dot_double below) must register here
+      // explicitly — same latent crash semanticPairs already guards:
+      // a warm trainer cache + a fresh SparkSession would otherwise
+      // skip every registration site
+      registerFns(s)
       val cdf = cents.zipWithIndex
         .map { case (cv, i) => (i, cv.toSeq) }.toSeq
         .toDF("cluster_id", "cv")
@@ -945,9 +953,19 @@ object Similarity {
       val cellFn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
       val probeFn = graft.functions.GraftFunctions.registerIvf(s, cents, ProdNprobe)
       val pqFn = graft.functions.GraftFunctions.registerPq(s, books)
-      val corpus = e.select(col("vec_id"),
-        expr(s"element_at($cellFn(emb), 1)").as("cell_id"),
-        expr(s"$pqFn(emb)").as("codes"))
+      // encode the corpus in the SAME space the index was trained in:
+      // unit-normalized (prodIndex trains on normalized samples; queries
+      // are normalized) — on unit vectors ADC-L2 order is cosine order.
+      // The fixture is already unit-norm so this is a no-op there, but a
+      // corpus with norm variance would otherwise quantize raw vectors
+      // against codebooks trained in a different space.
+      val corpus = e
+        .withColumn("n2", sqrt(expr("dot_double(emb, emb)")))
+        .withColumn("ne", expr(
+          "CASE WHEN n2 = 0 THEN emb ELSE transform(emb, x -> x / n2) END"))
+        .select(col("vec_id"),
+          expr(s"element_at($cellFn(ne), 1)").as("cell_id"),
+          expr(s"$pqFn(ne)").as("codes"))
       import s.implicits._
       val qvec = planted.map { case (id, v) => (id, v.toSeq) }
         .toDF("query_id", "qe")
@@ -974,10 +992,15 @@ object Similarity {
         5, col("cos_q").desc)
         .select("query_id", "rank", "vec_id", "cos_q")
       // exact ground truth for the same planted queries: brute-force
-      // cosine top-5 (one corpus pass × 50 broadcast queries)
+      // cosine top-5 (one corpus pass × 50 broadcast queries). The seed
+      // is INCLUDED on both arms — the query is synthetic (a
+      // perturbation), not a corpus-member lookup, so the seed is a
+      // legitimate neighbor, and excluding it from only one arm would
+      // structurally cap recall@5 at 0.8 (the approx arm must return it
+      // for the planted-hit gate).
       val bf = twoStageTopK(
         cosineCols(e.select(col("vec_id"), col("emb").as("ce"))
-          .join(broadcast(qvec), col("query_id") =!= col("vec_id"))),
+          .crossJoin(broadcast(qvec))),
         5, col("cosine").desc).select("query_id", "rank", "vec_id")
       // planted-neighbor hit: rank-1 returns something AT LEAST AS CLOSE
       // as the planted seed (exact cosine ≥ mix − ε). Graded by cosine,
@@ -1126,11 +1149,19 @@ object Similarity {
       val ready = new java.io.File(root, "_READY")
       if (!ready.exists()) {
         graft.ColdBuilds.record("sem_assign_build")
-        val p = new org.apache.hadoop.fs.Path(root.toString)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        compute.write.mode("overwrite")
-          .parquet(new java.io.File(root, "assign.parquet").toString)
+        val fs = new org.apache.hadoop.fs.Path(root.toString)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        // write-then-RENAME publish (the SigStore remap idiom): a reader
+        // can never scan a half-written assign.parquet, and a crash
+        // leaves only an unpublished tmp dir (no _READY → rebuild). The
+        // single-WRITER convention is the store family's usual one
+        // (intra-JVM serialized here; concurrent writers across JVMs
+        // need external coordination, as with every graft store).
+        val tmp = new org.apache.hadoop.fs.Path(root.toString, "assign.tmp")
+        val dst = new org.apache.hadoop.fs.Path(root.toString, "assign.parquet")
+        fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+        compute.write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, dst), s"assignment store publish failed: $dst")
         ready.createNewFile()
       }
       // both self-join sides consume the read: one parquet scan per
