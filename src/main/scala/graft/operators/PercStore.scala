@@ -194,6 +194,15 @@ object PercStore {
     * monotone batch ids (the [[appendedRegDirs]] precondition), so this
     * is value-identical to a full [[loadFrozen]] by construction;
     * PercStoreSpec proves it against the from-scratch load.
+    *
+    * Corpus scalars: reusing `cached.nDocs/sumDl` is part of that value
+    * identity, not a shortcut (ADVICE r15) — the postings store's
+    * (n_docs, sum_dl) are FROZEN for the store's lifetime by contract
+    * ([[BmStore.appendBatch]] never rewrites df/meta, and
+    * [[BmStore.storeMeta]] caches the one meta read per JVM), so a full
+    * reload reads the same two numbers this merge carries forward.
+    * Refreshed corpus stats require a store REBUILD, which changes the
+    * root fingerprint and cold-loads everything anyway.
     */
   private def mergeDelta(s: SparkSession, root: String,
       cached: FrozenIndexStats, freshDirs: Seq[String]): FrozenIndexStats = {

@@ -972,9 +972,14 @@ object Similarity {
       val qcells = qvec.select(col("query_id"),
         explode(expr(s"$probeFn(qe)")).as("cell_id"))
       val qlut = pqLutsN(planted, books).toDF("query_id", "lut")
+      // LUT stride = the TRAINED codeword count (ADVICE r15): prodIndex
+      // trains min(ProdPqCodewords, sample.length) codewords and pqLutsN
+      // lays the LUT out with that stride — hardcoding ProdPqCodewords
+      // here would read wrong offsets (or past the array) on a corpus
+      // with fewer than 64 embeddings.
       val scored = corpus
         .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
-        .withColumn("approx_dist", expr(adcExprN(ProdPqCodewords)))
+        .withColumn("approx_dist", expr(adcExprN(books.head.length)))
       // production serving shape: ADC SHORTLIST (top-ProdRerankDepth per
       // query) → EXACT re-rank of the shortlist's original vectors
       // (O(Q·depth) — the ann_hybrid_served_rerank idiom). Without the
@@ -1137,39 +1142,45 @@ object Similarity {
           col("emb"), sqrt(expr("dot_double(emb, emb)")).as("nrm"))
     }
     if (sys.props.get("graft.sem.assign").contains("inline"))
-      // both self-join sides (and only they) consume the pass:
-      // materialize once — the sibling self-join convention
-      compute.transform(Materialize.once)
+      compute
     else synchronized {
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
         .mkString.take(12)
-      val root = new java.io.File(new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign"), key)
-      val ready = new java.io.File(root, "_READY")
-      if (!ready.exists()) {
+      // EVERY store operation — marker check/create, write, rename,
+      // delete, read — goes through the SAME Hadoop FileSystem resolved
+      // from the session config (ADVICE r15, medium): the previous
+      // java.io.File marker/read split tore the publish protocol on any
+      // deployment whose default FS isn't local (HDFS: a stale local
+      // _READY could point at missing data, and fs.delete(root) never
+      // removed the local marker). This now mirrors SigStore's publish
+      // exactly.
+      val root = new org.apache.hadoop.fs.Path(new java.io.File(
+        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+          "graft_semassign"), key).toString)
+      val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ready = new org.apache.hadoop.fs.Path(root, "_READY")
+      val dst = new org.apache.hadoop.fs.Path(root, "assign.parquet")
+      if (!f.exists(ready)) {
         graft.ColdBuilds.record("sem_assign_build")
-        val fs = new org.apache.hadoop.fs.Path(root.toString)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
         // write-then-RENAME publish (the SigStore remap idiom): a reader
         // can never scan a half-written assign.parquet, and a crash
         // leaves only an unpublished tmp dir (no _READY → rebuild). The
         // single-WRITER convention is the store family's usual one
         // (intra-JVM serialized here; concurrent writers across JVMs
         // need external coordination, as with every graft store).
-        val tmp = new org.apache.hadoop.fs.Path(root.toString, "assign.tmp")
-        val dst = new org.apache.hadoop.fs.Path(root.toString, "assign.parquet")
-        fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+        val tmp = new org.apache.hadoop.fs.Path(root, "assign.tmp")
+        f.delete(root, true)
         compute.write.mode("overwrite").parquet(tmp.toString)
-        require(fs.rename(tmp, dst), s"assignment store publish failed: $dst")
-        ready.createNewFile()
+        require(f.rename(tmp, dst), s"assignment store publish failed: $dst")
+        f.create(ready).close()
       }
-      // both self-join sides consume the read: one parquet scan per
-      // serve, not two (the same once-materialization the inline arm
-      // gets; at small scales the scan, not the assignment flops, is
-      // the marginal cost)
-      s.read.parquet(new java.io.File(root, "assign.parquet").toString)
-        .transform(Materialize.once)
+      // a BARE parquet scan (ADVICE r15, low): only dedup_semantic's
+      // self-join has two consumers — it materializes in semanticPairs;
+      // embedding_kmeans / embedding_prototypicality each consume the
+      // frame once, and localCheckpointing the full (emb, nrm) payload
+      // for a single narrow scan contradicts the store's whole point.
+      s.read.parquet(dst.toString)
     }
   }
 
@@ -1177,7 +1188,11 @@ object Similarity {
     // the stored assignedFrame path never touches withEmb, so the session
     // functions (dot_double below) must register here explicitly
     registerFns(s)
-    val assigned = assignedFrame(s, d)
+    // BOTH self-join sides consume the assignment pass: materialize it
+    // once HERE (the self-join caller), not inside assignedFrame — the
+    // single-consumer riders (kmeans, prototypicality) read the bare
+    // store scan (ADVICE r15)
+    val assigned = assignedFrame(s, d).transform(Materialize.once)
     val a = assigned.select(col("cluster_id"), col("vec_id").as("id1"),
       col("emb").as("e1"), col("nrm").as("n1"))
     val b0 = assigned.select(col("cluster_id"), col("vec_id").as("id2"),
