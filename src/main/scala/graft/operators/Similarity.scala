@@ -951,7 +951,6 @@ object Similarity {
         (id, normalize(v.indices.map(i => mix * v(i) + noiseW * noise(i)).toArray))
       }
       val cellFn = graft.functions.GraftFunctions.registerIvf(s, cents, 1)
-      val probeFn = graft.functions.GraftFunctions.registerIvf(s, cents, ProdNprobe)
       val pqFn = graft.functions.GraftFunctions.registerPq(s, books)
       // encode the corpus in the SAME space the index was trained in:
       // unit-normalized (prodIndex trains on normalized samples; queries
@@ -959,6 +958,11 @@ object Similarity {
       // The fixture is already unit-norm so this is a no-op there, but a
       // corpus with norm variance would otherwise quantize raw vectors
       // against codebooks trained in a different space.
+      //
+      // Materialized ONCE: the (cell, codes) encode is the row family's
+      // one corpus-sized pass, and every (nprobe × rerank) arm below
+      // probes the same encoded table — exactly how a deployment serves
+      // a tuning sweep (one index, many serve configs).
       val corpus = e
         .withColumn("n2", sqrt(expr("dot_double(emb, emb)")))
         .withColumn("ne", expr(
@@ -966,40 +970,15 @@ object Similarity {
         .select(col("vec_id"),
           expr(s"element_at($cellFn(ne), 1)").as("cell_id"),
           expr(s"$pqFn(ne)").as("codes"))
+        .transform(Materialize.once)
       import s.implicits._
       val qvec = planted.map { case (id, v) => (id, v.toSeq) }
         .toDF("query_id", "qe")
-      val qcells = qvec.select(col("query_id"),
-        explode(expr(s"$probeFn(qe)")).as("cell_id"))
       val qlut = pqLutsN(planted, books).toDF("query_id", "lut")
-      // LUT stride = the TRAINED codeword count (ADVICE r15): prodIndex
-      // trains min(ProdPqCodewords, sample.length) codewords and pqLutsN
-      // lays the LUT out with that stride — hardcoding ProdPqCodewords
-      // here would read wrong offsets (or past the array) on a corpus
-      // with fewer than 64 embeddings.
-      val scored = corpus
-        .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
-        .withColumn("approx_dist", expr(adcExprN(books.head.length)))
-      // production serving shape: ADC SHORTLIST (top-ProdRerankDepth per
-      // query) → EXACT re-rank of the shortlist's original vectors
-      // (O(Q·depth) — the ann_hybrid_served_rerank idiom). Without the
-      // re-rank, PQ crowding erodes hit@1 as the corpus grows (measured
-      // sf10: 0.66 ADC-only); with it the number measures what the index
-      // actually serves.
-      val shortlist = twoStageTopK(scored, ProdRerankDepth, col("approx_dist"))
-        .select("query_id", "vec_id")
-      val approx = twoStageTopK(
-        shortlist
-          .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
-          .join(broadcast(qvec), Seq("query_id"))
-          .withColumn("cos_q", round(expr("dot_double(ce, qe)") /
-            sqrt(expr("dot_double(ce, ce)")) * lit(1e6)).cast("long")),
-        5, col("cos_q").desc)
-        .select("query_id", "rank", "vec_id", "cos_q")
-      // exact ground truth for the same planted queries: brute-force
-      // cosine top-5 (one corpus pass × 50 broadcast queries). The seed
-      // is INCLUDED on both arms — the query is synthetic (a
-      // perturbation), not a corpus-member lookup, so the seed is a
+      // exact ground truth for the planted queries: brute-force cosine
+      // top-5 (ONE corpus pass × 50 broadcast queries, shared by every
+      // arm). The seed is INCLUDED on both arms — the query is synthetic
+      // (a perturbation), not a corpus-member lookup, so the seed is a
       // legitimate neighbor, and excluding it from only one arm would
       // structurally cap recall@5 at 0.8 (the approx arm must return it
       // for the planted-hit gate).
@@ -1007,6 +986,7 @@ object Similarity {
         cosineCols(e.select(col("vec_id"), col("emb").as("ce"))
           .crossJoin(broadcast(qvec))),
         5, col("cosine").desc).select("query_id", "rank", "vec_id")
+        .transform(Materialize.once)
       // planted-neighbor hit: rank-1 returns something AT LEAST AS CLOSE
       // as the planted seed (exact cosine ≥ mix − ε). Graded by cosine,
       // not id equality: the scale fixtures replicate embeddings, so the
@@ -1014,26 +994,89 @@ object Similarity {
       // correct retrieval an id check would score 0 (observed at sf10:
       // id-hit 0.0 with recall@5 0.964).
       val hitFloor = math.round((ProdQueryMix - 0.02) * 1e6)
-      val hit1 = approx.filter(col("rank") === 1)
-        .agg(sum(when(col("cos_q") >= hitFloor, 1L).otherwise(0L))
-          .as("hits1"))
-      val rec5 = approx.join(broadcast(bf), Seq("query_id", "vec_id"))
-        .agg(count(lit(1)).as("hits5"))
-      hit1.crossJoin(rec5)
-        .select(
-          lit(s"ivf$ProdIvfK.nprobe$ProdNprobe.pq${PqM}x$ProdPqCodewords")
-            .as("config"),
-          lit(seeds.length).as("n_queries"),
-          round(col("hits1") / lit(seeds.length.toDouble), 4)
-            .as("planted_hit_at_1"),
-          round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"))
+      val exactCos = round(expr("dot_double(ce, qe)") /
+        sqrt(expr("dot_double(ce, ce)")) * lit(1e6)).cast("long")
+      // TUNING CURVE (VERDICT r15 #5): the first knobs a production user
+      // turns are nprobe and whether to pay the exact re-rank — emit the
+      // whole recall surface from the ONE shared index build, one row
+      // per (nprobe ∈ {4, 8, 16}) × (ADC-only | re-ranked). Quality
+      // gates apply ONLY to the production config row (nprobe=8,
+      // re-ranked); the other rows are measurements, not contracts.
+      // Probe seam `graft.ann.prod.arm=np<N>.<adc|rerank>` restricts the
+      // sweep to one arm so per-arm serve cost is timeable in isolation.
+      val armFilter = sys.props.get("graft.ann.prod.arm")
+      val arms = for {
+        np <- Seq(ProdNprobe / 2, ProdNprobe, ProdNprobe * 2)
+        rerank <- Seq(false, true)
+        if armFilter.forall(_ == s"np$np." + (if (rerank) "rerank" else "adc"))
+      } yield {
+        val probeFn = graft.functions.GraftFunctions.registerIvf(s, cents, np)
+        val qcells = qvec.select(col("query_id"),
+          explode(expr(s"$probeFn(qe)")).as("cell_id"))
+        // LUT stride = the TRAINED codeword count (ADVICE r15): prodIndex
+        // trains min(ProdPqCodewords, sample.length) codewords and
+        // pqLutsN lays the LUT out with that stride — hardcoding
+        // ProdPqCodewords would read wrong offsets (or past the array)
+        // on a corpus with fewer than 64 embeddings.
+        val scored = corpus
+          .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
+          .withColumn("approx_dist", expr(adcExprN(books.head.length)))
+        // production serving shape (rerank arm): ADC SHORTLIST
+        // (top-ProdRerankDepth per query) → EXACT re-rank of the
+        // shortlist's original vectors (O(Q·depth) — the
+        // ann_hybrid_served_rerank idiom). The ADC-only arm serves the
+        // raw compressed-domain top-5; its exact cosines are computed
+        // for GRADING only (the order stays ADC order) — that arm shows
+        // what the re-rank buys (measured sf10: hit@1 0.66 ADC-only vs
+        // 1.0 re-ranked — PQ crowding erodes rank-1 as the corpus grows).
+        val approx =
+          if (rerank) {
+            val shortlist = twoStageTopK(scored, ProdRerankDepth,
+              col("approx_dist")).select("query_id", "vec_id")
+            twoStageTopK(
+              shortlist
+                .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
+                .join(broadcast(qvec), Seq("query_id"))
+                .withColumn("cos_q", exactCos),
+              5, col("cos_q").desc)
+              .select("query_id", "rank", "vec_id", "cos_q")
+          } else {
+            twoStageTopK(scored, 5, col("approx_dist"))
+              .select("query_id", "rank", "vec_id")
+              .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
+              .join(broadcast(qvec), Seq("query_id"))
+              .withColumn("cos_q", exactCos)
+              .select("query_id", "rank", "vec_id", "cos_q")
+          }
+        val hit1 = approx.filter(col("rank") === 1)
+          .agg(sum(when(col("cos_q") >= hitFloor, 1L).otherwise(0L))
+            .as("hits1"))
+        val rec5 = approx.join(broadcast(bf), Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("hits5"))
+        hit1.crossJoin(rec5)
+          .select(
+            lit(s"ivf$ProdIvfK.nprobe$np.pq${PqM}x$ProdPqCodewords." +
+              (if (rerank) "rerank" else "adc")).as("config"),
+            lit(np).as("nprobe"),
+            lit(rerank).as("reranked"),
+            lit(seeds.length).as("n_queries"),
+            round(col("hits1") / lit(seeds.length.toDouble), 4)
+              .as("planted_hit_at_1"),
+            round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"))
+      }
+      require(arms.nonEmpty, s"graft.ann.prod.arm=${armFilter.get} matches " +
+        "no arm — expected np{4|8|16}.{adc|rerank} at the current ProdNprobe")
+      arms.reduce(_ unionByName _)
+        .orderBy(col("nprobe"), col("reranked"))
         // probe seam: -Dgraft.ann.prod.bound=-1 disables the gates to
-        // READ the measured numbers while tuning; defaults stand
+        // READ the measured numbers while tuning; defaults stand. The
+        // gate binds ONLY the production row — curve rows pass through.
         .filter(assert_true(
-          col("planted_hit_at_1") >= sys.props.get("graft.ann.prod.bound")
+          col("nprobe") =!= ProdNprobe || !col("reranked") ||
+          (col("planted_hit_at_1") >= sys.props.get("graft.ann.prod.bound")
             .map(_.toDouble).getOrElse(ProdHitBound) &&
-          col("recall_at_5") >= sys.props.get("graft.ann.prod.bound")
-            .map(_.toDouble).getOrElse(ProdRecall5Bound)).isNull)
+           col("recall_at_5") >= sys.props.get("graft.ann.prod.bound")
+            .map(_.toDouble).getOrElse(ProdRecall5Bound))).isNull)
     }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact — no oracle (sketch internals differ across
