@@ -23,6 +23,19 @@ object ColdBuilds {
 
   def record(what: String): Unit = { events.add(what); () }
 
+  /** [[record]] with the phase's wall seconds baked into the tag
+    * (`"sig_absorb_base_sigs:61.2s"`): for multi-phase cold builds the
+    * artifact row then ATTRIBUTES its build cost phase by phase instead
+    * of naming one opaque umbrella (VERDICT r15 #2 — the 80.5 s stored-
+    * components cold build needed to say what it bought).
+    */
+  def timed[T](what: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    record(f"$what:${(System.nanoTime() - t0) / 1e9}%.1fs")
+    r
+  }
+
   /** Position marker for the snapshot idiom:
     * `val m = mark(); …timed work…; since(m)` — the cold builds that
     * fired inside the timed window (single-threaded driver issue order;

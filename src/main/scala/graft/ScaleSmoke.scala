@@ -230,6 +230,15 @@ object ScaleSmoke {
       lines += s"""{"metric":"${label}_note","query":"dedup_ngram_jaccard","skipped":"exact (uncapped) form is the oracle-scale anchor; its Sum-df^2 candidate volume is the documented scale-killer and the capped/prefix twins in this basket are the 100x plans"}"""
       println(lines.last)
     }
+    // the jaccard-anchor treatment for the lexical family (VERDICT r15
+    // #7): the one-shot stays IN the basket (unlike the exact jaccard it
+    // is corpus-scan-shaped, not quadratic) but the row needs to say why
+    // both forms run — its cost is the from-scratch anchor, not the
+    // deployment number
+    if (label == "sf10" && basket.contains("text_bm25_topk")) {
+      lines += s"""{"metric":"${label}_note","query":"text_bm25_topk","note":"one-shot from-scratch scoring is the oracle anchor the served plans are proven against; the deployment path is text_bm25_served_topk's persisted-postings serve in this same basket - read its serve_sec as the per-query cost, this row as the anchor's full-scan cost"}"""
+      println(lines.last)
+    }
     basket.foreach { name =>
       val t0 = System.nanoTime()
       val c0 = cpuNs()

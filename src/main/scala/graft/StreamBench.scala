@@ -122,6 +122,19 @@ object StreamBench {
     eps
   }
 
+  /** Section filter (r16): `GRAFT_STREAM_ONLY=components_maintain,dsir`
+    * runs only the named sections (substring match on section names) so a
+    * single drifted row can be re-measured — the ratio-of-ratios read
+    * (VERDICT r15 #3) makes per-row re-runs a routine operation. The
+    * TIMED BODIES and the frozen calibration arm are untouched: a
+    * filtered run's rows are measured exactly as a full run's (each
+    * section still runs its own warmup; the calibration pass still
+    * re-measures per row), only unselected sections are skipped.
+    */
+  private def wanted(section: String): Boolean =
+    sys.env.get("GRAFT_STREAM_ONLY").forall(
+      _.split(",").map(_.trim).filter(_.nonEmpty).exists(section.contains))
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     // widen the key space by a factor (card_id#0..card_id#w-1): state and
@@ -144,6 +157,7 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    if (wanted("stream_score")) {
     // deterministic corpus, rendered to the kafka value wire format up
     // front so the timed section measures parse + stateful scoring only
     val tx0 = graft.gen.TxGen.dataset(spark, n).toDF()
@@ -178,6 +192,7 @@ object StreamBench {
     val ((secs, scored), cpuT) = withCpu(run("sb_timed", json))
     require(scored == n, s"scored $scored of $n")
     println(f"""{"metric":"stream_score_events_per_sec","value":${n / secs}%.0f,"unit":"events/sec","events":$n,"wall_sec":$secs%.3f,"keys":${8 * math.max(1, wide)}${tele(cpuT)}}""")
+    }
 
     // ---- Ingest path: quality gate → watermarked exact dedup → per-batch
     // idempotent shard commit, over documents replayed from the testdata
@@ -199,6 +214,7 @@ object StreamBench {
       * operator — the number that says how state grows under a replayed
       * corpus, the scaling axis of this stage at 100 TB.
       */
+    if (wanted("stream_ingest")) {
     def runIngest(rows: Seq[IngestEvent]): (Double, Long, Long) = {
       val in = MemoryStream[IngestEvent]
       in.addData(rows)
@@ -220,12 +236,14 @@ object StreamBench {
     runIngest(docRows.take(math.min(10000, nDocs)))
     val ((ingestSecs, stateRows, stateBytes), cpuI) = withCpu(runIngest(docRows))
     println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes${tele(cpuI)}}""")
+    }
 
     // ---- ANN serving path: streamed query vectors answered from the
     // persisted IVF×PQ index (one-time build excluded — that's the
     // amortized "nightly" cost). Each micro-batch costs driver-side probe
     // arithmetic + one partition-pruned code-table scan; queries/sec is
     // the online-serving number a vector-search user asks.
+    if (wanted("ann_serve")) {
     val root = graft.operators.AnnIndexIO.ensureFullBuilt(spark, sfDir)
     val qvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .limit(500)
@@ -253,12 +271,14 @@ object StreamBench {
     val ((serveSecs, answered), cpuSv) = withCpu(runServe(qvecs, 100))
     require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
     println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f${tele(cpuSv)}}""")
+    }
 
     // ---- BM25 online serving: streamed query texts answered from the
     // persisted postings store (streaming/BmServe — the lexical twin of
     // the ANN serving path above). Per micro-batch: one O(batch-vocab)
     // df lookup freezes the statistics, one bucket-pruned postings scan
     // scores candidates; the corpus text is never read.
+    if (wanted("bm25_serve")) {
     val bmServeRoot = graft.operators.BmStore.ensureFullBuilt(spark, sfDir)
     val bmQueryDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").limit(500).collect()
@@ -296,11 +316,15 @@ object StreamBench {
     runBmServe(bmShort.take(200), 100) // warmup
     val ((bshSecs, bshAnswered), cpuBsh) = withCpu(runBmServe(bmShort, 200))
     println(f"""{"metric":"bm25_serve_short_queries_per_sec","value":${bmShort.length / bshSecs}%.0f,"unit":"queries/sec","queries":${bmShort.length},"answered":$bshAnswered,"wall_sec":$bshSecs%.3f${tele(cpuBsh)}}""")
+    }
 
     // ---- dedup signature-store maintenance: streamed new documents
     // simhash-encoded and committed exactly-once into the banded store
     // (operators/SigStore) — docs/sec here is the rate the dedup index
     // can absorb a crawl without ever rescanning the base corpus.
+    val sigDocs = docRows.map(e =>
+      graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
+    if (wanted("sigstore_maintain")) {
     def runSigMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
         batchSize: Int): Double = {
       val sroot = java.nio.file.Files
@@ -317,16 +341,16 @@ object StreamBench {
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
       finally q.stop()
     }
-    val sigDocs = docRows.map(e =>
-      graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
     runSigMaintain(sigDocs.take(math.min(2000, nDocs)), 1000) // warmup
     val (sigSecs, cpuSg) = withCpu(runSigMaintain(sigDocs, 2500))
     println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f${tele(cpuSg)}}""")
+    }
 
     // ---- streamed CLUSTERING maintenance: each micro-batch also merges
     // component labels (contracted fixpoint + label republish) — the
     // docs/sec a corpus can absorb while keeping canonical clusters
     // continuously queryable as a pure label scan.
+    if (wanted("components_maintain")) {
     def runCcMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
         batchSize: Int): Double = {
       val sroot = java.nio.file.Files
@@ -355,6 +379,7 @@ object StreamBench {
     val (ccSecs, cpuCc) = withCpu(runCcMaintain(ccDocs, 2500))
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
     println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f${tele(cpuCc)}}""")
+    }
 
     // ---- streaming SEMANTIC dedup: vectors assigned to frozen centroids
     // at ingest, compared against their cluster's horizon residents
@@ -364,6 +389,7 @@ object StreamBench {
     // ≈ 1) and the state actually fills; K=64 centroids keep per-cluster
     // residents realistic (the batch trainer's derived K plays the same
     // role on a real corpus).
+    if (wanted("semantic_dedup")) {
     val baseVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -408,6 +434,7 @@ object StreamBench {
     runSemantic(semRows.take(math.min(2000, nVecs))) // warmup
     val ((semSecs, semPairs), cpuSm) = withCpu(runSemantic(semRows))
     println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f${tele(cpuSm)}}""")
+    }
 
     // ---- BM25 percolation: arriving documents scored against the
     // standing query set with index statistics frozen at build time
@@ -418,7 +445,8 @@ object StreamBench {
     // deployment shape: percolator and served top-k share one statistics
     // snapshot; BmStoreSpec proves the store freeze equals the
     // full-recompute freeze.
-    val bmRoot = graft.operators.BmStore.ensureFullBuilt(spark, sfDir)
+    lazy val bmRoot = graft.operators.BmStore.ensureFullBuilt(spark, sfDir)
+    if (wanted("percolate_docs")) {
     val frozen = graft.operators.BmStore.frozenStats(spark, bmRoot, sfDir)
     def runPercolate(rows: Seq[IngestEvent]): (Double, Long) = {
       val in = MemoryStream[IngestEvent]
@@ -444,6 +472,7 @@ object StreamBench {
     runPercolate(percDocs.take(math.min(5000, percDocs.length))) // warmup
     val ((percSecs, percMatches), cpuPc) = withCpu(runPercolate(percDocs))
     println(f"""{"metric":"percolate_docs_per_sec","value":${percDocs.length / percSecs}%.0f,"unit":"docs/sec","docs":${percDocs.length},"standing_queries":${frozen.queries.size},"matches":$percMatches,"wall_sec":$percSecs%.3f${tele(cpuPc)}}""")
+    }
 
     // ---- percolation at PROSPECTIVE-SEARCH scale: Q=1000 synthetic
     // standing queries (8 vocabulary terms each, registered via the
@@ -454,6 +483,7 @@ object StreamBench {
     // — the scaling axis is matched (query, term) volume, not Q. The
     // emitted matches count is identical by construction (PercolateSpec
     // proves bit-parity).
+    if (wanted("percolate_q1000")) {
     val frozen1k = graft.operators.BmStore.frozenStatsForQueries(spark, bmRoot,
       graft.operators.BmStore.syntheticStandingQueries(spark, bmRoot, "sbq", 1000))
     def runPercolate1k(rows: Seq[IngestEvent],
@@ -488,6 +518,7 @@ object StreamBench {
         else "percolate_q1000_docs_per_sec"
       println(f"""{"metric":"$metric","value":${perc1kDocs.length / s1k}%.0f,"unit":"docs/sec","docs":${perc1kDocs.length},"standing_queries":${frozen1k.queries.size},"matches":$m1k,"wall_sec":$s1k%.3f${tele(cpu1k)}}""")
     }
+    }
 
     // ---- BM25 serving on a SKEWED vocabulary: the fixture corpus is a
     // flat 31-word vocabulary (every doc matches every query — no pruning
@@ -502,6 +533,7 @@ object StreamBench {
     // 20k docs / 2k rare keys (df=10) keeps the EXHAUSTIVE leg's stopword
     // fan-out at ~50M join rows per 250-query batch — big enough to show
     // the pruning, bounded enough to bench
+    if (wanted("bm25_serve_skewed")) {
     val skewRoot = java.nio.file.Files
       .createTempDirectory("sb_bmskew").toString + "/store"
     val skewCommon = (0 until 10).map(i => s"common$i")
@@ -541,6 +573,7 @@ object StreamBench {
       val (skSecs, cpuSk) = withCpu(runSkewServe(skewQueries, 250))
       println(f"""{"metric":"bm25_serve_skewed_${mode}_queries_per_sec","value":${skewQueries.length / skSecs}%.0f,"unit":"queries/sec","queries":${skewQueries.length},"wall_sec":$skSecs%.3f${tele(cpuSk)}}""")
     }
+    }
 
     // ---- percolator standing-query REGISTRATION (operators/PercStore):
     // streamed registration batches persisted BESIDE the postings store
@@ -552,6 +585,9 @@ object StreamBench {
     // persisted roots outlive the JVM: drop standing state left by any
     // prior (possibly crashed) run so the load-count gates below measure
     // THIS run's lifecycle, not leftover registrations
+    // one section: registration populates the standing set the
+    // steady/postburst serve rows then measure against
+    if (wanted("percolate_served")) {
     graft.operators.PercStore.clearStanding(spark, bmRoot)
     val regQueries = graft.operators.BmStore.syntheticStandingQueries(
       spark, bmRoot, "sbreg", 4000, termsPerQuery = 8)
@@ -637,12 +673,14 @@ object StreamBench {
     require(burstLoads == 0 && burstMerges == 1,
       s"post-burst serve paid $burstLoads full loads / $burstMerges delta merges (expected 0 / 1)")
     println(f"""{"metric":"percolate_served_postburst_docs_per_sec","value":${servePool.length / svSecs2}%.0f,"unit":"docs/sec","docs":${servePool.length},"batches":8,"standing_queries":${regLoaded.queries.size + 200},"store_loads_in_window":$burstLoads,"delta_merges_in_window":$burstMerges,"matches":$svMatches2,"wall_sec":$svSecs2%.3f${tele(cpuPs2)}}""")
+    }
 
     // ---- decontamination gate: arrivals probed against the frozen eval
     // artifacts (bloom + exact shingle set + winnow fingerprints —
     // streaming/DecontamGate, the decontam family's ingest twin).
     // Stateless; per-doc cost is O(|shingles|) md5+bit-tests plus the
     // winnow rolling-hash pass.
+    if (wanted("decontam_gate")) {
     val dcFrozen = graft.streaming.DecontamGate.frozen(spark, sfDir)
     def runDecontam(rows: Seq[IngestEvent]): (Double, Long) = {
       val in = MemoryStream[IngestEvent]
@@ -669,11 +707,13 @@ object StreamBench {
     runDecontam(dcDocs.take(math.min(5000, dcDocs.length))) // warmup
     val ((dcSecs, dcFlagged), cpuDc) = withCpu(runDecontam(dcDocs))
     println(f"""{"metric":"decontam_gate_docs_per_sec","value":${dcDocs.length / dcSecs}%.0f,"unit":"docs/sec","docs":${dcDocs.length},"flagged":$dcFlagged,"wall_sec":$dcSecs%.3f${tele(cpuDc)}}""")
+    }
 
     // ---- DSIR admission gate: arrivals scored against the frozen
     // 256-bucket importance model + batch-selected cut
     // (streaming/DsirGate — the selection twin). Stateless like the
     // percolator; per-doc cost is one md5 + array lookup per token.
+    if (wanted("dsir_gate")) {
     val dsirFrozen = graft.streaming.DsirGate.frozen(spark, sfDir)
     def runDsir(rows: Seq[IngestEvent]): (Double, Long) = {
       val in = MemoryStream[IngestEvent]
@@ -699,11 +739,13 @@ object StreamBench {
     runDsir(dsirDocs.take(math.min(10000, nDocs))) // warmup
     val ((dsirSecs, dsirAdmitted), cpuDs) = withCpu(runDsir(dsirDocs))
     println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f${tele(cpuDs)}}""")
+    }
 
     // ---- cross-source overlap sketch maintenance: per-source MinHash
     // signatures merged per micro-batch (streaming/OverlapStream — the
     // CRDT store; per-batch cost is one batch shingle pass + a
     // kilobyte republish).
+    if (wanted("overlap_maintain")) {
     def runOverlap(rows: Seq[IngestEvent], batches: Int): Double = {
       val root = java.nio.file.Files.createTempDirectory("sb_ov").toString
       val in = MemoryStream[graft.streaming.OverlapStream.SourceDoc]
@@ -720,6 +762,7 @@ object StreamBench {
     runOverlap(ovDocs.take(math.min(5000, ovDocs.length)), 2) // warmup
     val (ovSecs, cpuOv) = withCpu(runOverlap(ovDocs, 10))
     println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f${tele(cpuOv)}}""")
+    }
     spark.stop()
   }
 }

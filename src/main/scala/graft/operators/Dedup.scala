@@ -1049,8 +1049,20 @@ object Dedup {
       // 48 bits split into 7 bands of ≤ 7 bits; ≤ 6 differing bits cannot
       // touch all 7 bands, so every qualifying pair collides on ≥ 1 band.
       // Explode 7 (band_id, band_bits) keys per doc (a static array, no
-      // interpreted lambda), equi-join, distinct, then re-check the true
-      // hamming distance — provably the same output as the all-pairs join.
+      // interpreted lambda), equi-join, verify the true hamming distance,
+      // THEN distinct — provably the same output as the all-pairs join.
+      //
+      // FILTER BEFORE DISTINCT (r16, the VERDICT r15 #6 plan audit):
+      // hamming is a pure function of the pair's (s1, s2), so
+      // distinct∘filter ≡ filter∘distinct — but bit_count is one fused
+      // codegen instruction while distinct is a SHUFFLE of every banded
+      // candidate. Filtering first means only TRUE pairs (× band
+      // multiplicity ≤ 7) reach the exchange, instead of the full
+      // Σ-per-key-cnt² candidate volume; on a typical corpus candidates
+      // ≫ true pairs, so this is the difference between shuffling the
+      // candidate set and shuffling the answer. The distinct key narrows
+      // to (d1, d2, hamming) — same cardinality, hamming is functionally
+      // dependent — so the exchange rows shrink too.
       val banded = banded7(simhash(Tables.documents(s, d)))
       val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
         col("band_id"), col("band_bits"))
@@ -1058,11 +1070,10 @@ object Dedup {
         col("band_id"), col("band_bits"))
       a.join(b, Seq("band_id", "band_bits"))
         .filter(col("d1") < col("d2"))
-        .select("d1", "d2", "s1", "s2")
-        .distinct()
         .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
         .filter(col("hamming") <= 6)
         .select("d1", "d2", "hamming")
+        .distinct()
     }),
     "dedup_embedding_topk" -> ((s, d) => {
       embPairs(s, d)
@@ -1115,11 +1126,14 @@ object Dedup {
       val delta = banded7(sh.filter(col("doc_id") % 10 === 0))
         .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
           col("band_id"), col("band_bits"))
+      // hamming BEFORE distinct (r16): the bit_count verify runs inside
+      // the join's codegen stage, so only true dup pairs reach the
+      // distinct exchange — see dedup_simhash_pairs for the full argument
       val hits = delta.join(base, Seq("band_id", "band_bits"))
-        .select("delta_id", "base_id", "ds", "bs")
-        .distinct()
         .withColumn("hamming", expr("cast(bit_count(ds ^ bs) as int)"))
         .filter(col("hamming") <= 6)
+        .select("delta_id", "base_id", "hamming")
+        .distinct()
         .groupBy("delta_id")
         .agg(count(lit(1)).as("n_dups"), min("hamming").as("min_hamming"))
       sh.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
