@@ -1063,17 +1063,37 @@ object Dedup {
       // candidate set and shuffling the answer. The distinct key narrows
       // to (d1, d2, hamming) — same cardinality, hamming is functionally
       // dependent — so the exchange rows shrink too.
+      // `-Dgraft.banded.verify=post` restores the legacy placement
+      // (distinct over the full candidate set, THEN verify) as the
+      // interleaved same-JVM A/B arm — output identical either way, the
+      // ppjoin=off idiom. Under `-Dgraft.banded.probe=volume` each arm
+      // records its DISTINCT-INPUT row count into PlanVolume
+      // ("banded.verify") — the tripwire that proves the arms differ
+      // observably (legacy shuffles candidates, default shuffles true
+      // pairs), per the r14 stale-gate mandate.
       val banded = banded7(simhash(Tables.documents(s, d)))
       val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
         col("band_id"), col("band_bits"))
       val b = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
         col("band_id"), col("band_bits"))
-      a.join(b, Seq("band_id", "band_bits"))
+      val joined = a.join(b, Seq("band_id", "band_bits"))
         .filter(col("d1") < col("d2"))
-        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
-        .filter(col("hamming") <= 6)
-        .select("d1", "d2", "hamming")
-        .distinct()
+      val verifyPost = sys.props.get("graft.banded.verify").contains("post")
+      val pre =
+        if (verifyPost) joined.select("d1", "d2", "s1", "s2")
+        else joined
+          .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
+          .filter(col("hamming") <= 6)
+          .select("d1", "d2", "hamming")
+      if (sys.props.get("graft.banded.probe").contains("volume"))
+        graft.PlanVolume.record("banded.verify",
+          if (verifyPost) "post" else "pre", pre.count())
+      if (verifyPost)
+        pre.distinct()
+          .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
+          .filter(col("hamming") <= 6)
+          .select("d1", "d2", "hamming")
+      else pre.distinct()
     }),
     "dedup_embedding_topk" -> ((s, d) => {
       embPairs(s, d)

@@ -156,6 +156,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"legacy arm must feed the full frontier every round: $legacyRounds")
   }
 
+  test("banded verify placement: pre-distinct arm output-identical to legacy, observably smaller distinct input") {
+    // r16 (VERDICT r15 #6 plan audit): moving the bit_count hamming
+    // verify BEFORE the distinct exchange must not change output (the
+    // filter is a pure row predicate, so distinct∘filter ≡
+    // filter∘distinct) and must OBSERVABLY shrink what the exchange
+    // shuffles — the PlanVolume tripwire, per the r14 stale-gate mandate
+    // that every plan seam's arms be seen to differ.
+    def run(post: Boolean): (Set[(Long, Long, Int)], Long) = {
+      if (post) sys.props("graft.banded.verify") = "post"
+      sys.props("graft.banded.probe") = "volume"
+      graft.PlanVolume.reset()
+      try {
+        val out = Dedup.queries("dedup_simhash_pairs")(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val vol = graft.PlanVolume.records("banded.verify")
+        assert(vol.size == 1 && vol.head._1 == (if (post) "post" else "pre"))
+        (out, vol.head._2)
+      } finally {
+        sys.props.remove("graft.banded.verify")
+        sys.props.remove("graft.banded.probe")
+      }
+    }
+    val (preOut, preVol) = run(post = false)
+    val (postOut, postVol) = run(post = true)
+    assert(preOut == postOut, s"arms disagree: ${preOut.size} vs ${postOut.size}")
+    assert(preOut.nonEmpty)
+    assert(preVol < postVol,
+      s"verify-first must shuffle strictly fewer rows than the candidate set ($preVol vs $postVol)")
+  }
+
   test("connected components under power-law skew: giant component stays correct, rounds bounded") {
     // Skew probe (VERDICT_r04 §8): the relaxation join keys on node ids
     // (uniform), but the pointer-jumping join keys on `label` — a giant
