@@ -21,23 +21,17 @@ object PlanVolume {
 
   /** Bounded like CcProbe (ADVICE r15: a long-running serve stream with a
     * volume probe left ON records one entry per batch forever — the same
-    * slow driver leak the bounded planCache fixed). Ring buffer: newest
-    * MaxRecords kept, O(1) eviction; far more than any spec reads.
+    * slow driver leak the bounded planCache fixed). [[BoundedRing]]:
+    * newest 4096 kept, O(1) eviction; far more than any spec reads.
     */
-  private val MaxRecords = 4096
-  private val ring = new Array[(String, String, Long)](MaxRecords)
-  private var start = 0
-  private var n = 0
+  private val buf = new BoundedRing[(String, String, Long)](4096)
 
-  def reset(): Unit = synchronized { start = 0; n = 0 }
+  def reset(): Unit = synchronized(buf.clear())
 
   /** Record that `probe`'s executed arm `arm` processed `rows` rows. */
-  def record(probe: String, arm: String, rows: Long): Unit = synchronized {
-    if (n < MaxRecords) { ring((start + n) % MaxRecords) = ((probe, arm, rows)); n += 1 }
-    else { ring(start) = ((probe, arm, rows)); start = (start + 1) % MaxRecords }
-  }
+  def record(probe: String, arm: String, rows: Long): Unit =
+    synchronized(buf.add((probe, arm, rows)))
 
   def records(probe: String): Seq[(String, Long)] = synchronized(
-    (0 until n).map(i => ring((start + i) % MaxRecords))
-      .filter(_._1 == probe).map(r => (r._2, r._3)))
+    buf.toSeq.filter(_._1 == probe).map(r => (r._2, r._3)))
 }

@@ -131,6 +131,27 @@ object StreamBench {
     * section still runs its own warmup; the calibration pass still
     * re-measures per row), only unselected sections are skipped.
     */
+  private val Sections = Seq("stream_score", "stream_ingest", "ann_serve",
+    "bm25_serve", "sigstore_maintain", "components_maintain",
+    "semantic_dedup", "percolate_docs", "percolate_q1000",
+    "bm25_serve_skewed", "percolate_served", "decontam_gate", "dsir_gate",
+    "overlap_maintain")
+
+  /** Every filter token must match a known section — a typo'd or empty
+    * GRAFT_STREAM_ONLY would otherwise run ZERO sections and exit 0 with
+    * a metric-less artifact indistinguishable from success (self-review
+    * r16).
+    */
+  private def validateFilter(): Unit =
+    sys.env.get("GRAFT_STREAM_ONLY").foreach { v =>
+      val toks = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(toks.nonEmpty, "GRAFT_STREAM_ONLY is set but empty")
+      val unknown = toks.filterNot(t => Sections.exists(_.contains(t)))
+      require(unknown.isEmpty,
+        s"GRAFT_STREAM_ONLY tokens match no section: ${unknown.mkString(",")}; " +
+          s"sections: ${Sections.mkString(",")}")
+    }
+
   private def wanted(section: String): Boolean =
     sys.env.get("GRAFT_STREAM_ONLY").forall(
       _.split(",").map(_.trim).filter(_.nonEmpty).exists(section.contains))
@@ -151,6 +172,7 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    validateFilter()
     println(Conditions.row("stream"))
     calibSession = Some(spark)
     runCalibration(spark) // warm the calibration arm's own one-time costs
@@ -200,10 +222,13 @@ object StreamBench {
     // state sees genuine singletons, as a crawl stream would).
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val nDocs = math.min(n, 100000)
-    val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // lazy (self-review r16): a filtered single-section run (the fast
+    // path the filter exists for) must not pay the corpus collect + two
+    // 100k-element materializations no selected section reads
+    lazy val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "source").collect()
     val t0ms = 1704067200000L // 2024-01-01T00:00:00Z; 1 ms apart
-    val docRows = (0 until nDocs).map { i =>
+    lazy val docRows = (0 until nDocs).map { i =>
       val r = baseDocs(i % baseDocs.length)
       IngestEvent(i.toLong, r.getString(1) + " r" + (i / baseDocs.length),
         r.getString(2), r.getString(3), new java.sql.Timestamp(t0ms + i))
@@ -322,7 +347,7 @@ object StreamBench {
     // simhash-encoded and committed exactly-once into the banded store
     // (operators/SigStore) — docs/sec here is the rate the dedup index
     // can absorb a crawl without ever rescanning the base corpus.
-    val sigDocs = docRows.map(e =>
+    lazy val sigDocs = docRows.map(e =>
       graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
     if (wanted("sigstore_maintain")) {
     def runSigMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],

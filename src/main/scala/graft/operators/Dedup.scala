@@ -395,21 +395,15 @@ object Dedup {
   private[graft] object CcProbe {
     // bounded (ADVICE-r14 planCache lesson applied preemptively): a
     // long-running maintainComponents stream records rounds forever, so
-    // keep only the newest MaxRounds — far more than any spec reads,
-    // zero driver growth in production. Ring buffer (VERDICT r15 #8):
-    // eviction is O(1) index arithmetic, so raising the cap later can't
-    // inherit ArrayBuffer.remove(0)'s O(n) shift-per-record.
-    private val MaxRounds = 1024
-    private val ring = new Array[(Long, Long)](MaxRounds)
-    private var start = 0
-    private var n = 0
-    def reset(): Unit = synchronized { start = 0; n = 0 }
-    def record(frontier: Long, changed: Long): Unit = synchronized {
-      if (n < MaxRounds) { ring((start + n) % MaxRounds) = ((frontier, changed)); n += 1 }
-      else { ring(start) = ((frontier, changed)); start = (start + 1) % MaxRounds }
-    }
-    def rounds: Seq[(Long, Long)] = synchronized(
-      (0 until n).map(i => ring((start + i) % MaxRounds)))
+    // keep only the newest 1024 — far more than any spec reads, zero
+    // driver growth in production. [[graft.BoundedRing]] (VERDICT r15
+    // #8): O(1) eviction, so raising the cap later can't inherit
+    // ArrayBuffer.remove(0)'s O(n) shift-per-record.
+    private val buf = new graft.BoundedRing[(Long, Long)](1024)
+    def reset(): Unit = synchronized(buf.clear())
+    def record(frontier: Long, changed: Long): Unit =
+      synchronized(buf.add((frontier, changed)))
+    def rounds: Seq[(Long, Long)] = synchronized(buf.toSeq)
   }
 
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame =
@@ -1013,6 +1007,15 @@ object Dedup {
       // survives banding (4 bands × 4 rows ⇒ ~1−(1−j⁴)⁴, ≈0.88 at
       // j=0.8) — the number that decides the band/row tradeoff before
       // a 100 TB run, measured here on the corpus itself.
+      // the truth arm rides the prefix pipeline below, whose stage=cand
+      // PROBE seam stubs jaccard to 0 — under that seam the ≥ 0.8 truth
+      // filter would silently empty and the eval would grade against
+      // nothing (self-review r16). Fail loud instead: the probe and the
+      // eval cannot run in the same invocation.
+      require(!sys.props.get("graft.jaccard.stage")
+          .orElse(sys.env.get("GRAFT_JACCARD_STAGE")).contains("cand"),
+        "dedup_eval_minhash: ground truth needs the full prefix pipeline; " +
+          "unset graft.jaccard.stage/GRAFT_JACCARD_STAGE=cand")
       val sh = withShingles(Tables.documents(s, d))
         .select("doc_id", "sh").transform(Materialize.once)
       // Ground truth via the PREFIX pipeline, not the exact uncapped

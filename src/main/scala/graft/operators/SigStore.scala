@@ -176,11 +176,18 @@ object SigStore {
     // hamming verify BEFORE the distinct exchange (r16): bit_count is one
     // fused instruction inside the probe join's codegen stage, so only
     // true dup pairs shuffle — the candidate volume (Σ per-key cnt², the
-    // banded key space is ≤ 7×128 values) never leaves the map side
+    // banded key space is ≤ 7×128 values) never leaves the map side.
+    // The distinct key KEEPS `bs` (self-review r16): a re-crawled doc can
+    // hold several signatures in the store (append-shaped growth never
+    // retires old batch rows), and the legacy key counted each stored
+    // VERSION within reach — dropping bs would collapse equal-hamming
+    // versions and silently shift n_dups for re-sent docs. (`ds` is
+    // functionally dependent on delta_id — one signature per delta doc —
+    // so dropping IT is a pure narrowing.)
     val hits = delta.join(store, Seq("band_id", "band_bits"))
       .withColumn("hamming", expr("cast(bit_count(ds ^ bs) as int)"))
       .filter(col("hamming") <= 6)
-      .select("delta_id", "base_id", "hamming")
+      .select("delta_id", "base_id", "bs", "hamming")
       .distinct()
       .groupBy("delta_id")
       .agg(count(lit(1)).as("n_dups"), min("hamming").as("min_hamming"))

@@ -1055,7 +1055,11 @@ object Similarity {
           .agg(count(lit(1)).as("hits5"))
         hit1.crossJoin(rec5)
           .select(
-            lit(s"ivf$ProdIvfK.nprobe$np.pq${PqM}x$ProdPqCodewords." +
+            // label reports the TRAINED codeword count (self-review r16:
+            // the ADC stride already uses it — a config string claiming
+            // pq8x64 for an index trained smaller would let cross-round
+            // artifact reads conflate different geometries)
+            lit(s"ivf${cents.length}.nprobe$np.pq${PqM}x${books.head.length}." +
               (if (rerank) "rerank" else "adc")).as("config"),
             lit(np).as("nprobe"),
             lit(rerank).as("reranked"),
