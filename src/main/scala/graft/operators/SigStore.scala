@@ -399,10 +399,31 @@ object SigStore {
     // bit_count applied inside the join's codegen stage, only true pairs
     // reach the shuffle — measured on the components_maintain workload
     // (25 k-doc batch, identical 2.98 M-edge output): edge-pipeline
-    // checkpoint 16.3 → 10.8 s, row 938 → 1449 docs/s, 80.6 → 64.6 cpu-s
-    val hits = delta.join(store, Seq("band_id", "band_bits"))
-      .filter(expr("bit_count(ds ^ bs) <= 6"))
-      .select("delta_id", "base_id").distinct()
+    // checkpoint 16.3 → 10.8 s, row 938 → 1449 docs/s, 80.6 → 64.6 cpu-s.
+    // `-Dgraft.banded.verify=post` keeps the legacy placement as the
+    // interleaved same-JVM A/B arm, and `-Dgraft.banded.probe=volume`
+    // records each arm's distinct-input count into PlanVolume
+    // ("banded.verify.incr") — the Dedup.dedup_simhash_pairs seam,
+    // extended to the incremental arm (VERDICT r15 #6's tripwire ask).
+    val verifyPost = sys.props.get("graft.banded.verify").contains("post")
+    def volume(pre: DataFrame): Unit =
+      if (sys.props.get("graft.banded.probe").contains("volume"))
+        graft.PlanVolume.record("banded.verify.incr",
+          if (verifyPost) "post" else "pre", pre.count())
+    val hitsJoined = delta.join(store, Seq("band_id", "band_bits"))
+    val hits =
+      if (verifyPost) {
+        val preH = hitsJoined.select("delta_id", "base_id", "ds", "bs")
+        volume(preH)
+        preH.distinct()
+          .filter(expr("bit_count(ds ^ bs) <= 6"))
+          .select("delta_id", "base_id")
+      } else {
+        val preH = hitsJoined.filter(expr("bit_count(ds ^ bs) <= 6"))
+          .select("delta_id", "base_id")
+        volume(preH)
+        preH.distinct()
+      }
     // distinct AFTER contraction to label space: a delta doc hitting a
     // k-member dup family produces k raw hits but ONE (delta, label)
     // edge — without this the edge set is |delta|×|family|, which a
@@ -428,10 +449,21 @@ object SigStore {
       col("band_id"), col("band_bits"))
     val dbb = delta.select(col("delta_id").as("d2"), col("ds").as("s2"),
       col("band_id"), col("band_bits"))
-    val dd = da.join(dbb, Seq("band_id", "band_bits"))
+    val ddJoined = da.join(dbb, Seq("band_id", "band_bits"))
       .filter(col("d1") < col("d2"))
-      .filter(expr("bit_count(s1 ^ s2) <= 6"))
-      .select("d1", "d2").distinct()
+    val dd =
+      if (verifyPost) {
+        val preD = ddJoined.select("d1", "d2", "s1", "s2")
+        volume(preD)
+        preD.distinct()
+          .filter(expr("bit_count(s1 ^ s2) <= 6"))
+          .select("d1", "d2")
+      } else {
+        val preD = ddJoined.filter(expr("bit_count(s1 ^ s2) <= 6"))
+          .select("d1", "d2")
+        volume(preD)
+        preD.distinct()
+      }
     // ONE materialization of the whole edge pipeline, tagged by origin so
     // nothing downstream re-derives from the store scan (the untagged
     // formulation recomputed the banded probe to find touched labels —
