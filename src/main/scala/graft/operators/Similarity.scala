@@ -985,8 +985,18 @@ object Similarity {
       val bf = twoStageTopK(
         cosineCols(e.select(col("vec_id"), col("emb").as("ce"))
           .crossJoin(broadcast(qvec))),
-        5, col("cosine").desc).select("query_id", "rank", "vec_id")
+        5, col("cosine").desc).select("query_id", "rank", "vec_id", "cosine")
         .transform(Materialize.once)
+      // per-query 5th-best exact cosine — the COMPETITIVE-recall floor
+      // (r16): on a replica-dense corpus the true top-5 is a tie class
+      // of byte-identical embeddings, and id-graded recall@5 scores a
+      // returned replica 0 even though it is exactly as close as the
+      // ground truth's pick (measured sf10: ADC-only id-recall 0.04
+      // from PQ-code ties alone). recall_at_5_cos counts a returned
+      // neighbor that MEETS the ground truth's 5th-best cosine — the
+      // tie-robust twin; id-graded recall stays the gated column.
+      val bfFloor = bf.groupBy("query_id")
+        .agg(min(col("cosine")).as("cos5"))
       // planted-neighbor hit: rank-1 returns something AT LEAST AS CLOSE
       // as the planted seed (exact cosine ≥ mix − ε). Graded by cosine,
       // not id equality: the scale fixtures replicate embeddings, so the
@@ -1051,9 +1061,18 @@ object Similarity {
         val hit1 = approx.filter(col("rank") === 1)
           .agg(sum(when(col("cos_q") >= hitFloor, 1L).otherwise(0L))
             .as("hits1"))
-        val rec5 = approx.join(broadcast(bf), Seq("query_id", "vec_id"))
+        val rec5 = approx
+          .join(broadcast(bf.select("query_id", "vec_id")),
+            Seq("query_id", "vec_id"))
           .agg(count(lit(1)).as("hits5"))
-        hit1.crossJoin(rec5)
+        // competitive recall: the returned neighbor's EXACT cosine meets
+        // the ground truth's 5th-best (1.1e-4 slack covers the 4-dp
+        // rounding of cos5 vs the 1e-6 quantization of cos_q — it can
+        // only loosen, and only at diagnostics precision)
+        val rec5c = approx.join(broadcast(bfFloor), Seq("query_id"))
+          .agg(sum(when(col("cos_q").cast("double") / lit(1e6) >=
+            col("cos5") - lit(1.1e-4), 1L).otherwise(0L)).as("hits5c"))
+        hit1.crossJoin(rec5).crossJoin(rec5c)
           .select(
             // label reports the TRAINED codeword count (self-review r16:
             // the ADC stride already uses it — a config string claiming
@@ -1066,7 +1085,9 @@ object Similarity {
             lit(seeds.length).as("n_queries"),
             round(col("hits1") / lit(seeds.length.toDouble), 4)
               .as("planted_hit_at_1"),
-            round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"))
+            round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"),
+            round(col("hits5c") / lit(seeds.length * 5.0), 4)
+              .as("recall_at_5_cos"))
       }
       require(arms.nonEmpty, s"graft.ann.prod.arm=${armFilter.get} matches " +
         "no arm — expected np{4|8|16}.{adc|rerank} at the current ProdNprobe")
