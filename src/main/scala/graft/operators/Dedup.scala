@@ -572,6 +572,263 @@ object Dedup {
     (sh.filter(col("bucket") >= 90).select(col("doc_id")), pairs)
   }
 
+  /** AllPairs/PPJoin-style prefix filtering (Bayardo et al. WWW'07;
+    * symmetric prefix-prefix form per Vernica et al. SIGMOD'10) —
+    * EXACT high-confidence near-dup detection at jaccard > t, the
+    * regime prefix filtering is built for: a qualifying pair needs
+    * inter ≥ floor(t·max(n1,n2)) + 1 shared shingles, so under any
+    * global total order the pair's globally-smallest shared shingle
+    * sits within each side's first n − floor(t·n) shingles (the
+    * other ≥ floor(t·n) intersection members all order after it).
+    * At the registered default t = JaccardPrefixThreshold = 0.6 only
+    * ~40% of postings enter the inverted index — candidate volume
+    * ~16% of the full self-join on uniform data — and the canonical
+    * order is ASCENDING document frequency, so the dropped postings
+    * are each doc's HIGHEST-df shingles, precisely the Σ df²
+    * quadratic keys, with ZERO recall loss. Higher thresholds prune
+    * harder still (dedup_eval_minhash's truth arm runs t = 0.79 for
+    * its ≥ 0.8 filter: ~21% of postings, ~28% of the 0.6-run's
+    * candidate volume). (At the exploratory 0.1 threshold the prefix
+    * would be 90% of postings and prune nothing — that regime
+    * belongs to dedup_ngram_jaccard / _capped.) Candidates re-verify
+    * against the full shingle arrays, so no approximation ever
+    * reaches the output: the result is EXACTLY the pairs with
+    * jaccard > t (strict, round-to-4).
+    *
+    * PLAN SELECTION (r10 auto-gate, RETIRED r14): the r10 gate read
+    * the df histogram and picked direct below a candidate-volume
+    * ratio, calibrated when the prefix pipeline still paid string-
+    * array verification. After the r13 fingerprint screen and the
+    * r14 PPJoin filters, re-measurement across sf0.001→sf10 found the
+    * prefix plan winning at EVERY scale (up to 6.6× at sf10) while
+    * the stale gate routed every fixture to direct — see
+    * [[prefixRatioOverride]] for the numbers. Default is now prefix;
+    * the direct postings self-join + aggregate stays reachable via
+    * the positive-ratio override as the parity baseline. Both plans
+    * are EXACT at the same threshold — one oracle covers either
+    * choice.
+    */
+  private[operators] def jaccardPrefixPairs(s: SparkSession, d: String,
+      t: Double): DataFrame = {
+    val sh = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .transform(Materialize.once) // feeds the postings build AND the verify join
+    // Three consumers read the postings (df aggregate + both self-join
+    // sides in whichever branch wins): materialize the explode once —
+    // narrow (doc_id, n_sh, s) rows, the same reasoning as the sibling
+    // queries' checkpointed `ex` (self-review r10: the first cut
+    // re-exploded from `sh` per consumer).
+    val ex0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .transform(Materialize.once)
+    // df via map-side-combined aggregate + join back (not a window over
+    // the skewed shingle key — same reasoning as the capped twin).
+    val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+    // Default plan: PREFIX, unconditionally — the df-stats probe job
+    // runs only when a positive ratio override re-enables the legacy
+    // stats gate (see [[prefixRatioOverride]] for the r14 retirement
+    // measurements). The stats themselves stay cached per corpus.
+    def corpusStats(): (Long, BigDecimal) =
+      prefixPlanStats.getOrElseUpdate(docKey(d), {
+      graft.ColdBuilds.record("jaccard_df_stats")
+      val statsRow = df
+        // The DOUBLED candidate sum Σ df·(df−1) aggregates as
+        // DECIMAL(38,0): a single shingle with df > ~4.3e9 overflows
+        // df·(df−1) in a long, and Spark's non-ANSI long sum wraps
+        // SILENTLY — a wrapped negative would select the direct plan in
+        // exactly the ultra-high-df regime the gate exists to route
+        // away from it. (The doubled form avoids decimal division's
+        // fractional result scale; the comparison below doubles the
+        // other side instead.) Postings is bounded by total row count
+        // and stays long.
+        .agg(sum(col("df")).as("postings"),
+          sum(expr("cast(df as decimal(38,0)) * (df - 1)")).as("cand2"))
+        .head()
+      val p = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+      // A NULL candidate sum with nonzero postings is decimal(38,0)
+      // OVERFLOW (Spark's non-ANSI decimal sum nulls out past 10^38),
+      // which only a cataclysmically high-df corpus can produce —
+      // treat it as +infinity so the gate picks the prefix plan, not
+      // as the empty-corpus 0 that would pick the direct join in
+      // exactly that regime (second self-review pass).
+      val cand2 =
+        if (statsRow.isNullAt(1))
+          if (p > 0L) BigDecimal(10).pow(39) else BigDecimal(0)
+        else BigDecimal(statsRow.getDecimal(1))
+      (p, cand2)
+    })
+    // Overflow-safe comparison of candVolume ≤ ratio·postings (both
+    // sides doubled): ratio × postings can wrap a long for large
+    // overrides (self-review r10 — Long.MaxValue × even postings wraps
+    // NEGATIVE and silently flips the plan choice, which also made the
+    // branch-parity spec vacuous). BigDecimal on both sides; a NEGATIVE
+    // ratio force-selects the prefix pipeline (the candidate sum is
+    // never negative), the test hook's counterpart to huge-ratio
+    // force-direct. No override (the deployment default) → prefix
+    // with no stats job on the DECISION path (the verify screen's
+    // broadcast gate still reads the cached stats once per corpus).
+    val usePrefix = prefixRatioOverride.forall { r =>
+      r < 0 || {
+        val (postings, candVolume2x) = corpusStats()
+        candVolume2x > BigDecimal(2) * BigDecimal(r) * BigDecimal(postings)
+      }
+    }
+    if (!usePrefix) {
+      // Low-df regime: the exact inverted-index aggregate (the
+      // dedup_ngram_jaccard shape) at the high-confidence threshold.
+      val a = ex0.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
+      val b = ex0.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
+      a.join(b, Seq("s"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") > t)
+        .select("d1", "d2", "jaccard")
+    } else {
+      val byDocCanonical =
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+      // materialized: BOTH self-join sides read it, and the window sort
+      // over the full postings is the one stage worth paying once. The
+      // prefix rows CARRY (n_sh, rk) so the join below can apply
+      // PPJoin's positional + length filters (r14, VERDICT r13 #2).
+      val prefix = ex0.join(df, Seq("s"))
+        .withColumn("rk", row_number().over(byDocCanonical))
+        .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
+        .select("doc_id", "n_sh", "rk", "s")
+        .transform(Materialize.once)
+      // PPJoin filters on top of the prefix filter (Xiao et al. WWW'08
+      // via the Vernica et al. SIGMOD'10 distributed form) — both are
+      // LOSSLESS at threshold t, derived from jaccard > t ⟺
+      // inter > t/(1+t)·(n1+n2):
+      //  - LENGTH: inter ≤ min(n1,n2), so a qualifying pair needs
+      //    min(n1,n2) > t·max(n1,n2) — size-mismatched pairs drop
+      //    before the distinct shuffle.
+      //  - POSITIONAL: for the pair's globally-SMALLEST shared shingle
+      //    (present in both prefixes by the prefix property), every
+      //    other intersection member orders after it on both sides, so
+      //    inter ≤ 1 + min(n1−rk1, n2−rk2); a row failing that bound
+      //    for the required inter cannot be the first match of a
+      //    qualifying pair, and the first-match row of every
+      //    qualifying pair provably survives — distinct() still sees
+      //    it. (Deep-prefix matches of big docs drop: the quadratic
+      //    boilerplate keys the prefix filter alone lets through.)
+      // The 1e-9 relative slack keeps the double-valued bound from
+      // clipping an exactly-boundary pair (t/(1+t) is not exactly
+      // representable); it loosens, never tightens, the filter.
+      // `-Dgraft.jaccard.ppjoin=off` disables both filters for
+      // interleaved same-JVM A/B (output is identical either way —
+      // they only prune candidates the verify stage would reject).
+      //
+      // FALSIFIED REFINEMENT (r14, kept out deliberately): PPJoin's
+      // asymmetric INDEXING prefix — orienting pairs by (n_sh, doc_id)
+      // and joining the smaller side from its first n − ⌊2t/(1+t)·n⌋
+      // positions (0.25·n at t=0.6 vs the 0.4·n probe prefix) — is
+      // lossless (inter > 2t/(1+t)·n1 and every intersection member
+      // orders ≥ the first shared shingle) and shrinks the JOIN INPUT,
+      // which the post-join filters cannot. Measured interleaved at
+      // sf10 it LOST ~6-10% cpu vs this form (2280-2428 vs 2120-2165
+      // cpu-s; plain AllPairs baseline in between), both plans two
+      // full Exchange+Sort sides with no ReusedExchange either way —
+      // the smaller sort does not pay for the orientation disjunction
+      // and the lost symmetric-side uniformity on this corpus. The
+      // boundary spec for its bound (DedupSimilaritySpec "indexing
+      // prefix ... AT the bound") is kept as an output-correctness
+      // pin. Re-try only if the join input itself becomes the
+      // measured bottleneck on a skewed-df corpus.
+      val ppjoinOn = !sys.props.get("graft.jaccard.ppjoin").contains("off")
+      val posBound = lit(t) / (lit(1.0) + lit(t)) *
+        (col("cn1") + col("cn2")) * (lit(1.0) - lit(1e-9))
+      val joined = prefix.select(col("doc_id").as("d1"), col("n_sh").as("cn1"),
+          col("rk").as("rk1"), col("s"))
+        .join(prefix.select(col("doc_id").as("d2"), col("n_sh").as("cn2"),
+          col("rk").as("rk2"), col("s")), Seq("s"))
+        .filter(col("d1") < col("d2"))
+      val filtered =
+        if (!ppjoinOn) joined
+        else joined
+          .filter(least(col("cn1"), col("cn2")).cast("double") >
+            lit(t) * greatest(col("cn1"), col("cn2")) * (lit(1.0) - lit(1e-9)))
+          .filter((lit(1) + least(col("cn1") - col("rk1"),
+            col("cn2") - col("rk2"))).cast("double") > posBound)
+      val cand = filtered
+        .select("d1", "d2")
+        .distinct()
+      // PROBE SEAM (default off, never set by any query path): with
+      // -Dgraft.jaccard.stage=cand (or env GRAFT_JACCARD_STAGE=cand —
+      // the env form survives sbt's fork boundary) the prefix pipeline
+      // returns the candidate set itself (jaccard stubbed 0), so
+      // AbProbe can time GENERATION alone and its `rows` field doubles
+      // as the candidate-volume counter for the PPJoin-filter A/B.
+      if (sys.props.get("graft.jaccard.stage")
+          .orElse(sys.env.get("GRAFT_JACCARD_STAGE")).contains("cand"))
+        cand.withColumn("jaccard", lit(0.0))
+      else {
+      // TWO-STAGE VERIFY (r13, sf10-profiled): candidate volume at the
+      // 0.6 threshold is tens of millions of pairs, and verifying each
+      // against the STRING shingle arrays is ~100 UTF8 comparisons per
+      // pair whichever way the intersection is computed — measured
+      // 212 s of a 330 s sf10 run (array_intersect's per-row hash set)
+      // and 189 s even as a sorted linear merge: the string compares
+      // themselves dominate. So pairs are screened first against
+      // per-doc SORTED 60-bit shingle-fingerprint arrays (8 bytes and
+      // one long compare per element; [[graft.functions.SortedInterCount]]
+      // is the zero-allocation merge kernel). The screen is a provable
+      // SUPERSET filter: a hash collision can only INFLATE the count
+      // (each shared shingle contributes min-multiplicity ≥ 1 on both
+      // sides), so hash-jaccard ≥ true jaccard and no true pair is
+      // dropped. The survivors — output-sized, ~0.1% of candidates —
+      // then re-verify EXACTLY on the string arrays, so the emitted
+      // rows are bit-identical to the single-stage form and the
+      // oracle is untouched. Per-doc work (fp hashing, two
+      // array_sorts) happens once per doc, per-pair work is the long
+      // merge. Measured at sf10: verify 212 s → ~10 s.
+      graft.functions.GraftFunctions.register(s)
+      // the screen side is (doc_id, n_sh, sorted 8-byte fingerprints) —
+      // ~postings×8 bytes in toto. BROADCAST it (both pair sides probe
+      // it map-side, so the candidate stream never shuffles) when the
+      // driver-resident postings count bounds it under the gate;
+      // past the gate it joins as a plain shuffle — candidate-sized
+      // exchanges, still never string-array-sized.
+      val shh = sh.select(col("doc_id"), col("n_sh"),
+        array_sort(expr(
+          "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
+          .as("shh"))
+        .transform(Materialize.once) // the screen joins it twice
+      // corpusStats (cached per corpus) still backs THIS gate — the
+      // one remaining consumer of the df-stats aggregate now that the
+      // plan gate is retired; one cheap map-side-combined job per
+      // corpus per JVM
+      def gated(d: DataFrame): DataFrame =
+        if (corpusStats()._1 * ScreenBytesPerPosting <= ScreenBroadcastBytes)
+          broadcast(d)
+        else d
+      val screened = cand
+        .join(gated(shh.select(col("doc_id").as("d1"), col("shh").as("h1"),
+          col("n_sh").as("n1"))), Seq("d1"))
+        .join(gated(shh.select(col("doc_id").as("d2"), col("shh").as("h2"),
+          col("n_sh").as("n2"))), Seq("d2"))
+        .withColumn("ih", expr("sorted_inter_count(h1, h2)"))
+        .filter(round(col("ih").cast("double") /
+          (col("n1") + col("n2") - col("ih")), 4) > t)
+        .select("d1", "d2")
+      // exact confirm on the output-sized survivors, against the
+      // ORIGINAL string arrays — identical rows to the single-stage
+      // verify, so the oracle is untouched
+      screened
+        .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")), Seq("d2"))
+        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+        .filter(col("jaccard") > t)
+        .select("d1", "d2", "jaccard")
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> ((s, d) => {
       // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters
@@ -654,258 +911,8 @@ object Dedup {
         .filter(col("jaccard") > 0.1)
         .select("d1", "d2", "jaccard")
     }),
-    "dedup_ngram_jaccard_prefix" -> ((s, d) => {
-      // AllPairs/PPJoin-style prefix filtering (Bayardo et al. WWW'07;
-      // symmetric prefix-prefix form per Vernica et al. SIGMOD'10) —
-      // EXACT high-confidence near-dup detection at jaccard > 0.6, the
-      // regime prefix filtering is built for: a qualifying pair needs
-      // inter ≥ floor(0.6·max(n1,n2)) + 1 shared shingles, so under any
-      // global total order the pair's globally-smallest shared shingle
-      // sits within each side's first n − floor(0.6·n) shingles (the
-      // other ≥ floor(0.6·n) intersection members all order after it).
-      // Only those ~40% of postings enter the inverted index — candidate
-      // volume ~16% of the full self-join on uniform data — and the
-      // canonical order is ASCENDING document frequency, so the dropped
-      // 60% are each doc's HIGHEST-df shingles, precisely the Σ df²
-      // quadratic keys, cutting far more than 60² % on boilerplate-heavy
-      // corpora with ZERO recall loss. (At the exploratory 0.1 threshold
-      // the prefix would be 90% of postings and prune nothing — that
-      // regime belongs to dedup_ngram_jaccard / _capped.)
-      // Candidates re-verify against the full shingle arrays
-      // (array_intersect on the checkpointed narrow frame), so no
-      // approximation ever reaches the output.
-      //
-      // PLAN SELECTION (r10 auto-gate, RETIRED r14): the r10 gate read
-      // the df histogram and picked direct below a candidate-volume
-      // ratio, calibrated when the prefix pipeline still paid string-
-      // array verification. After the r13 fingerprint screen and the
-      // r14 PPJoin filters, re-measurement across sf0.001→sf10 found the
-      // prefix plan winning at EVERY scale (up to 6.6× at sf10) while
-      // the stale gate routed every fixture to direct — see
-      // [[prefixRatioOverride]] for the numbers. Default is now prefix;
-      // the direct postings self-join + aggregate stays reachable via
-      // the positive-ratio override as the parity baseline. Both plans
-      // are EXACT at the same threshold — one oracle covers either
-      // choice.
-      val t = JaccardPrefixThreshold
-      val sh = withShingles(Tables.documents(s, d))
-        .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-        .transform(Materialize.once) // feeds the postings build AND the verify join
-      // Three consumers read the postings (df aggregate + both self-join
-      // sides in whichever branch wins): materialize the explode once —
-      // narrow (doc_id, n_sh, s) rows, the same reasoning as the sibling
-      // queries' checkpointed `ex` (self-review r10: the first cut
-      // re-exploded from `sh` per consumer).
-      val ex0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-        .transform(Materialize.once)
-      // df via map-side-combined aggregate + join back (not a window over
-      // the skewed shingle key — same reasoning as the capped twin).
-      val df = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-      // Default plan: PREFIX, unconditionally — the df-stats probe job
-      // runs only when a positive ratio override re-enables the legacy
-      // stats gate (see [[prefixRatioOverride]] for the r14 retirement
-      // measurements). The stats themselves stay cached per corpus.
-      def corpusStats(): (Long, BigDecimal) =
-        prefixPlanStats.getOrElseUpdate(docKey(d), {
-        graft.ColdBuilds.record("jaccard_df_stats")
-        val statsRow = df
-          // The DOUBLED candidate sum Σ df·(df−1) aggregates as
-          // DECIMAL(38,0): a single shingle with df > ~4.3e9 overflows
-          // df·(df−1) in a long, and Spark's non-ANSI long sum wraps
-          // SILENTLY — a wrapped negative would select the direct plan in
-          // exactly the ultra-high-df regime the gate exists to route
-          // away from it. (The doubled form avoids decimal division's
-          // fractional result scale; the comparison below doubles the
-          // other side instead.) Postings is bounded by total row count
-          // and stays long.
-          .agg(sum(col("df")).as("postings"),
-            sum(expr("cast(df as decimal(38,0)) * (df - 1)")).as("cand2"))
-          .head()
-        val p = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
-        // A NULL candidate sum with nonzero postings is decimal(38,0)
-        // OVERFLOW (Spark's non-ANSI decimal sum nulls out past 10^38),
-        // which only a cataclysmically high-df corpus can produce —
-        // treat it as +infinity so the gate picks the prefix plan, not
-        // as the empty-corpus 0 that would pick the direct join in
-        // exactly that regime (second self-review pass).
-        val cand2 =
-          if (statsRow.isNullAt(1))
-            if (p > 0L) BigDecimal(10).pow(39) else BigDecimal(0)
-          else BigDecimal(statsRow.getDecimal(1))
-        (p, cand2)
-      })
-      // Overflow-safe comparison of candVolume ≤ ratio·postings (both
-      // sides doubled): ratio × postings can wrap a long for large
-      // overrides (self-review r10 — Long.MaxValue × even postings wraps
-      // NEGATIVE and silently flips the plan choice, which also made the
-      // branch-parity spec vacuous). BigDecimal on both sides; a NEGATIVE
-      // ratio force-selects the prefix pipeline (the candidate sum is
-      // never negative), the test hook's counterpart to huge-ratio
-      // force-direct. No override (the deployment default) → prefix
-      // with no stats job on the DECISION path (the verify screen's
-      // broadcast gate still reads the cached stats once per corpus).
-      val usePrefix = prefixRatioOverride.forall { r =>
-        r < 0 || {
-          val (postings, candVolume2x) = corpusStats()
-          candVolume2x > BigDecimal(2) * BigDecimal(r) * BigDecimal(postings)
-        }
-      }
-      if (!usePrefix) {
-        // Low-df regime: the exact inverted-index aggregate (the
-        // dedup_ngram_jaccard shape) at the high-confidence threshold.
-        val a = ex0.select(col("doc_id").as("d1"), col("n_sh").as("n1"), col("s"))
-        val b = ex0.select(col("doc_id").as("d2"), col("n_sh").as("n2"), col("s"))
-        a.join(b, Seq("s"))
-          .filter(col("d1") < col("d2"))
-          .groupBy("d1", "d2", "n1", "n2")
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("jaccard",
-            round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-          .filter(col("jaccard") > t)
-          .select("d1", "d2", "jaccard")
-      } else {
-        val byDocCanonical =
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-        // materialized: BOTH self-join sides read it, and the window sort
-        // over the full postings is the one stage worth paying once. The
-        // prefix rows CARRY (n_sh, rk) so the join below can apply
-        // PPJoin's positional + length filters (r14, VERDICT r13 #2).
-        val prefix = ex0.join(df, Seq("s"))
-          .withColumn("rk", row_number().over(byDocCanonical))
-          .filter(col("rk") <= col("n_sh") - floor(col("n_sh") * lit(t)))
-          .select("doc_id", "n_sh", "rk", "s")
-          .transform(Materialize.once)
-        // PPJoin filters on top of the prefix filter (Xiao et al. WWW'08
-        // via the Vernica et al. SIGMOD'10 distributed form) — both are
-        // LOSSLESS at threshold t, derived from jaccard > t ⟺
-        // inter > t/(1+t)·(n1+n2):
-        //  - LENGTH: inter ≤ min(n1,n2), so a qualifying pair needs
-        //    min(n1,n2) > t·max(n1,n2) — size-mismatched pairs drop
-        //    before the distinct shuffle.
-        //  - POSITIONAL: for the pair's globally-SMALLEST shared shingle
-        //    (present in both prefixes by the prefix property), every
-        //    other intersection member orders after it on both sides, so
-        //    inter ≤ 1 + min(n1−rk1, n2−rk2); a row failing that bound
-        //    for the required inter cannot be the first match of a
-        //    qualifying pair, and the first-match row of every
-        //    qualifying pair provably survives — distinct() still sees
-        //    it. (Deep-prefix matches of big docs drop: the quadratic
-        //    boilerplate keys the prefix filter alone lets through.)
-        // The 1e-9 relative slack keeps the double-valued bound from
-        // clipping an exactly-boundary pair (t/(1+t) is not exactly
-        // representable); it loosens, never tightens, the filter.
-        // `-Dgraft.jaccard.ppjoin=off` disables both filters for
-        // interleaved same-JVM A/B (output is identical either way —
-        // they only prune candidates the verify stage would reject).
-        //
-        // FALSIFIED REFINEMENT (r14, kept out deliberately): PPJoin's
-        // asymmetric INDEXING prefix — orienting pairs by (n_sh, doc_id)
-        // and joining the smaller side from its first n − ⌊2t/(1+t)·n⌋
-        // positions (0.25·n at t=0.6 vs the 0.4·n probe prefix) — is
-        // lossless (inter > 2t/(1+t)·n1 and every intersection member
-        // orders ≥ the first shared shingle) and shrinks the JOIN INPUT,
-        // which the post-join filters cannot. Measured interleaved at
-        // sf10 it LOST ~6-10% cpu vs this form (2280-2428 vs 2120-2165
-        // cpu-s; plain AllPairs baseline in between), both plans two
-        // full Exchange+Sort sides with no ReusedExchange either way —
-        // the smaller sort does not pay for the orientation disjunction
-        // and the lost symmetric-side uniformity on this corpus. The
-        // boundary spec for its bound (DedupSimilaritySpec "indexing
-        // prefix ... AT the bound") is kept as an output-correctness
-        // pin. Re-try only if the join input itself becomes the
-        // measured bottleneck on a skewed-df corpus.
-        val ppjoinOn = !sys.props.get("graft.jaccard.ppjoin").contains("off")
-        val posBound = lit(t) / (lit(1.0) + lit(t)) *
-          (col("cn1") + col("cn2")) * (lit(1.0) - lit(1e-9))
-        val joined = prefix.select(col("doc_id").as("d1"), col("n_sh").as("cn1"),
-            col("rk").as("rk1"), col("s"))
-          .join(prefix.select(col("doc_id").as("d2"), col("n_sh").as("cn2"),
-            col("rk").as("rk2"), col("s")), Seq("s"))
-          .filter(col("d1") < col("d2"))
-        val filtered =
-          if (!ppjoinOn) joined
-          else joined
-            .filter(least(col("cn1"), col("cn2")).cast("double") >
-              lit(t) * greatest(col("cn1"), col("cn2")) * (lit(1.0) - lit(1e-9)))
-            .filter((lit(1) + least(col("cn1") - col("rk1"),
-              col("cn2") - col("rk2"))).cast("double") > posBound)
-        val cand = filtered
-          .select("d1", "d2")
-          .distinct()
-        // PROBE SEAM (default off, never set by any query path): with
-        // -Dgraft.jaccard.stage=cand (or env GRAFT_JACCARD_STAGE=cand —
-        // the env form survives sbt's fork boundary) the prefix pipeline
-        // returns the candidate set itself (jaccard stubbed 0), so
-        // AbProbe can time GENERATION alone and its `rows` field doubles
-        // as the candidate-volume counter for the PPJoin-filter A/B.
-        if (sys.props.get("graft.jaccard.stage")
-            .orElse(sys.env.get("GRAFT_JACCARD_STAGE")).contains("cand"))
-          cand.withColumn("jaccard", lit(0.0))
-        else {
-        // TWO-STAGE VERIFY (r13, sf10-profiled): candidate volume at the
-        // 0.6 threshold is tens of millions of pairs, and verifying each
-        // against the STRING shingle arrays is ~100 UTF8 comparisons per
-        // pair whichever way the intersection is computed — measured
-        // 212 s of a 330 s sf10 run (array_intersect's per-row hash set)
-        // and 189 s even as a sorted linear merge: the string compares
-        // themselves dominate. So pairs are screened first against
-        // per-doc SORTED 60-bit shingle-fingerprint arrays (8 bytes and
-        // one long compare per element; [[graft.functions.SortedInterCount]]
-        // is the zero-allocation merge kernel). The screen is a provable
-        // SUPERSET filter: a hash collision can only INFLATE the count
-        // (each shared shingle contributes min-multiplicity ≥ 1 on both
-        // sides), so hash-jaccard ≥ true jaccard and no true pair is
-        // dropped. The survivors — output-sized, ~0.1% of candidates —
-        // then re-verify EXACTLY on the string arrays, so the emitted
-        // rows are bit-identical to the single-stage form and the
-        // oracle is untouched. Per-doc work (fp hashing, two
-        // array_sorts) happens once per doc, per-pair work is the long
-        // merge. Measured at sf10: verify 212 s → ~10 s.
-        graft.functions.GraftFunctions.register(s)
-        // the screen side is (doc_id, n_sh, sorted 8-byte fingerprints) —
-        // ~postings×8 bytes in toto. BROADCAST it (both pair sides probe
-        // it map-side, so the candidate stream never shuffles) when the
-        // driver-resident postings count bounds it under the gate;
-        // past the gate it joins as a plain shuffle — candidate-sized
-        // exchanges, still never string-array-sized.
-        val shh = sh.select(col("doc_id"), col("n_sh"),
-          array_sort(expr(
-            "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-            .as("shh"))
-          .transform(Materialize.once) // the screen joins it twice
-        // corpusStats (cached per corpus) still backs THIS gate — the
-        // one remaining consumer of the df-stats aggregate now that the
-        // plan gate is retired; one cheap map-side-combined job per
-        // corpus per JVM
-        def gated(d: DataFrame): DataFrame =
-          if (corpusStats()._1 * ScreenBytesPerPosting <= ScreenBroadcastBytes)
-            broadcast(d)
-          else d
-        val screened = cand
-          .join(gated(shh.select(col("doc_id").as("d1"), col("shh").as("h1"),
-            col("n_sh").as("n1"))), Seq("d1"))
-          .join(gated(shh.select(col("doc_id").as("d2"), col("shh").as("h2"),
-            col("n_sh").as("n2"))), Seq("d2"))
-          .withColumn("ih", expr("sorted_inter_count(h1, h2)"))
-          .filter(round(col("ih").cast("double") /
-            (col("n1") + col("n2") - col("ih")), 4) > t)
-          .select("d1", "d2")
-        // exact confirm on the output-sized survivors, against the
-        // ORIGINAL string arrays — identical rows to the single-stage
-        // verify, so the oracle is untouched
-        screened
-          .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-            col("n_sh").as("n1")), Seq("d1"))
-          .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-            col("n_sh").as("n2")), Seq("d2"))
-          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-          .withColumn("jaccard",
-            round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-          .filter(col("jaccard") > t)
-          .select("d1", "d2", "jaccard")
-        }
-      }
-    }),
+    "dedup_ngram_jaccard_prefix" -> ((s, d) =>
+      jaccardPrefixPairs(s, d, JaccardPrefixThreshold)),
     "dedup_substring" -> ((s, d) => {
       // Exact substring-duplication detection (the signal behind
       // "Deduplicating Training Data Makes Language Models Better",
@@ -1020,15 +1027,26 @@ object Dedup {
         .select("doc_id", "sh").transform(Materialize.once)
       // Ground truth via the PREFIX pipeline, not the exact uncapped
       // inverted-index self-join (VERDICT r15 #1): the eval needs exact
-      // pairs at jaccard ≥ 0.8, and dedup_ngram_jaccard_prefix is EXACT
-      // at its own threshold 0.6 < 0.8 — so filtering its output at 0.8
-      // is bit-identical to filtering the exact plan's (same shingles,
-      // same round-to-4 jaccard; the prefix/PPJoin filters are lossless
-      // and every survivor re-verifies on the string arrays). Routing
-      // through the uncapped plan made this 1-row eval the single most
-      // expensive sf10 entry (2081 cpu-s, SCALE10_r15) by paying the
-      // Σdf² candidate volume the prefix plan exists to avoid.
-      val truth = queries("dedup_ngram_jaccard_prefix")(s, d)
+      // pairs at jaccard ≥ 0.8, and [[jaccardPrefixPairs]] is EXACT at
+      // any threshold t — its output is precisely {jaccard > t}, same
+      // shingles, same round-to-4, every survivor string-verified — so
+      // filtering a t < 0.8 run at ≥ 0.8 is bit-identical to filtering
+      // the exact plan's output. Routing through the uncapped plan made
+      // this 1-row eval the single most expensive sf10 entry (2081
+      // cpu-s, SCALE10_r15) by paying the Σdf² candidate volume the
+      // prefix plan exists to avoid. t = 0.79 (r16, not the registered
+      // 0.6): the truth filter is INCLUSIVE at 0.8 and prefix emission
+      // strict at t, so t must sit below 0.8 — every step closer shrinks
+      // the prefix (n − ⌊t·n⌋ ≈ 21% of postings vs 40% at 0.6) and
+      // candidate volume quadratically (~28% of the 0.6 run's). Measured
+      // sf10 HONESTLY: ~flat vs the 0.6 truth (673 vs 634 cpu-s, drift
+      // range) — on THIS fixture the threshold-independent stages
+      // (shingle pass, postings materialization, the full-postings
+      // canonical-order window) dominate, not the candidate join. Kept
+      // because the candidate term is the one that grows on
+      // boilerplate-heavy corpora, and tighter-t is never structurally
+      // slower (strictly fewer candidates, same shared stages).
+      val truth = jaccardPrefixPairs(s, d, 0.79)
         .filter(col("jaccard") >= 0.8).select("d1", "d2")
         .withColumn("in_truth", lit(1))
       val cand = minhashCandidates(sh).withColumn("in_cand", lit(1))
