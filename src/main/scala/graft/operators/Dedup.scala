@@ -608,7 +608,7 @@ object Dedup {
     * are EXACT at the same threshold — one oracle covers either
     * choice.
     */
-  private[operators] def jaccardPrefixPairs(s: SparkSession, d: String,
+  private[graft] def jaccardPrefixPairs(s: SparkSession, d: String,
       t: Double): DataFrame = {
     val sh = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))

@@ -24,6 +24,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh-only=${lsh -- exact}, missed=${exact -- lsh}")
   }
 
+  test("prefix truth is threshold-invariant above the filter: t=0.79 and t=0.6 runs agree with exact at >= 0.8") {
+    // the eval's truth arm runs jaccardPrefixPairs at t=0.79 (r16) — a
+    // LOSSLESS choice only if any t < 0.8 yields the same ≥ 0.8 set as
+    // the exact inverted-index plan; pin all three against each other
+    import org.apache.spark.sql.functions.col
+    def at(t: Double): Set[(Long, Long, Double)] =
+      Dedup.jaccardPrefixPairs(spark, sf, t)
+        .filter(col("jaccard") >= 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val t79 = at(0.79)
+    assert(t79 == at(Dedup.JaccardPrefixThreshold))
+    assert(t79 == exact && t79.nonEmpty)
+  }
+
   test("dedup_embedding_topk fence trips beyond the all-pairs row budget") {
     // at the fence: fine; one past it: fail fast instead of running O(n²)
     Dedup.requireAllPairsSafe(Dedup.EmbTopkMaxRows)
