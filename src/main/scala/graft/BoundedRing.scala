@@ -8,11 +8,22 @@ package graft
   * wraps access in its own `synchronized`, as both probe objects do.
   */
 private[graft] final class BoundedRing[T: scala.reflect.ClassTag](max: Int) {
+  require(max > 0, s"BoundedRing capacity must be positive, got $max")
   private val ring = new Array[T](max)
   private var start = 0
   private var n = 0
 
-  def clear(): Unit = { start = 0; n = 0 }
+  /** Reset to empty AND drop references to evicted elements: the rings sit
+    * on long-lived probe singletons, so a cleared 4096-tuple PlanVolume ring
+    * must not pin its last window of row objects (ADVICE r16).
+    */
+  def clear(): Unit = {
+    (ring: Any) match { // primitive-element rings (e.g. Int) retain nothing
+      case refs: Array[AnyRef] => java.util.Arrays.fill(refs, 0, refs.length, null)
+      case _                   => ()
+    }
+    start = 0; n = 0
+  }
 
   def add(t: T): Unit =
     if (n < max) { ring((start + n) % max) = t; n += 1 }

@@ -122,14 +122,17 @@ object StreamBench {
     eps
   }
 
-  /** Section filter (r16): `GRAFT_STREAM_ONLY=components_maintain,dsir`
-    * runs only the named sections (substring match on section names) so a
-    * single drifted row can be re-measured — the ratio-of-ratios read
-    * (VERDICT r15 #3) makes per-row re-runs a routine operation. The
-    * TIMED BODIES and the frozen calibration arm are untouched: a
-    * filtered run's rows are measured exactly as a full run's (each
-    * section still runs its own warmup; the calibration pass still
-    * re-measures per row), only unselected sections are skipped.
+  /** Section filter (r16): `GRAFT_STREAM_ONLY=components_maintain,dsir_gate`
+    * runs only the named sections so a single drifted row can be
+    * re-measured — the ratio-of-ratios read (VERDICT r15 #3) makes
+    * per-row re-runs a routine operation. Tokens match section names
+    * EXACTLY (ADVICE r16: `bm25_serve` must not silently also run
+    * bm25_serve_skewed); a trailing `*` is the explicit wildcard syntax
+    * (`percolate_*` runs all four percolate sections). The TIMED BODIES
+    * and the frozen calibration arm are untouched: a filtered run's rows
+    * are measured exactly as a full run's (each section still runs its
+    * own warmup; the calibration pass still re-measures per row), only
+    * unselected sections are skipped.
     */
   private val Sections = Seq("stream_score", "stream_ingest", "ann_serve",
     "bm25_serve", "sigstore_maintain", "components_maintain",
@@ -142,19 +145,23 @@ object StreamBench {
     * a metric-less artifact indistinguishable from success (self-review
     * r16).
     */
+  private def tokenMatches(tok: String, section: String): Boolean =
+    if (tok.endsWith("*")) section.startsWith(tok.dropRight(1))
+    else section == tok
+
   private def validateFilter(): Unit =
     sys.env.get("GRAFT_STREAM_ONLY").foreach { v =>
       val toks = v.split(",").map(_.trim).filter(_.nonEmpty)
       require(toks.nonEmpty, "GRAFT_STREAM_ONLY is set but empty")
-      val unknown = toks.filterNot(t => Sections.exists(_.contains(t)))
+      val unknown = toks.filterNot(t => Sections.exists(tokenMatches(t, _)))
       require(unknown.isEmpty,
-        s"GRAFT_STREAM_ONLY tokens match no section: ${unknown.mkString(",")}; " +
-          s"sections: ${Sections.mkString(",")}")
+        s"GRAFT_STREAM_ONLY tokens match no section (exact name or 'prefix*'): " +
+          s"${unknown.mkString(",")}; sections: ${Sections.mkString(",")}")
     }
 
   private def wanted(section: String): Boolean =
     sys.env.get("GRAFT_STREAM_ONLY").forall(
-      _.split(",").map(_.trim).filter(_.nonEmpty).exists(section.contains))
+      _.split(",").map(_.trim).filter(_.nonEmpty).exists(tokenMatches(_, section)))
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
@@ -259,8 +266,19 @@ object StreamBench {
     }
 
     runIngest(docRows.take(math.min(10000, nDocs)))
-    val ((ingestSecs, stateRows, stateBytes), cpuI) = withCpu(runIngest(docRows))
-    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes${tele(cpuI)}}""")
+    // MEDIAN-OF-3 (VERDICT r16 #5): ingest is the one I/O-bound row
+    // (per-batch shard commits) and its single-sample spread is ±20% —
+    // two rounds in a row needed a manual 3× re-measure note. Time three
+    // full passes, emit the median rate plus all samples and the spread,
+    // so the artifact self-reports its noise the way Bench's per-query
+    // medians do. The timed body and the calibration arm are unchanged;
+    // telemetry (cpu/loadavg/calib) is the median sample's.
+    val ingestSamples = (1 to 3).map(_ => withCpu(runIngest(docRows)))
+    val bySecs = ingestSamples.sortBy(_._1._1)
+    val ((ingestSecs, stateRows, stateBytes), cpuI) = bySecs(1)
+    val rates = ingestSamples.map { case ((s, _, _), _) => nDocs / s }
+    val spread = (rates.max - rates.min) / (nDocs / ingestSecs)
+    println(f"""{"metric":"stream_ingest_docs_per_sec","value":${nDocs / ingestSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$ingestSecs%.3f,"samples_docs_per_sec":[${rates.map(r => f"$r%.0f").mkString(",")}],"spread_frac":$spread%.3f,"state_rows_peak":$stateRows,"state_bytes_peak":$stateBytes${tele(cpuI)}}""")
     }
 
     // ---- ANN serving path: streamed query vectors answered from the

@@ -481,6 +481,23 @@ object Similarity {
     */
   private[graft] val ProdRecall5Bound = 0.5
 
+  /** Floor on `recall_at_5_cos` for EVERY re-ranked arm of the tuning
+    * curve (VERDICT r16 #6). The cos-graded column counts a returned
+    * neighbor that MEETS the exact ground truth's 5th-best cosine, so it
+    * is immune to the replica-tie collapse that makes the id-graded
+    * column untrustworthy on dense fixtures (sf10: ADC id-recall 0.04
+    * from PQ-code ties alone while re-ranked arms are cosine-perfect) —
+    * which is exactly why the re-rank arms can carry a standing floor
+    * here: a drop in this column is REAL recall loss, never tie noise.
+    * ADC-only arms are excluded — their compressed-domain order
+    * genuinely cannot rank inside replica clouds (a documented finding,
+    * not a defect), so a floor there would encode fixture shape, not
+    * quality. Measured re-ranked minima: 0.52 (nprobe=4, sf0.01) …
+    * 1.0 (sf10, all arms); floor sits ~20% under the lowest, same
+    * discipline as [[ProdRecall5Bound]].
+    */
+  private[graft] val RerankCosRecall5Floor = 0.4
+
   /** Mix weight for the planted queries: q ∝ w·seed + √(1−w²)·noise, so
     * cos(q, seed) ≈ w in high dimension (noise ⊥ seed w.h.p.).
     */
@@ -1095,13 +1112,25 @@ object Similarity {
         .orderBy(col("nprobe"), col("reranked"))
         // probe seam: -Dgraft.ann.prod.bound=-1 disables the gates to
         // READ the measured numbers while tuning; defaults stand. The
-        // gate binds ONLY the production row — curve rows pass through.
+        // id-graded gate binds ONLY the production row; the tie-robust
+        // recall_at_5_cos floor (r17, VERDICT r16 #6) binds EVERY
+        // re-ranked row — with the production row additionally held to
+        // ProdRecall5Bound on the cos column, so a replica-dense corpus
+        // that collapses the id-graded number cannot both false-alarm
+        // (cos is tie-immune) and mask a real recall loss (the cos
+        // floor still fires).
         .filter(assert_true(
           col("nprobe") =!= ProdNprobe || !col("reranked") ||
           (col("planted_hit_at_1") >= sys.props.get("graft.ann.prod.bound")
             .map(_.toDouble).getOrElse(ProdHitBound) &&
            col("recall_at_5") >= sys.props.get("graft.ann.prod.bound")
+            .map(_.toDouble).getOrElse(ProdRecall5Bound) &&
+           col("recall_at_5_cos") >= sys.props.get("graft.ann.prod.bound")
             .map(_.toDouble).getOrElse(ProdRecall5Bound))).isNull)
+        .filter(assert_true(
+          !col("reranked") ||
+          col("recall_at_5_cos") >= sys.props.get("graft.ann.prod.bound")
+            .map(_.toDouble).getOrElse(RerankCosRecall5Floor)).isNull)
     }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact — no oracle (sketch internals differ across

@@ -113,6 +113,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == rows)
   }
 
+  test("ann_recall_production: cos floor binds re-rank arms only (VERDICT r16 #6)") {
+    // the tie-robust column must dominate the id-graded one (an id hit is
+    // by definition at least as close as the 5th-best), and every
+    // re-ranked arm must clear the standing floor
+    val rows = Similarity.queries("ann_recall_production")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (rr, rec5, rec5c) = (r.getBoolean(2),
+        r.getDouble(5), r.getDouble(6))
+      assert(rec5c >= rec5, s"cos-graded recall below id-graded: $r")
+      if (rr) assert(rec5c >= Similarity.RerankCosRecall5Floor, s"$r")
+    }
+    def withBound[T](arm: String)(body: => T): T = {
+      sys.props("graft.ann.prod.arm") = arm
+      sys.props("graft.ann.prod.bound") = "1.01" // unreachable: cos ≤ 1
+      try body
+      finally { sys.props.remove("graft.ann.prod.arm")
+        sys.props.remove("graft.ann.prod.bound"): Unit }
+    }
+    // a NON-production re-ranked arm alone must trip the new floor (the
+    // production-row gate can't be the one firing — that row isn't run)
+    val e = intercept[Exception](withBound("np4.rerank")(
+      Similarity.queries("ann_recall_production")(spark, sf).collect()))
+    assert(e.getMessage != null)
+    // an ADC-only arm is exempt from the cos floor by design — the same
+    // unreachable bound must NOT fire there
+    val adc = withBound("np4.adc")(
+      Similarity.queries("ann_recall_production")(spark, sf).collect())
+    assert(adc.length == 1 && !adc.head.getBoolean(2))
+  }
+
   test("simhash hamming pairs cover the planted near-dups") {
     val planted = pairs("dedup_minhash_pairs")
     val simhash = pairs("dedup_simhash_pairs")
