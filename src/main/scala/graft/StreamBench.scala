@@ -422,24 +422,30 @@ object StreamBench {
     val (ccSecs, cpuCc) = withCpu(runCcMaintain(ccDocs, 2500))
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
     println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f${tele(cpuCc)}}""")
-    // INTERLEAVED verify-placement A/B (r16, opt-in): with
-    // -Dgraft.sb.cc.ab=on the same JVM re-runs the identical absorb
-    // workload under the legacy distinct-first arm
-    // (graft.banded.verify=post), alternating default/legacy twice —
-    // the AbProbe discipline for a streaming row, possible now that the
-    // legacy arm is a prop in contractDeltaSh. The timed bodies and the
-    // default row above are untouched when the flag is off.
-    if (sys.props.get("graft.sb.cc.ab").contains("on")) {
-      sys.props("graft.banded.verify") = "post"
+    // INTERLEAVED maintain A/B (r16, opt-in; generalized r17): the same
+    // JVM re-runs the identical absorb workload under a legacy arm,
+    // alternating default/legacy twice — the AbProbe discipline for a
+    // streaming row. `-Dgraft.sb.cc.ab=on` (or `=verify`) pins the r16
+    // distinct-first arm (graft.banded.verify=post);
+    // `-Dgraft.sb.cc.ab=sigdedup` pins the r17 pre-contraction arm
+    // (graft.cc.sigdedup=off — every doc probes for itself, no
+    // signature reps). The timed bodies and the default row above are
+    // untouched when the flag is off.
+    sys.props.get("graft.sb.cc.ab").foreach { abMode =>
+      val (legacyProp, legacyVal, armNames) = abMode match {
+        case "sigdedup" => ("graft.cc.sigdedup", "off", Seq("rep", "all"))
+        case _          => ("graft.banded.verify", "post", Seq("pre", "post"))
+      }
+      sys.props(legacyProp) = legacyVal
       try runCcMaintain(ccDocs.take(math.min(2000, nDocs)), 1000) // warm arm B
-      finally sys.props.remove("graft.banded.verify")
-      for (r <- 1 to 2; arm <- Seq("pre", "post")) {
-        if (arm == "post") sys.props("graft.banded.verify") = "post"
+      finally sys.props.remove(legacyProp)
+      for (r <- 1 to 2; arm <- armNames) {
+        if (arm == armNames(1)) sys.props(legacyProp) = legacyVal
         try {
           System.gc()
           val (s, c) = withCpu(runCcMaintain(ccDocs, 2500))
-          println(f"""{"metric":"components_maintain_ab","arm":"$arm","round":$r,"value":${ccDocs.length / s}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$s%.3f${tele(c)}}""")
-        } finally sys.props.remove("graft.banded.verify")
+          println(f"""{"metric":"components_maintain_ab","ab":"$abMode","arm":"$arm","round":$r,"value":${ccDocs.length / s}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$s%.3f${tele(c)}}""")
+        } finally sys.props.remove(legacyProp)
       }
     }
     }

@@ -385,9 +385,39 @@ object SigStore {
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
         col("band_id"), col("band_bits"))
+    // SIGNATURE CONTRACTION before the banded probe (r17, VERDICT r16
+    // #1): docs with IDENTICAL simhash are interchangeable in every
+    // hamming test (sig(a)=sig(rep) ⇒ hamming(a,x)=hamming(rep,x) for
+    // all x), so the probe and the delta self-join run over one
+    // REPRESENTATIVE per distinct signature (min doc_id), and every
+    // other member rides a star edge to its rep — itself a true pair
+    // (hamming 0 ≤ 6), so the contracted graph's components are exactly
+    // the full graph's. On a dup-heavy crawl batch (the streaming
+    // maintain workload: 50× replicated docs) this collapses the
+    // edge pipeline from Σ clique² pairwise edges to |delta| star edges
+    // plus the rep-graph — measured on the 25 k-doc maintain batch:
+    // 2.98 M → ~30 k edges, edges-checkpoint 12.8 → sub-second — and
+    // at 100 TB byte-identical re-crawls are the COMMON case.
+    // `-Dgraft.cc.sigdedup=off` pins the legacy all-docs arm for
+    // interleaved A/Bs; outputs are label-identical (spec-pinned).
+    val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
+    val repSh =
+      if (!sigDedup) deltaSh
+      else deltaSh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "simhash")
+    // star edges: member → its signature's rep (absent under the legacy
+    // arm, where every member probes for itself). reps are |delta|-
+    // bounded (micro-batch contract), so the join broadcasts.
+    val starEdges =
+      if (!sigDedup) None
+      else Some(deltaSh
+        .join(broadcast(repSh.select(col("doc_id").as("rep_id"),
+          col("simhash"))), Seq("simhash"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id").as("d1"), col("rep_id").as("d2")))
     // banded form recomputes from the checkpointed simhash per use — a
     // posexplode is cheaper than a materialization job
-    val delta = Dedup.banded7(deltaSh)
+    val delta = Dedup.banded7(repSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))
     // delta↔base edges, contracted: the base endpoint becomes its label.
@@ -469,9 +499,14 @@ object SigStore {
     // formulation recomputed the banded probe to find touched labels —
     // a second full store scan per absorb, measured)
     val tProf0 = System.nanoTime()
-    val edges = db.withColumn("from_store", lit(true))
-      .unionByName(dd.withColumn("from_store", lit(false)))
+    val edges = starEdges.foldLeft(
+        db.withColumn("from_store", lit(true))
+          .unionByName(dd.withColumn("from_store", lit(false))))(
+        (acc, star) => acc.unionByName(star.withColumn("from_store", lit(false))))
       .transform(Materialize.once)
+    if (sys.props.get("graft.banded.probe").contains("volume"))
+      graft.PlanVolume.record("cc.sigdedup",
+        if (sigDedup) "rep" else "all", edges.count())
     if (sys.env.contains("GRAFT_CC_PROF"))
       System.err.println(f"[ccprof] edges ckpt: ${(System.nanoTime() - tProf0) / 1e9}%.2f s")
     // The contracted graph is |delta|-bounded BY CONSTRUCTION (delta ids

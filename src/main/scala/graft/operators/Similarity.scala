@@ -338,6 +338,66 @@ object Similarity {
       cents
     })
 
+  /** Content-keyed root + FileSystem of the persisted assignment store
+    * (assign.parquet + centroids.parquet under one `_READY`).
+    */
+  private def semStoreRoot(s: SparkSession, d: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(12)
+    val root = new org.apache.hadoop.fs.Path(new java.io.File(
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_semassign"), key).toString)
+    (root, root.getFileSystem(s.sparkContext.hadoopConfiguration))
+  }
+
+  private def centroidsPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "centroids.parquet")
+
+  /** Trained centroid VALUES, store-first (r17, VERDICT r16 #4): a warm
+    * restart against a published assignment store reads K×dims doubles
+    * from centroids.parquet (a kilobyte-scale model collect) instead of
+    * re-running the Lloyd trainer — the one restart cost that wasn't
+    * O(store-read) (sf10: 169 cpu-s trainer for 4 centroid values).
+    * Bit-identical to training: the store was written from the trainer's
+    * exact doubles (parquet round-trips IEEE754 exactly), and the JVM
+    * cache is shared, so a session mixing store-loads and trainer calls
+    * can never hold two versions. `graft.sem.assign=inline` pins the
+    * trainer arm (the A/B seam ignores the store entirely); stores
+    * published before centroids existed fall back to the trainer.
+    */
+  private def storedCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    if (sys.props.get("graft.sem.assign").contains("inline"))
+      trainedCentroids(s, d)
+    else kmeansCents.getOrElseUpdate(cacheKey(d), {
+      val (root, f) = semStoreRoot(s, d)
+      val cdst = centroidsPath(root)
+      val published = f.exists(new org.apache.hadoop.fs.Path(root, "_READY"))
+      if (published && f.exists(cdst)) {
+        graft.ColdBuilds.record("kmeans_centroids_load")
+        val rows = s.read.parquet(cdst.toString)
+          .orderBy("cluster_id").collect()
+        require(rows.nonEmpty, s"published centroid store is empty: $cdst")
+        rows.map(_.getSeq[Double](1).toArray)
+      } else {
+        val cents = trainedCentroids(s, d)
+        // a store published BEFORE centroids existed self-upgrades: write
+        // the trained values beside it (atomic tmp→rename; assign.parquet
+        // readers are untouched, centroid readers key on file existence)
+        // so the trainer fallback is paid at most once per legacy store
+        if (published) {
+          import s.implicits._
+          val ctmp = new org.apache.hadoop.fs.Path(root, "centroids.tmp")
+          cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+            .toDF("cluster_id", "cv")
+            .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
+          require(f.rename(ctmp, cdst), s"centroid upgrade failed: $cdst")
+        }
+        cents
+      }
+    })
+
   /** Trained-index artifacts shared by the ANN family: the 8-vector
     * hash-ordered sample (IVF centroids; its 4-prefix is the PQ codeword
     * sample AND the k-means init — the hash order is total, so a prefix
@@ -871,7 +931,10 @@ object Similarity {
       // any scale — a full rank here never funnels the corpus into one
       // task. Centroids ride in as a broadcast (K × dims ≤ 64k rows).
       import s.implicits._
-      val cents = trainedCentroids(s, d)
+      // centroid VALUES from the store when one is published (r17,
+      // VERDICT r16 #4): warm-restart serve is now two narrow scans
+      // (assignments + a kilobyte of centroids), no Lloyd trainer
+      val cents = storedCentroids(s, d)
       // the stored assignedFrame path never touches withEmb, so the
       // session functions (dot_double below) must register here
       // explicitly — same latent crash semanticPairs already guards:
@@ -1241,9 +1304,6 @@ object Similarity {
     if (sys.props.get("graft.sem.assign").contains("inline"))
       compute
     else synchronized {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
-        .mkString.take(12)
       // EVERY store operation — marker check/create, write, rename,
       // delete, read — goes through the SAME Hadoop FileSystem resolved
       // from the session config (ADVICE r15, medium): the previous
@@ -1252,10 +1312,7 @@ object Similarity {
       // _READY could point at missing data, and fs.delete(root) never
       // removed the local marker). This now mirrors SigStore's publish
       // exactly.
-      val root = new org.apache.hadoop.fs.Path(new java.io.File(
-        new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-          "graft_semassign"), key).toString)
-      val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val (root, f) = semStoreRoot(s, d)
       val ready = new org.apache.hadoop.fs.Path(root, "_READY")
       val dst = new org.apache.hadoop.fs.Path(root, "assign.parquet")
       if (!f.exists(ready)) {
@@ -1270,6 +1327,21 @@ object Similarity {
         f.delete(root, true)
         compute.write.mode("overwrite").parquet(tmp.toString)
         require(f.rename(tmp, dst), s"assignment store publish failed: $dst")
+        // centroid VALUES ride beside the assignments (r17, VERDICT r16
+        // #4): a kilobyte of model state whose absence forced every
+        // fresh-JVM prototypicality serve to re-run the full Lloyd
+        // trainer (sf10: 169 cpu-s for K=4 centroids). `compute` above
+        // already trained them, so this is a free model-sized write —
+        // published under the SAME _READY as the assignments they
+        // produced, so the pair can never tear.
+        import s.implicits._
+        val cents = trainedCentroids(s, d)
+        val ctmp = new org.apache.hadoop.fs.Path(root, "centroids.tmp")
+        val cdst = centroidsPath(root)
+        cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+          .toDF("cluster_id", "cv")
+          .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
+        require(f.rename(ctmp, cdst), s"centroid store publish failed: $cdst")
         f.create(ready).close()
       }
       // a BARE parquet scan (ADVICE r15, low): only dedup_semantic's

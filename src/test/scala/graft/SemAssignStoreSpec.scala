@@ -31,6 +31,42 @@ class SemAssignStoreSpec extends AnyFunSuite {
     finally sys.props.remove("graft.sem.assign")
   }
 
+  test("warm restart serves centroid VALUES from the store, no trainer (VERDICT r16 #4)") {
+    val viaTrainer = rows("embedding_prototypicality") // publishes the store
+    // simulate a fresh JVM against the published store: drop every
+    // in-memory model cache but keep the persisted root
+    Similarity.clearAnnIndexCache()
+    val mark = graft.ColdBuilds.mark()
+    val viaStore = rows("embedding_prototypicality")
+    val builds = graft.ColdBuilds.since(mark)
+    assert(builds.contains("kmeans_centroids_load"),
+      s"restart must read centroids.parquet, got: $builds")
+    assert(!builds.contains("kmeans_trainer"),
+      s"restart must NOT re-run the Lloyd trainer, got: $builds")
+    assert(viaStore == viaTrainer,
+      "store-loaded centroids diverge from trained centroids")
+    // a store published BEFORE centroids existed (centroids.parquet
+    // absent, _READY present) must fall back to the trainer and still
+    // serve identical rows
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign")
+    val legacy = Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(r => new java.io.File(r, "_READY").exists() &&
+        new java.io.File(r, "centroids.parquet").exists())
+    assert(legacy.nonEmpty, "expected a published store with centroids")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    legacy.foreach(r => rmTree(new java.io.File(r, "centroids.parquet")))
+    Similarity.clearAnnIndexCache()
+    val mark2 = graft.ColdBuilds.mark()
+    val viaFallback = rows("embedding_prototypicality")
+    assert(graft.ColdBuilds.since(mark2).contains("kmeans_trainer"),
+      "a legacy store without centroids must fall back to the trainer")
+    assert(viaFallback == viaTrainer)
+  }
+
   test("torn write rebuilds: a store without its _READY marker is never served") {
     rows("embedding_kmeans") // ensure the store exists
     val base = new java.io.File(

@@ -87,6 +87,54 @@ class SigStoreSpec extends AnyFunSuite {
       s"verify-first must shuffle strictly fewer rows ($preVol vs $postVol)")
   }
 
+  test("signature contraction: rep arm label-identical to all-docs arm, observably fewer edges (VERDICT r16 #1)") {
+    import spark.implicits._
+    // dup-heavy delta: six %10 docs share ONE text (identical simhash →
+    // one rep + five star edges) against a base holding the same text —
+    // the legacy arm materializes the full C(6,2) clique plus six store
+    // edges; the contracted arm one rep probe plus the stars.
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tZ = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val dir = java.nio.file.Files.createTempDirectory("cc_sigdedup").toString
+    val docs =
+      Seq(1L, 2L, 3L).map(id => (id, tA)) ++ // base clique (labels to 1)
+        Seq((5L, tZ)) ++                     // isolated base doc
+        Seq(10L, 20L, 30L, 40L, 50L, 60L).map(id => (id, tA)) // dup delta
+    docs.map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SigStore.deleteStore(spark, dir)
+
+    def run(legacy: Boolean): (Set[(Long, Long, Long, Boolean)], Long) = {
+      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+      sys.props("graft.banded.probe") = "volume"
+      graft.PlanVolume.reset()
+      try {
+        SigStore.deleteStore(spark, dir) // fresh store per arm: same work
+        val out = SigStore.queries("dedup_components_incremental")(spark, dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        val vol = graft.PlanVolume.records("cc.sigdedup")
+        assert(vol.nonEmpty &&
+          vol.forall(_._1 == (if (legacy) "all" else "rep")))
+        (out, vol.map(_._2).sum)
+      } finally {
+        sys.props.remove("graft.cc.sigdedup")
+        sys.props.remove("graft.banded.probe")
+      }
+    }
+    val (repOut, repEdges) = run(legacy = false)
+    val (allOut, allEdges) = run(legacy = true)
+    assert(repOut == allOut && repOut.nonEmpty,
+      "signature contraction must be label-identical to the all-docs arm")
+    // every text-A doc (base + delta) lands in the min-label component
+    assert(repOut.filter(_._2 == 1L).map(_._1) ==
+      Set(1L, 2L, 3L, 10L, 20L, 30L, 40L, 50L, 60L), s"$repOut")
+    assert(repEdges < allEdges,
+      s"contracted arm must materialize strictly fewer edges ($repEdges vs $allEdges)")
+  }
+
   test("a delta doc MERGES two stored base components into one min label") {
     import spark.implicits._
     // Crafted topology (token simhash distances verified offline):
