@@ -282,9 +282,16 @@ object ScaleSmoke {
       } catch {
         case e: Throwable =>
           errors += name
-          lines += s"""{"metric":"${label}_smoke","query":"$name","error":"${e.getClass.getSimpleName}"}"""
+          // carry a bounded, JSON-safe slice of the message in the row
+          // itself: an in-basket failure that passes solo (observed r17)
+          // is undiagnosable from the class name alone once stderr is
+          // gone
+          val msg = Option(e.getMessage).getOrElse("")
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+          lines += s"""{"metric":"${label}_smoke","query":"$name","error":"${e.getClass.getSimpleName}","error_msg":"$msg"}"""
           println(lines.last)
           System.err.println(s"[scale] $name failed: $e")
+          e.printStackTrace()
       }
       // between-query hygiene, OUTSIDE every timer: localCheckpoint
       // blocks of the finished query's frames are dead the moment its

@@ -401,10 +401,18 @@ object SigStore {
     // `-Dgraft.cc.sigdedup=off` pins the legacy all-docs arm for
     // interleaved A/Bs; outputs are label-identical (spec-pinned).
     val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
+    // MATERIALIZED (r17 fix, same round): four consumers read the rep
+    // frame (store probe, both self-join sides, the star join) — left
+    // as a live aggregate each re-ran the groupBy AND, worse, the
+    // post-aggregate plan shape cost the probe/self-join the
+    // broadcast-side size estimate a checkpointed leaf gives them
+    // (measured at sf10, where the serve delta is mostly-distinct sigs:
+    // warm serve 9 → 88 s wall before this checkpoint)
     val repSh =
       if (!sigDedup) deltaSh
       else deltaSh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
         .select("doc_id", "simhash")
+        .transform(Materialize.once)
     // star edges: member → its signature's rep (absent under the legacy
     // arm, where every member probes for itself). reps are |delta|-
     // bounded (micro-batch contract), so the join broadcasts.
@@ -564,6 +572,7 @@ object SigStore {
     // LARGE-delta absorb, vs O(iterations) before.
     Materialize.drop(hitsCk)
     Materialize.drop(edges)
+    if (sigDedup) Materialize.drop(repSh)
     result
   }
 
