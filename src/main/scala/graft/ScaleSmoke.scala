@@ -287,7 +287,7 @@ object ScaleSmoke {
           // is undiagnosable from the class name alone once stderr is
           // gone
           val msg = Option(e.getMessage).getOrElse("")
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300)
           lines += s"""{"metric":"${label}_smoke","query":"$name","error":"${e.getClass.getSimpleName}","error_msg":"$msg"}"""
           println(lines.last)
           System.err.println(s"[scale] $name failed: $e")

@@ -128,7 +128,7 @@ object StreamBench {
     * per-row re-runs a routine operation. Tokens match section names
     * EXACTLY (ADVICE r16: `bm25_serve` must not silently also run
     * bm25_serve_skewed); a trailing `*` is the explicit wildcard syntax
-    * (`percolate_*` runs all four percolate sections). The TIMED BODIES
+    * (`percolate_*` runs the three percolate sections). The TIMED BODIES
     * and the frozen calibration arm are untouched: a filtered run's rows
     * are measured exactly as a full run's (each section still runs its
     * own warmup; the calibration pass still re-measures per row), only
@@ -433,8 +433,13 @@ object StreamBench {
     // untouched when the flag is off.
     sys.props.get("graft.sb.cc.ab").foreach { abMode =>
       val (legacyProp, legacyVal, armNames) = abMode match {
-        case "sigdedup" => ("graft.cc.sigdedup", "off", Seq("rep", "all"))
-        case _          => ("graft.banded.verify", "post", Seq("pre", "post"))
+        case "sigdedup"    => ("graft.cc.sigdedup", "off", Seq("rep", "all"))
+        case "on" | "verify" => ("graft.banded.verify", "post", Seq("pre", "post"))
+        // fail loud on anything else (self-review r17): "off" or a typo
+        // must not silently run 5 extra maintain passes under the wrong
+        // seam and emit mislabeled A/B rows
+        case other => throw new IllegalArgumentException(
+          s"graft.sb.cc.ab=$other: expected on|verify|sigdedup (unset to disable)")
       }
       sys.props(legacyProp) = legacyVal
       try runCcMaintain(ccDocs.take(math.min(2000, nDocs)), 1000) // warm arm B

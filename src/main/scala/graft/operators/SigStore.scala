@@ -414,13 +414,18 @@ object SigStore {
         .select("doc_id", "simhash")
         .transform(Materialize.once)
     // star edges: member → its signature's rep (absent under the legacy
-    // arm, where every member probes for itself). reps are |delta|-
-    // bounded (micro-batch contract), so the join broadcasts.
+    // arm, where every member probes for itself). NO broadcast hint
+    // (self-review r17): repSh is |distinct sigs|-bounded, which on a
+    // micro-batch is tiny but on the large one-shot deltas this same
+    // function routes to the distributed fixpoint can be delta-sized —
+    // a forced broadcast there is a driver collect of the delta. The
+    // checkpointed leaf carries accurate size stats, so AQE broadcasts
+    // exactly when it fits and sort-merge-joins when it would not.
     val starEdges =
       if (!sigDedup) None
       else Some(deltaSh
-        .join(broadcast(repSh.select(col("doc_id").as("rep_id"),
-          col("simhash"))), Seq("simhash"))
+        .join(repSh.select(col("doc_id").as("rep_id"), col("simhash")),
+          Seq("simhash"))
         .filter(col("doc_id") =!= col("rep_id"))
         .select(col("doc_id").as("d1"), col("rep_id").as("d2")))
     // banded form recomputes from the checkpointed simhash per use — a

@@ -385,14 +385,25 @@ object Similarity {
         // a store published BEFORE centroids existed self-upgrades: write
         // the trained values beside it (atomic tmp→rename; assign.parquet
         // readers are untouched, centroid readers key on file existence)
-        // so the trainer fallback is paid at most once per legacy store
-        if (published) {
-          import s.implicits._
-          val ctmp = new org.apache.hadoop.fs.Path(root, "centroids.tmp")
-          cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
-            .toDF("cluster_id", "cv")
-            .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
-          require(f.rename(ctmp, cdst), s"centroid upgrade failed: $cdst")
+        // so the trainer fallback is paid at most once per legacy store.
+        // SERIALIZED like assignedFrame's publish (self-review r17: this
+        // is a write on a read path — two unsynchronized upgraders shared
+        // the fixed tmp name and the loser's rename crashed a read-only
+        // serve); a rename lost to ANOTHER JVM is tolerated as long as
+        // the winner's file exists — the values are deterministic, so
+        // whichever writer wins published the same doubles.
+        if (published) synchronized {
+          if (!f.exists(cdst)) {
+            import s.implicits._
+            val ctmp = new org.apache.hadoop.fs.Path(root, "centroids.tmp")
+            cents.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+              .toDF("cluster_id", "cv")
+              .coalesce(1).write.mode("overwrite").parquet(ctmp.toString)
+            if (!f.rename(ctmp, cdst)) {
+              require(f.exists(cdst), s"centroid upgrade failed: $cdst")
+              f.delete(ctmp, true)
+            }
+          }
         }
         cents
       }
@@ -1190,10 +1201,19 @@ object Similarity {
             .map(_.toDouble).getOrElse(ProdRecall5Bound) &&
            col("recall_at_5_cos") >= sys.props.get("graft.ann.prod.bound")
             .map(_.toDouble).getOrElse(ProdRecall5Bound))).isNull)
+        // the PRODUCTION probe bound can only DISABLE this floor
+        // (negative ⇒ read mode), never raise it: curve rows are
+        // measurements, not contracts (self-review r17 — a prod-gate
+        // sensitivity probe at 0.55 must not abort the whole query on
+        // the healthy np4 row). The floor has its own test seam,
+        // `graft.ann.cos.floor`, so the spec can still prove it fires.
         .filter(assert_true(
           !col("reranked") ||
-          col("recall_at_5_cos") >= sys.props.get("graft.ann.prod.bound")
-            .map(_.toDouble).getOrElse(RerankCosRecall5Floor)).isNull)
+          col("recall_at_5_cos") >= (
+            if (sys.props.get("graft.ann.prod.bound").exists(_.toDouble < 0))
+              -1.0
+            else sys.props.get("graft.ann.cos.floor")
+              .map(_.toDouble).getOrElse(RerankCosRecall5Floor))).isNull)
     }),
     "q_approx_distinct" -> ((s, d) => {
       // HLL sketch vs exact — no oracle (sketch internals differ across

@@ -125,23 +125,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(rec5c >= rec5, s"cos-graded recall below id-graded: $r")
       if (rr) assert(rec5c >= Similarity.RerankCosRecall5Floor, s"$r")
     }
-    def withBound[T](arm: String)(body: => T): T = {
-      sys.props("graft.ann.prod.arm") = arm
-      sys.props("graft.ann.prod.bound") = "1.01" // unreachable: cos ≤ 1
+    def withProps[T](props: (String, String)*)(body: => T): T = {
+      props.foreach { case (k, v) => sys.props(k) = v }
       try body
-      finally { sys.props.remove("graft.ann.prod.arm")
-        sys.props.remove("graft.ann.prod.bound"): Unit }
+      finally props.foreach { case (k, _) => sys.props.remove(k): Unit }
     }
-    // a NON-production re-ranked arm alone must trip the new floor (the
-    // production-row gate can't be the one firing — that row isn't run)
-    val e = intercept[Exception](withBound("np4.rerank")(
-      Similarity.queries("ann_recall_production")(spark, sf).collect()))
+    def run(props: (String, String)*) = withProps(props: _*)(
+      Similarity.queries("ann_recall_production")(spark, sf).collect())
+    // a NON-production re-ranked arm alone must trip the floor via its
+    // own seam (the production-row gate can't be the one firing — that
+    // row isn't run)
+    val e = intercept[Exception](run(
+      "graft.ann.prod.arm" -> "np4.rerank",
+      "graft.ann.cos.floor" -> "1.01")) // unreachable: cos ≤ 1
     assert(e.getMessage != null)
     // an ADC-only arm is exempt from the cos floor by design — the same
-    // unreachable bound must NOT fire there
-    val adc = withBound("np4.adc")(
-      Similarity.queries("ann_recall_production")(spark, sf).collect())
+    // unreachable floor must NOT fire there
+    val adc = run("graft.ann.prod.arm" -> "np4.adc",
+      "graft.ann.cos.floor" -> "1.01")
     assert(adc.length == 1 && !adc.head.getBoolean(2))
+    // the PRODUCTION probe bound must not RAISE the curve floor
+    // (self-review r17): a prod-gate sensitivity probe on a curve-only
+    // rerank arm passes even at an unreachable prod bound...
+    val curve = run("graft.ann.prod.arm" -> "np4.rerank",
+      "graft.ann.prod.bound" -> "1.01")
+    assert(curve.length == 1 && curve.head.getBoolean(2))
+    // ...and read mode (negative bound) disables the floor too
+    val readMode = run("graft.ann.prod.arm" -> "np4.rerank",
+      "graft.ann.prod.bound" -> "-1",
+      "graft.ann.cos.floor" -> "1.01")
+    assert(readMode.length == 1)
   }
 
   test("simhash hamming pairs cover the planted near-dups") {

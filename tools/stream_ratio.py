@@ -51,8 +51,12 @@ def fmt_key(key):
 
 
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    append = "--append" in sys.argv[3:]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(paths) != 2:
+        sys.exit("usage: stream_ratio.py OLD.json NEW.json [--append]")
+    old_path, new_path = paths
+    append = "--append" in flags
     old, new = load(old_path), load(new_path)
     flagged = []
     rors = {}
@@ -88,9 +92,18 @@ def main():
             "only_in_old": only_old,
             "only_in_new": only_new,
         }
-        with open(new_path, "a") as f:
+        # idempotent: replace any prior summary row (a re-run after a
+        # per-row re-measure must not leave two conflicting summaries)
+        with open(new_path) as f:
+            kept = [
+                line for line in f
+                if not (line.strip() and
+                        json.loads(line).get("metric") == "stream_ror_summary")
+            ]
+        with open(new_path, "w") as f:
+            f.writelines(kept)
             f.write(json.dumps(summary) + "\n")
-        print(f"\nappended stream_ror_summary row to {new_path}")
+        print(f"\nwrote stream_ror_summary row to {new_path} (prior summary rows replaced)")
 
 
 if __name__ == "__main__":
