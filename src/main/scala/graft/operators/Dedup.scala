@@ -831,10 +831,76 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> ((s, d) => {
-      // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters
-      val pairs = queries("dedup_simhash_pairs")(s, d).select("d1", "d2")
+      // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters.
+      //
+      // SIGNATURE CONTRACTION (r17, the VERDICT r16 #1 maintain-path win
+      // extended to the one-shot): docs with IDENTICAL simhash are
+      // interchangeable in every hamming test (sig(a)=sig(rep) ⇒
+      // hamming(a,x)=hamming(rep,x) for all x), so connectivity runs over
+      // one REPRESENTATIVE per distinct signature (min doc_id) and every
+      // member inherits its rep's component label through a signature
+      // equi-join — no star edges even needed in the one-shot, because the
+      // member ISN'T a fixpoint node: its label is definitionally its
+      // rep's. EXACT: full-graph components are unions of signature
+      // groups whose reps are adjacent (distinct sigs can't be hamming-0,
+      // so intra-group edges only ever connect docs the shared rep already
+      // unifies), and the component label — the min doc_id — is preserved
+      // because rep = min per group, so min over the rep component = min
+      // over the full component. On a clique-dense corpus this collapses
+      // the edge set from Σ clique²/2 genuine pairs (sf10: 24.8 M) to the
+      // rep graph, usually small enough for the driver union-find fast
+      // path — the whole distributed fixpoint disappears.
+      // `-Dgraft.cc.sigdedup=off` pins the legacy all-docs arm (the same
+      // seam as the maintain path); under `-Dgraft.banded.probe=volume`
+      // each arm records its CC edge-input count into PlanVolume
+      // ("cc.sigdedup.oneshot") — spec-pinned label-identical with strict
+      // volume inequality on a dup-heavy fixture.
       val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
-      val labels = connectedComponents(docs, pairs)
+      val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
+      val probeVol = sys.props.get("graft.banded.probe").contains("volume")
+      val labels =
+        if (!sigDedup) {
+          val pairs = queries("dedup_simhash_pairs")(s, d).select("d1", "d2")
+          if (probeVol)
+            graft.PlanVolume.record("cc.sigdedup.oneshot", "all", pairs.count())
+          connectedComponents(docs, pairs)
+        } else {
+          val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
+          val repSh = sh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+            .select("doc_id", "simhash")
+            .transform(Materialize.once)
+          // rep pairs: the dedup_simhash_pairs banded plan (pigeonhole
+          // candidates, hamming verified BEFORE the distinct exchange —
+          // r16 placement) over reps only
+          val banded = banded7(repSh)
+          val a = banded.select(col("doc_id").as("d1"),
+            col("simhash").as("s1"), col("band_id"), col("band_bits"))
+          val b = banded.select(col("doc_id").as("d2"),
+            col("simhash").as("s2"), col("band_id"), col("band_bits"))
+          val repPairs = a.join(b, Seq("band_id", "band_bits"))
+            .filter(col("d1") < col("d2"))
+            .filter(expr("bit_count(s1 ^ s2) <= 6"))
+            .select("d1", "d2")
+            .distinct()
+          if (probeVol)
+            graft.PlanVolume.record("cc.sigdedup.oneshot", "rep",
+              repPairs.count())
+          val repLabels = connectedComponents(
+            repSh.select(col("doc_id").as("node")), repPairs)
+          val memberLabels = sh
+            .join(repSh.select(col("doc_id").as("rep_id"), col("simhash")),
+              Seq("simhash"))
+            .join(repLabels.select(col("node").as("rep_id"), col("label")),
+              Seq("rep_id"))
+            .select(col("doc_id").as("m_node"), col("label"))
+          // memberLabels covers every doc (simhash48 is total over text),
+          // but keep the left-join + coalesce convention so the arm stays
+          // output-identical to legacy BY CONSTRUCTION even if the
+          // signature pipeline ever filters rows.
+          docs.join(memberLabels, col("node") === col("m_node"), "left")
+            .select(col("node"),
+              coalesce(col("label"), col("node")).as("label"))
+        }
       val bySize = Window.partitionBy(col("cluster_id"))
       labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))

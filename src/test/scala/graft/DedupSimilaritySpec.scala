@@ -311,6 +311,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("one-shot components contraction: rep arm label-identical to legacy, observably fewer CC edges (r17)") {
+    // r17 extends the maintain path's signature contraction (VERDICT r16
+    // #1) to the one-shot dedup_components: CC runs over one rep per
+    // distinct simhash, members inherit the rep's label via the signature
+    // join. Two fixtures pin the claim: (a) the sf corpus with REAL
+    // planted near-dups (rep pairs non-trivial) — full 4-column output
+    // must be identical across arms; (b) a dup-heavy temp corpus
+    // (identical texts → identical sigs) — identical labels AND the
+    // PlanVolume tripwire proving the rep arm feeds CC strictly fewer
+    // edges (the r14 stale-gate mandate: arms must differ observably).
+    import spark.implicits._
+    def runComponents(dir: String, legacy: Boolean)
+        : (Set[(Long, Long, Long, Boolean)], Long) = {
+      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+      sys.props("graft.banded.probe") = "volume"
+      graft.PlanVolume.reset()
+      try {
+        val out = Dedup.queries("dedup_components")(spark, dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        val vol = graft.PlanVolume.records("cc.sigdedup.oneshot")
+        assert(vol.nonEmpty &&
+          vol.forall(_._1 == (if (legacy) "all" else "rep")),
+          s"volume probe must record the executed arm: $vol")
+        (out, vol.map(_._2).sum)
+      } finally {
+        sys.props.remove("graft.cc.sigdedup")
+        sys.props.remove("graft.banded.probe")
+      }
+    }
+    // (a) real near-dup structure: output identity is the gate
+    val (repSf, _) = runComponents(sf, legacy = false)
+    val (allSf, _) = runComponents(sf, legacy = true)
+    assert(repSf == allSf && repSf.nonEmpty,
+      "contracted one-shot must be row-identical to the legacy arm on the sf corpus")
+    // (b) dup-heavy corpus: 6-member identical-text clique + isolated doc
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tZ = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val dir = java.nio.file.Files.createTempDirectory("cc_oneshot_sigdedup").toString
+    (Seq(3L, 7L, 11L, 40L, 50L, 60L).map(id => (id, tA)) ++ Seq((5L, tZ)))
+      .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (repOut, repEdges) = runComponents(dir, legacy = false)
+    val (allOut, allEdges) = runComponents(dir, legacy = true)
+    assert(repOut == allOut, s"arms disagree: $repOut vs $allOut")
+    // the clique labels to its min doc_id; the isolated doc to itself
+    assert(repOut == Set(
+      (3L, 3L, 6L, true), (7L, 3L, 6L, false), (11L, 3L, 6L, false),
+      (40L, 3L, 6L, false), (50L, 3L, 6L, false), (60L, 3L, 6L, false),
+      (5L, 5L, 1L, true)), s"$repOut")
+    assert(repEdges < allEdges,
+      s"rep arm must feed CC strictly fewer edges ($repEdges vs $allEdges)")
+  }
+
   test("sorted-neighborhood pairs are a sound subset of the exact simhash pairs") {
     val exact = Dedup.queries("dedup_simhash_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
