@@ -128,6 +128,45 @@ object Dedup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_bits")
 
+  /** The banded-pigeonhole TRUE-pairs plan over a (doc_id, simhash)
+    * frame — shared by dedup_simhash_pairs (full corpus) and the
+    * contracted one-shot dedup_components (reps only), so the candidate
+    * join, the r16 verify-before-distinct placement, its
+    * `-Dgraft.banded.verify=post` legacy arm, and the
+    * `-Dgraft.banded.probe=volume` tripwire live in ONE place
+    * (self-review r17: the rep arm's first cut copy-pasted the plan and
+    * silently dropped the verify seam, so a verify-placement A/B with
+    * sigdedup on exercised only the default placement). Output:
+    * (d1, d2, hamming), d1 < d2, hamming ≤ 6, distinct — see
+    * dedup_simhash_pairs' doc comment for the placement argument.
+    */
+  private[operators] def bandedTruePairs(sh: DataFrame,
+      probeName: String = "banded.verify"): DataFrame = {
+    val banded = banded7(sh)
+    val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
+      col("band_id"), col("band_bits"))
+    val b = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
+      col("band_id"), col("band_bits"))
+    val joined = a.join(b, Seq("band_id", "band_bits"))
+      .filter(col("d1") < col("d2"))
+    val verifyPost = sys.props.get("graft.banded.verify").contains("post")
+    val pre =
+      if (verifyPost) joined.select("d1", "d2", "s1", "s2")
+      else joined
+        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
+        .filter(col("hamming") <= 6)
+        .select("d1", "d2", "hamming")
+    if (sys.props.get("graft.banded.probe").contains("volume"))
+      graft.PlanVolume.record(probeName,
+        if (verifyPost) "post" else "pre", pre.count())
+    if (verifyPost)
+      pre.distinct()
+        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
+        .filter(col("hamming") <= 6)
+        .select("d1", "d2", "hamming")
+    else pre.distinct()
+  }
+
   /** All-pairs cosine — sf ≤ 0.1 CORRECTNESS BASELINE ONLY (O(n²) by
     * construction: exact global top-k over every pair). Deliberately kept
     * out of the bench headline; the 100 TB path is
@@ -858,33 +897,33 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
       val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
       val probeVol = sys.props.get("graft.banded.probe").contains("volume")
+      // probe mode (test-only): count the CHECKPOINTED frame so the
+      // tripwire doesn't re-run the edge pipeline for its count — the
+      // SigStore discipline (self-review r17: counting the lazy frame
+      // re-ran the banded join once per arm, 2-3× the query's most
+      // expensive stage in every probe-mode spec run)
+      def probeCounted(edges: DataFrame, arm: String): DataFrame =
+        if (!probeVol) edges
+        else {
+          val m = edges.transform(Materialize.once)
+          graft.PlanVolume.record("cc.sigdedup.oneshot", arm, m.count())
+          m
+        }
       val labels =
         if (!sigDedup) {
-          val pairs = queries("dedup_simhash_pairs")(s, d).select("d1", "d2")
-          if (probeVol)
-            graft.PlanVolume.record("cc.sigdedup.oneshot", "all", pairs.count())
+          val pairs = probeCounted(
+            queries("dedup_simhash_pairs")(s, d).select("d1", "d2"), "all")
           connectedComponents(docs, pairs)
         } else {
           val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
           val repSh = sh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
             .select("doc_id", "simhash")
             .transform(Materialize.once)
-          // rep pairs: the dedup_simhash_pairs banded plan (pigeonhole
-          // candidates, hamming verified BEFORE the distinct exchange —
-          // r16 placement) over reps only
-          val banded = banded7(repSh)
-          val a = banded.select(col("doc_id").as("d1"),
-            col("simhash").as("s1"), col("band_id"), col("band_bits"))
-          val b = banded.select(col("doc_id").as("d2"),
-            col("simhash").as("s2"), col("band_id"), col("band_bits"))
-          val repPairs = a.join(b, Seq("band_id", "band_bits"))
-            .filter(col("d1") < col("d2"))
-            .filter(expr("bit_count(s1 ^ s2) <= 6"))
-            .select("d1", "d2")
-            .distinct()
-          if (probeVol)
-            graft.PlanVolume.record("cc.sigdedup.oneshot", "rep",
-              repPairs.count())
+          // rep pairs: the SHARED banded true-pairs plan (pigeonhole
+          // candidates, r16 verify placement + its seam/tripwire) over
+          // reps only
+          val repPairs = probeCounted(
+            bandedTruePairs(repSh).select("d1", "d2"), "rep")
           val repLabels = connectedComponents(
             repSh.select(col("doc_id").as("node")), repPairs)
           val memberLabels = sh
@@ -897,9 +936,21 @@ object Dedup {
           // but keep the left-join + coalesce convention so the arm stays
           // output-identical to legacy BY CONSTRUCTION even if the
           // signature pipeline ever filters rows.
-          docs.join(memberLabels, col("node") === col("m_node"), "left")
+          val joined = docs
+            .join(memberLabels, col("node") === col("m_node"), "left")
             .select(col("node"),
               coalesce(col("label"), col("node")).as("label"))
+            // materialize the final (node, label) frame — a narrow
+            // 2-column corpus-sized write — so the corpus-sized sh and
+            // repSh checkpoints can be reclaimed NOW instead of leaking
+            // for the application lifetime (self-review r17: the maintain
+            // path drops repSh once its consumers are materialized,
+            // SigStore.scala:580; the first cut here left both alive
+            // because the returned plan read them lazily)
+            .transform(Materialize.once)
+          Materialize.drop(sh)
+          Materialize.drop(repSh)
+          joined
         }
       val bySize = Window.partitionBy(col("cluster_id"))
       labels
@@ -1163,29 +1214,9 @@ object Dedup {
       // ("banded.verify") — the tripwire that proves the arms differ
       // observably (legacy shuffles candidates, default shuffles true
       // pairs), per the r14 stale-gate mandate.
-      val banded = banded7(simhash(Tables.documents(s, d)))
-      val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
-        col("band_id"), col("band_bits"))
-      val b = banded.select(col("doc_id").as("d2"), col("simhash").as("s2"),
-        col("band_id"), col("band_bits"))
-      val joined = a.join(b, Seq("band_id", "band_bits"))
-        .filter(col("d1") < col("d2"))
-      val verifyPost = sys.props.get("graft.banded.verify").contains("post")
-      val pre =
-        if (verifyPost) joined.select("d1", "d2", "s1", "s2")
-        else joined
-          .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
-          .filter(col("hamming") <= 6)
-          .select("d1", "d2", "hamming")
-      if (sys.props.get("graft.banded.probe").contains("volume"))
-        graft.PlanVolume.record("banded.verify",
-          if (verifyPost) "post" else "pre", pre.count())
-      if (verifyPost)
-        pre.distinct()
-          .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as int)"))
-          .filter(col("hamming") <= 6)
-          .select("d1", "d2", "hamming")
-      else pre.distinct()
+      // (plan body lives in bandedTruePairs, shared with the contracted
+      // one-shot dedup_components — self-review r17)
+      bandedTruePairs(simhash(Tables.documents(s, d)))
     }),
     "dedup_embedding_topk" -> ((s, d) => {
       embPairs(s, d)
