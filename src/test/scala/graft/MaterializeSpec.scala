@@ -51,6 +51,14 @@ class MaterializeSpec extends AnyFunSuite {
         finally walk.close() // walk streams hold directory handles open
       assert(leftDirs.size == writes - drops,
         s"expected ${writes - drops} surviving checkpoints, found ${leftDirs.size} ($leftDirs)")
+      // the r17 reclamation contract: the contracted one-shot materializes
+      // its final (node, label) frame and frees the corpus-sized sh/repSh
+      // checkpoints before returning, so at most the returned labels frame
+      // plus one CC-internal final frame survive the query — a regression
+      // back to lifetime-leaked signature frames fails here, not in a
+      // cluster's checkpoint dir months later
+      assert(leftDirs.size <= 2,
+        s"one dedup_components run left ${leftDirs.size} live checkpoints ($leftDirs)")
     } finally {
       // restore the default local flavor for the rest of the shared JVM
       org.apache.spark.CheckpointDirReset.clear(spark.sparkContext)
