@@ -340,7 +340,7 @@ object Dedup {
     * root converges to the min node id in its component — the exact
     * label convention of the distributed fixpoint. Returns find().
     */
-  private[operators] def driverFindMin(nodeIds: Array[Long],
+  private[graft] def driverFindMin(nodeIds: Array[Long],
       edgeArr: Array[(Long, Long)]): Long => Long = {
     val parent = new java.util.HashMap[Long, Long](nodeIds.length * 2)
     def find(x0: Long): Long = {
