@@ -367,6 +367,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"rep arm must feed CC strictly fewer edges ($repEdges vs $allEdges)")
   }
 
+  test("components boundary corpora: empty, single doc, all-identical — both arms agree") {
+    // degenerate shapes the contracted rep arm must survive: an EMPTY
+    // corpus (empty groupBy, empty banded join, CC over zero edges), a
+    // single doc (one rep, zero pairs, label = self), and an all-identical
+    // corpus (the rep graph is ONE node — the whole corpus rides the
+    // member join; the legacy arm runs a C(n,2) clique through the
+    // fixpoint). Both arms must produce identical rows on each.
+    import spark.implicits._
+    val t = "november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee"
+    def fixture(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cc_boundary").toString
+      rows.map { case (id, tx) => (id, tx, "en", "crawl", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def run(dir: String, legacy: Boolean): Set[(Long, Long, Long, Boolean)] = {
+      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+      try Dedup.queries("dedup_components")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      finally sys.props.remove("graft.cc.sigdedup")
+    }
+    val empty = fixture(Seq.empty)
+    assert(run(empty, legacy = false).isEmpty && run(empty, legacy = true).isEmpty)
+    val single = fixture(Seq((42L, t)))
+    val expectSingle = Set((42L, 42L, 1L, true))
+    assert(run(single, legacy = false) == expectSingle)
+    assert(run(single, legacy = true) == expectSingle)
+    val allSame = fixture((1L to 9L).map(id => (id, t)))
+    val expectAll = (1L to 9L).map(id => (id, 1L, 9L, id == 1L)).toSet
+    assert(run(allSame, legacy = false) == expectAll)
+    assert(run(allSame, legacy = true) == expectAll)
+  }
+
   test("sorted-neighborhood pairs are a sound subset of the exact simhash pairs") {
     val exact = Dedup.queries("dedup_simhash_pairs")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
