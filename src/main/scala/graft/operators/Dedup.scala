@@ -921,9 +921,20 @@ object Dedup {
             .transform(Materialize.once)
           // rep pairs: the SHARED banded true-pairs plan (pigeonhole
           // candidates, r16 verify placement + its seam/tripwire) over
-          // reps only
+          // reps only. spreadScan is LOAD-BEARING here, not a nicety
+          // (measured, sf1 interleaved A/B): the groupBy behind repSh is
+          // small enough that AQE coalesces it to ONE partition before
+          // the checkpoint, and below the broadcast threshold the band
+          // self-join keeps the probe side's source partitioning — the
+          // whole candidate enumeration then runs on a single task
+          // (rep arm 61-63 s wall vs legacy 10.4-10.8 at sf1, CPU equal:
+          // pure serialization). Spreading the checkpointed leaf to the
+          // session's parallelism restores a parallel probe for the cost
+          // of one |distinct sigs|-row shuffle; at sf10 the join is a
+          // shuffle join either way and the spread is a no-op-sized cost.
           val repPairs = probeCounted(
-            bandedTruePairs(repSh).select("d1", "d2"), "rep")
+            bandedTruePairs(Materialize.spreadScan(repSh)).select("d1", "d2"),
+            "rep")
           val repLabels = connectedComponents(
             repSh.select(col("doc_id").as("node")), repPairs)
           val memberLabels = sh
