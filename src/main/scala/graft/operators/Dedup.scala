@@ -916,25 +916,27 @@ object Dedup {
           connectedComponents(docs, pairs)
         } else {
           val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
+          // repartition INSIDE the materialization (measured, sf1
+          // interleaved A/B): AQE coalesces this small groupBy to ONE
+          // partition, and below the broadcast threshold the band
+          // self-join keeps the probe side's source partitioning — the
+          // whole candidate enumeration then ran on a single task (rep
+          // arm 61-63 s wall vs legacy 10.4-10.8 at sf1, CPU equal: pure
+          // serialization; sf10 was immune — shuffle join either way).
+          // Spreading the LEAF stores parallelism once for every
+          // consumer; a per-consumer spreadScan re-runs its shuffle per
+          // consumer (measured +20% cpu on the maintain row's analogous
+          // site, SigStore.scala).
           val repSh = sh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
             .select("doc_id", "simhash")
+            .repartition(s.sparkContext.defaultParallelism)
             .transform(Materialize.once)
           // rep pairs: the SHARED banded true-pairs plan (pigeonhole
           // candidates, r16 verify placement + its seam/tripwire) over
-          // reps only. spreadScan is LOAD-BEARING here, not a nicety
-          // (measured, sf1 interleaved A/B): the groupBy behind repSh is
-          // small enough that AQE coalesces it to ONE partition before
-          // the checkpoint, and below the broadcast threshold the band
-          // self-join keeps the probe side's source partitioning — the
-          // whole candidate enumeration then runs on a single task
-          // (rep arm 61-63 s wall vs legacy 10.4-10.8 at sf1, CPU equal:
-          // pure serialization). Spreading the checkpointed leaf to the
-          // session's parallelism restores a parallel probe for the cost
-          // of one |distinct sigs|-row shuffle; at sf10 the join is a
-          // shuffle join either way and the spread is a no-op-sized cost.
+          // reps only — repSh's leaf is already spread, so the probe
+          // side is parallel
           val repPairs = probeCounted(
-            bandedTruePairs(Materialize.spreadScan(repSh)).select("d1", "d2"),
-            "rep")
+            bandedTruePairs(repSh).select("d1", "d2"), "rep")
           val repLabels = connectedComponents(
             repSh.select(col("doc_id").as("node")), repPairs)
           val memberLabels = sh

@@ -408,10 +408,21 @@ object SigStore {
     // broadcast-side size estimate a checkpointed leaf gives them
     // (measured at sf10, where the serve delta is mostly-distinct sigs:
     // warm serve 9 → 88 s wall before this checkpoint)
+    // REPARTITION BEFORE THE CHECKPOINT (r17, the one-shot's measured
+    // sf1 lesson applied at the right layer): AQE coalesces this small
+    // groupBy to ONE partition, and a 1-partition checkpointed leaf
+    // serializes every downstream band join whose other side broadcasts
+    // (the probe side keeps source partitioning — measured 6× wall on
+    // the one-shot at sf1, CPU equal, pure serialization). Spreading
+    // INSIDE the materialization stores a parallel leaf once; spreading
+    // per-consumer (the first fix attempt) re-ran the shuffle in each of
+    // the three banded consumers and cost the maintain row ~20% cpu
+    // (measured 35-40 vs 29-32 cpu-s same-box).
     val repSh =
       if (!sigDedup) deltaSh
       else deltaSh.groupBy("simhash").agg(min("doc_id").as("doc_id"))
         .select("doc_id", "simhash")
+        .repartition(s.sparkContext.defaultParallelism)
         .transform(Materialize.once)
     // star edges: member → its signature's rep (absent under the legacy
     // arm, where every member probes for itself). NO broadcast hint
@@ -429,7 +440,9 @@ object SigStore {
         .filter(col("doc_id") =!= col("rep_id"))
         .select(col("doc_id").as("d1"), col("rep_id").as("d2")))
     // banded form recomputes from the checkpointed simhash per use — a
-    // posexplode is cheaper than a materialization job
+    // posexplode is cheaper than a materialization job; repSh's leaf is
+    // already spread (see its repartition above), so every banded
+    // consumer gets a parallel probe side for free
     val delta = Dedup.banded7(repSh)
       .select(col("doc_id").as("delta_id"), col("simhash").as("ds"),
         col("band_id"), col("band_bits"))
