@@ -432,25 +432,31 @@ object StreamBench {
     // signature reps). The timed bodies and the default row above are
     // untouched when the flag is off.
     sys.props.get("graft.sb.cc.ab").foreach { abMode =>
-      val (legacyProp, legacyVal, armNames) = abMode match {
-        case "sigdedup"    => ("graft.cc.sigdedup", "off", Seq("rep", "all"))
-        case "on" | "verify" => ("graft.banded.verify", "post", Seq("pre", "post"))
+      // each arm is a (name, Option[propValue]) — r18: the sigdedup A/B
+      // pins BOTH arms explicitly ("on"/"off") because an unset prop now
+      // ROUTES on the measured collapse factor, and an A/B arm that the
+      // router could silently flip is no A/B at all
+      val (prop, arms) = abMode match {
+        case "sigdedup" =>
+          ("graft.cc.sigdedup", Seq("rep" -> Some("on"), "all" -> Some("off")))
+        case "on" | "verify" =>
+          ("graft.banded.verify", Seq("pre" -> None, "post" -> Some("post")))
         // fail loud on anything else (self-review r17): "off" or a typo
         // must not silently run 5 extra maintain passes under the wrong
         // seam and emit mislabeled A/B rows
         case other => throw new IllegalArgumentException(
           s"graft.sb.cc.ab=$other: expected on|verify|sigdedup (unset to disable)")
       }
-      sys.props(legacyProp) = legacyVal
+      arms.last._2.foreach(sys.props(prop) = _)
       try runCcMaintain(ccDocs.take(math.min(2000, nDocs)), 1000) // warm arm B
-      finally sys.props.remove(legacyProp)
-      for (r <- 1 to 2; arm <- armNames) {
-        if (arm == armNames(1)) sys.props(legacyProp) = legacyVal
+      finally sys.props.remove(prop)
+      for (r <- 1 to 2; (arm, value) <- arms) {
+        value.foreach(sys.props(prop) = _)
         try {
           System.gc()
           val (s, c) = withCpu(runCcMaintain(ccDocs, 2500))
           println(f"""{"metric":"components_maintain_ab","ab":"$abMode","arm":"$arm","round":$r,"value":${ccDocs.length / s}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$s%.3f${tele(c)}}""")
-        } finally sys.props.remove(legacyProp)
+        } finally sys.props.remove(prop)
       }
     }
     }

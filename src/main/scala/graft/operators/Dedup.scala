@@ -404,6 +404,34 @@ object Dedup {
       math.min(3000000L, Runtime.getRuntime.maxMemory / 3 / 350)
     }
 
+  /** Minimum measured collapse factor (docs per distinct 48-bit simhash)
+    * at which the signature-contraction rep arm routes ON (r18, VERDICT
+    * r17 #1). Below it the contraction's fixed costs — the signature
+    * groupBy, the rep checkpoint, the member label join — buy almost no
+    * node reduction and are pure tax (measured r17→r18: sf0.1
+    * `dedup_components` cpu 1.9×, sf1 one-shot 11.2–13.1 s vs legacy
+    * 10.0–10.1 at collapse ≈ 1.01–1.02); above it the clique-quadratic
+    * edge term the contraction removes dominates (the 50×-replicated
+    * maintain workload: 13× fewer edges, 2.9× docs/s). The ratio is
+    * measured PER RUN from the frames at hand (the r14 stale-gate
+    * lesson: never a cached constant), with approx_count_distinct — a
+    * one-pass map-side HLL whose ±2–4% error (measured,
+    * SigCollapseProbe) is two orders of magnitude inside the gap
+    * between the mostly-distinct regime (≈1.02) and the dup-heavy one
+    * (≥2), so estimator noise cannot flip the route in practice.
+    *
+    * NOTE the r17 sf10 "contraction win" (1.24–1.33× cpu) was measured
+    * at collapse 1.016 — SigCollapseProbe shows the fixture's sigs are
+    * mostly distinct, so the win was never the 1.6% node reduction: it
+    * was the rep arm materializing the simhash pass ONCE where the
+    * legacy arm recomputed simhash48 on both sides of the banded
+    * self-join. The routed low-collapse arm below keeps exactly that
+    * materialization (bandedTruePairs over the checkpointed sh) while
+    * dropping the contraction machinery, so routing at 1.1 keeps the
+    * sf10 win AND recovers small-scale parity.
+    */
+  private[graft] val CcSigDedupMinCollapse = 1.1
+
   /** Frontier size below which the per-round pointer-jump self-join is
     * skipped (r15, VERDICT r14 #2): the jump is a |touched|-sized shuffle
     * whose only purpose is collapsing long label chains fast; once the
@@ -895,27 +923,74 @@ object Dedup {
       // ("cc.sigdedup.oneshot") — spec-pinned label-identical with strict
       // volume inequality on a dup-heavy fixture.
       val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
-      val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
+      // `-Dgraft.cc.sigdedup`: "off" pins the historical legacy arm,
+      // "on" pins the contraction; UNSET routes on the measured collapse
+      // factor (r18, VERDICT r17 #1) — see CcSigDedupMinCollapse.
+      val mode = sys.props.get("graft.cc.sigdedup")
       val probeVol = sys.props.get("graft.banded.probe").contains("volume")
       // probe mode (test-only): count the CHECKPOINTED frame so the
       // tripwire doesn't re-run the edge pipeline for its count — the
       // SigStore discipline (self-review r17: counting the lazy frame
       // re-ran the banded join once per arm, 2-3× the query's most
-      // expensive stage in every probe-mode spec run)
+      // expensive stage in every probe-mode spec run). The probe's own
+      // checkpoint is FREED after the count and the ORIGINAL lazy frame
+      // handed on (ADVICE r17, low: the previous shape passed the
+      // materialized frame into connectedComponents, which checkpointed
+      // the same edges a second time — one leaked checkpoint and one
+      // double-write per probe-mode arm); CC re-runs the pipeline for
+      // its own materialization, an acceptable test-only cost.
       def probeCounted(edges: DataFrame, arm: String): DataFrame =
         if (!probeVol) edges
         else {
           val m = edges.transform(Materialize.once)
           graft.PlanVolume.record("cc.sigdedup.oneshot", arm, m.count())
-          m
+          Materialize.drop(m)
+          edges
         }
       val labels =
-        if (!sigDedup) {
+        if (mode.contains("off")) {
+          // pinned historical legacy: the banded plan over an
+          // UNMATERIALIZED simhash pass (both self-join sides recompute
+          // simhash48) — kept byte-identical to the pre-r18 arm so
+          // cross-round A/Bs against it stay comparable
           val pairs = probeCounted(
             queries("dedup_simhash_pairs")(s, d).select("d1", "d2"), "all")
           connectedComponents(docs, pairs)
         } else {
           val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
+          // ROUTING (r18, VERDICT r17 #1): measure this corpus's collapse
+          // factor from the checkpointed signature pass — one map-side
+          // count+HLL job, never a cached constant (the r14 stale-gate
+          // lesson) — and take the contraction only when it buys real
+          // node reduction. Both arms below share the materialized sh,
+          // which is where the r17 "sf10 contraction win" actually lived
+          // (see CcSigDedupMinCollapse).
+          val sigDedup = mode.contains("on") || {
+            val row = sh.agg(count(lit(1)),
+              approx_count_distinct(col("simhash"))).head()
+            val (n, nSig) = (row.getLong(0), row.getLong(1))
+            val rep = nSig > 0 && n.toDouble / nSig >= CcSigDedupMinCollapse
+            if (probeVol)
+              graft.PlanVolume.record("cc.sigdedup.route",
+                if (rep) "rep" else "all", nSig)
+            if (sys.env.contains("GRAFT_CC_PROF"))
+              System.err.println(f"[ccprof] oneshot route: n=$n nSig=$nSig collapse=${if (nSig == 0) 1.0 else n.toDouble / nSig}%.4f -> ${if (rep) "rep" else "all"}")
+            rep
+          }
+          if (!sigDedup) {
+            // routed low-collapse arm: the SAME banded true-pairs plan
+            // as dedup_simhash_pairs, fed from the checkpointed sh (one
+            // simhash pass total — the materialization the rep arm
+            // proved out at sf10), no contraction machinery. CC has
+            // fully consumed sh by return time (its edge materialization
+            // is eager), so the checkpoint is freed here, not leaked.
+            val pairs = probeCounted(
+              bandedTruePairs(sh, "banded.verify.oneshot")
+                .select("d1", "d2"), "all")
+            val cc = connectedComponents(docs, pairs)
+            Materialize.drop(sh)
+            cc
+          } else {
           // repartition INSIDE the materialization (measured, sf1
           // interleaved A/B): AQE coalesces this small groupBy to ONE
           // partition, and below the broadcast threshold the band
@@ -934,9 +1009,14 @@ object Dedup {
           // rep pairs: the SHARED banded true-pairs plan (pigeonhole
           // candidates, r16 verify placement + its seam/tripwire) over
           // reps only — repSh's leaf is already spread, so the probe
-          // side is parallel
+          // side is parallel. Distinct probe channel (ADVICE r17, low):
+          // the default "banded.verify" name is the channel the
+          // dedup_simhash_pairs placement spec reads — recording the
+          // rep-pairs count there made spec safety depend on every spec
+          // resetting PlanVolume first.
           val repPairs = probeCounted(
-            bandedTruePairs(repSh).select("d1", "d2"), "rep")
+            bandedTruePairs(repSh, "banded.verify.oneshot")
+              .select("d1", "d2"), "rep")
           val repLabels = connectedComponents(
             repSh.select(col("doc_id").as("node")), repPairs)
           val memberLabels = sh
@@ -964,20 +1044,43 @@ object Dedup {
           Materialize.drop(sh)
           Materialize.drop(repSh)
           joined
+          }
         }
-      val bySize = Window.partitionBy(col("cluster_id"))
-      labels
+      // cluster_size via groupBy-count + equi-join back, NOT a
+      // `count over (partition by cluster_id)` window (r18, VERDICT r17
+      // #6): both are parallel across clusters, but a window forces a
+      // mega-cluster's every row through ONE task's partition, while the
+      // join's skewed probe partitions are split by AQE skew-join — the
+      // map-side-combined count is |clusters|-sized either way. No
+      // broadcast hint: |clusters| ≈ |docs| on a mostly-distinct corpus,
+      // and the checkpoint-backed/aggregated sides give AQE honest stats
+      // to pick broadcast exactly when the size table fits.
+      val out = labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .withColumn("cluster_size", count(lit(1)).over(bySize))
+      val sizes = out.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      out.join(sizes, Seq("cluster_id"))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     }),
     "dedup_exact" -> ((s, d) => {
-      val byHash = Window.partitionBy(col("text_hash"))
-      Tables.documents(s, d)
+      // same window→groupBy-join rewrite as dedup_components' output
+      // stage (r18, VERDICT r17 #6): dup_count AND the canonical min
+      // come from one map-side-combined aggregation per text_hash, so a
+      // crawl-scale empty-document family can never funnel one task the
+      // way `count over (partition by text_hash)` does. The narrow
+      // (doc_id, text_hash) frame is materialized ONCE: both the
+      // aggregate and the probe side consume it, and unmaterialized each
+      // would rescan documents and re-hash every text (measured at
+      // sf0.1: 1.9 vs 0.9 cpu-s).
+      val hashed = Tables.documents(s, d)
         .withColumn("text_hash", md5(col("text")))
-        .withColumn("dup_count", count(lit(1)).over(byHash))
-        .withColumn("is_canonical", col("doc_id") === min("doc_id").over(byHash))
+        .select("doc_id", "text_hash")
+        .transform(Materialize.once)
+      val stats = hashed.groupBy("text_hash").agg(
+        count(lit(1)).as("dup_count"), min("doc_id").as("min_id"))
+      hashed.join(stats, Seq("text_hash"))
+        .withColumn("is_canonical", col("doc_id") === col("min_id"))
         .select("doc_id", "text_hash", "dup_count", "is_canonical")
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {

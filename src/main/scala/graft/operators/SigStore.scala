@@ -399,8 +399,31 @@ object SigStore {
     // 2.98 M → ~30 k edges, edges-checkpoint 12.8 → sub-second — and
     // at 100 TB byte-identical re-crawls are the COMMON case.
     // `-Dgraft.cc.sigdedup=off` pins the legacy all-docs arm for
-    // interleaved A/Bs; outputs are label-identical (spec-pinned).
-    val sigDedup = !sys.props.get("graft.cc.sigdedup").contains("off")
+    // interleaved A/Bs, "on" pins the contraction; UNSET routes on the
+    // DELTA's measured collapse factor (r18, VERDICT r17 #1): one
+    // map-side count+HLL pass over the checkpointed deltaSh decides
+    // per absorb — never a cached constant (the r14 stale-gate lesson).
+    // A mostly-distinct delta (collapse ≈ 1, e.g. a first crawl of new
+    // content) skips the groupBy/rep-checkpoint/star-join machinery
+    // whose node reduction would be ~zero; a re-crawl-heavy delta (the
+    // maintain workload: collapse 50) keeps the 13×-fewer-edges win.
+    // Outputs are label-identical on every arm (spec-pinned); threshold
+    // + estimator-error argument at [[Dedup.CcSigDedupMinCollapse]].
+    val sigDedup = sys.props.get("graft.cc.sigdedup") match {
+      case Some("off") => false
+      case Some(_) => true
+      case None =>
+        val row = deltaSh.agg(count(lit(1)),
+          approx_count_distinct(col("simhash"))).head()
+        val (n, nSig) = (row.getLong(0), row.getLong(1))
+        val rep = nSig > 0 && n.toDouble / nSig >= Dedup.CcSigDedupMinCollapse
+        if (sys.props.get("graft.banded.probe").contains("volume"))
+          graft.PlanVolume.record("cc.sigdedup.route",
+            if (rep) "rep" else "all", nSig)
+        if (sys.env.contains("GRAFT_CC_PROF"))
+          System.err.println(f"[ccprof] absorb route: n=$n nSig=$nSig -> ${if (rep) "rep" else "all"}")
+        rep
+    }
     // MATERIALIZED (r17 fix, same round): four consumers read the rep
     // frame (store probe, both self-join sides, the star join) — left
     // as a live aggregate each re-ran the groupBy AND, worse, the
@@ -611,12 +634,16 @@ object SigStore {
       deltaOut.select(col("node").as("doc_id"), col("label").as("cluster_id")))
   }
 
-  /** The dedup_components output shape over a (doc_id, cluster_id) frame. */
+  /** The dedup_components output shape over a (doc_id, cluster_id)
+    * frame — groupBy-count + equi-join, not a cluster_id window (r18,
+    * VERDICT r17 #6: a window funnels a mega-dup family through one
+    * task; the join's skewed probe partitions split under AQE, and the
+    * count side is map-side-combined to |clusters| rows).
+    */
   private def withClusterShape(labels: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bySize = Window.partitionBy(col("cluster_id"))
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(bySize))
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
   }

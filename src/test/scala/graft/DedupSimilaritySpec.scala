@@ -322,9 +322,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // PlanVolume tripwire proving the rep arm feeds CC strictly fewer
     // edges (the r14 stale-gate mandate: arms must differ observably).
     import spark.implicits._
-    def runComponents(dir: String, legacy: Boolean)
+    // arm: "on" pins the contraction, "off" the legacy plan (r18: unset
+    // now ROUTES on the measured collapse factor — the routing has its
+    // own spec below; the A/B here pins both arms explicitly)
+    def runComponents(dir: String, arm: String)
         : (Set[(Long, Long, Long, Boolean)], Long) = {
-      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+      sys.props("graft.cc.sigdedup") = arm
       sys.props("graft.banded.probe") = "volume"
       graft.PlanVolume.reset()
       try {
@@ -334,7 +337,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
           .toSet
         val vol = graft.PlanVolume.records("cc.sigdedup.oneshot")
         assert(vol.nonEmpty &&
-          vol.forall(_._1 == (if (legacy) "all" else "rep")),
+          vol.forall(_._1 == (if (arm == "off") "all" else "rep")),
           s"volume probe must record the executed arm: $vol")
         (out, vol.map(_._2).sum)
       } finally {
@@ -343,8 +346,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       }
     }
     // (a) real near-dup structure: output identity is the gate
-    val (repSf, _) = runComponents(sf, legacy = false)
-    val (allSf, _) = runComponents(sf, legacy = true)
+    val (repSf, _) = runComponents(sf, arm = "on")
+    val (allSf, _) = runComponents(sf, arm = "off")
     assert(repSf == allSf && repSf.nonEmpty,
       "contracted one-shot must be row-identical to the legacy arm on the sf corpus")
     // (b) dup-heavy corpus: 6-member identical-text clique + isolated doc
@@ -355,8 +358,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val (repOut, repEdges) = runComponents(dir, legacy = false)
-    val (allOut, allEdges) = runComponents(dir, legacy = true)
+    val (repOut, repEdges) = runComponents(dir, arm = "on")
+    val (allOut, allEdges) = runComponents(dir, arm = "off")
     assert(repOut == allOut, s"arms disagree: $repOut vs $allOut")
     // the clique labels to its min doc_id; the isolated doc to itself
     assert(repOut == Set(
@@ -383,23 +386,84 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
     }
-    def run(dir: String, legacy: Boolean): Set[(Long, Long, Long, Boolean)] = {
-      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+    // three arms per fixture (r18): pinned contraction ("on"), pinned
+    // legacy ("off"), and the ROUTED default (unset — takes whichever
+    // arm the measured collapse factor picks, including the degenerate
+    // n=0/nSig=0 empty-corpus route)
+    def run(dir: String, arm: Option[String]): Set[(Long, Long, Long, Boolean)] = {
+      arm.foreach(sys.props("graft.cc.sigdedup") = _)
       try Dedup.queries("dedup_components")(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
         .toSet
       finally sys.props.remove("graft.cc.sigdedup")
     }
+    val arms = Seq(Some("on"), Some("off"), None)
     val empty = fixture(Seq.empty)
-    assert(run(empty, legacy = false).isEmpty && run(empty, legacy = true).isEmpty)
+    arms.foreach(a => assert(run(empty, a).isEmpty, s"arm $a on empty"))
     val single = fixture(Seq((42L, t)))
     val expectSingle = Set((42L, 42L, 1L, true))
-    assert(run(single, legacy = false) == expectSingle)
-    assert(run(single, legacy = true) == expectSingle)
+    arms.foreach(a => assert(run(single, a) == expectSingle, s"arm $a on single"))
     val allSame = fixture((1L to 9L).map(id => (id, t)))
     val expectAll = (1L to 9L).map(id => (id, 1L, 9L, id == 1L)).toSet
-    assert(run(allSame, legacy = false) == expectAll)
-    assert(run(allSame, legacy = true) == expectAll)
+    arms.foreach(a => assert(run(allSame, a) == expectAll, s"arm $a on all-same"))
+  }
+
+  test("contraction routing: measured collapse factor picks the arm per run (r18, VERDICT r17 #1)") {
+    // The rep arm is no longer an unconditional default: with
+    // graft.cc.sigdedup UNSET, the one-shot measures docs-per-distinct-
+    // simhash on the corpus at hand and takes the contraction only past
+    // CcSigDedupMinCollapse. Two fixtures pin both routes OBSERVABLY
+    // (the r14 stale-gate mandate — the PlanVolume "cc.sigdedup.route"
+    // channel records the chosen arm and the sig estimate, and the
+    // ".oneshot" edge channel proves which plan actually ran), and each
+    // routed output must equal both pinned arms' output.
+    import spark.implicits._
+    def fixture(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cc_route").toString
+      rows.map { case (id, tx) => (id, tx, "en", "crawl", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def runRouted(dir: String): (Set[(Long, Long, Long, Boolean)], String) = {
+      sys.props("graft.banded.probe") = "volume"
+      graft.PlanVolume.reset()
+      try {
+        val out = Dedup.queries("dedup_components")(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+        val route = graft.PlanVolume.records("cc.sigdedup.route")
+        val ran = graft.PlanVolume.records("cc.sigdedup.oneshot")
+        assert(route.size == 1, s"route channel must record once: $route")
+        assert(ran.size == 1 && ran.head._1 == route.head._1,
+          s"executed arm must match the routed decision: route=$route ran=$ran")
+        (out, route.head._1)
+      } finally {
+        sys.props.remove("graft.banded.probe")
+      }
+    }
+    def runPinned(dir: String, arm: String): Set[(Long, Long, Long, Boolean)] = {
+      sys.props("graft.cc.sigdedup") = arm
+      try Dedup.queries("dedup_components")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      finally sys.props.remove("graft.cc.sigdedup")
+    }
+    // dup-heavy corpus (12 docs, 2 distinct texts → collapse 6): routes REP
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val tZ = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val dupDir = fixture(
+      (1L to 6L).map(id => (id, tA)) ++ (11L to 16L).map(id => (id, tZ)))
+    val (dupOut, dupArm) = runRouted(dupDir)
+    assert(dupArm == "rep", s"collapse-6 corpus must route to the rep arm")
+    assert(dupOut == runPinned(dupDir, "on") && dupOut == runPinned(dupDir, "off"))
+    // mostly-distinct corpus (disjoint per-doc vocabularies → independent
+    // ~uniform 48-bit sigs, collapse ≈ 1): routes ALL
+    val distinctDir = fixture((0L until 16L).map(id =>
+      (id, (0 until 12).map(j => s"w${id}x$j").mkString(" "))))
+    val (dOut, dArm) = runRouted(distinctDir)
+    assert(dArm == "all", s"collapse-1 corpus must route to the legacy arm")
+    assert(dOut == runPinned(distinctDir, "on") && dOut == runPinned(distinctDir, "off"))
   }
 
   test("sorted-neighborhood pairs are a sound subset of the exact simhash pairs") {

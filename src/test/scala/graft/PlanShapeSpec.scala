@@ -188,4 +188,26 @@ class PlanShapeSpec extends AnyFunSuite {
       old match { case Some(v) => sys.props(key) = v; case None => () }
     }
   }
+
+  test("rule 6: no single-key window on the dedup output stages (r18, VERDICT r17 #6)") {
+    // cluster_size/dup_count come from groupBy-count + equi-join back,
+    // never `count over (partition by cluster_id/text_hash)`: both are
+    // parallel across keys, but a window pins a mega-dup family (an
+    // empty-document clique at crawl scale) to ONE task's partition,
+    // while the join's skewed probe partitions split under AQE skew-join.
+    // The rule reads the OPTIMIZED plan: any Window node in these
+    // queries means the funnel-free output stage regressed. (Bounded
+    // windows elsewhere — e.g. embedding_kmeans' target-sized clusters —
+    // are documented exceptions and stay out of this list.)
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    val qs = SparkEntry.queries
+    Seq("dedup_components", "dedup_components_incremental",
+        "dedup_components_stored", "dedup_exact").foreach { name =>
+      val windows = qs(name)(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"$name's plan contains a Window node — the skew-exposed output stage is back")
+    }
+  }
 }

@@ -106,7 +106,9 @@ class SigStoreSpec extends AnyFunSuite {
     SigStore.deleteStore(spark, dir)
 
     def run(legacy: Boolean): (Set[(Long, Long, Long, Boolean)], Long) = {
-      if (legacy) sys.props("graft.cc.sigdedup") = "off"
+      // pin the arm explicitly (r18: unset now routes on the measured
+      // collapse factor; this test is the pinned-arm A/B)
+      sys.props("graft.cc.sigdedup") = if (legacy) "off" else "on"
       sys.props("graft.banded.probe") = "volume"
       graft.PlanVolume.reset()
       try {
@@ -133,6 +135,49 @@ class SigStoreSpec extends AnyFunSuite {
       Set(1L, 2L, 3L, 10L, 20L, 30L, 40L, 50L, 60L), s"$repOut")
     assert(repEdges < allEdges,
       s"contracted arm must materialize strictly fewer edges ($repEdges vs $allEdges)")
+  }
+
+  test("maintain routing: delta collapse factor picks the contraction arm per absorb (r18, VERDICT r17 #1)") {
+    // With graft.cc.sigdedup UNSET, contractDeltaSh measures the DELTA's
+    // docs-per-distinct-simhash and contracts only when it pays: the
+    // dup-heavy delta (6 docs, 1 sig) must route "rep", a
+    // disjoint-vocabulary delta (every sig unique) must route "all" —
+    // both observable on the PlanVolume route channel, both
+    // label-identical to the pinned arms.
+    import spark.implicits._
+    def fixture(delta: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("cc_route_inc").toString
+      val tB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+      (Seq((1L, tB), (3L, tB), (7L, tB)) ++ delta)
+        .map { case (id, t) => (id, t, "en", "crawl", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def run(dir: String, arm: Option[String]): (Set[(Long, Long)], Seq[(String, Long)]) = {
+      arm.foreach(sys.props("graft.cc.sigdedup") = _)
+      sys.props("graft.banded.probe") = "volume"
+      graft.PlanVolume.reset()
+      try {
+        SigStore.deleteStore(spark, dir)
+        val out = SigStore.queries("dedup_components_incremental")(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (out, graft.PlanVolume.records("cc.sigdedup.route"))
+      } finally {
+        sys.props.remove("graft.cc.sigdedup")
+        sys.props.remove("graft.banded.probe")
+      }
+    }
+    val tA = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec papa oscar"
+    val dupDir = fixture((1L to 6L).map(i => (i * 10L, tA)))
+    val (dupOut, dupRoute) = run(dupDir, None)
+    assert(dupRoute.map(_._1) == Seq("rep"), s"dup-heavy delta must route rep: $dupRoute")
+    assert(dupOut == run(dupDir, Some("on"))._1 && dupOut == run(dupDir, Some("off"))._1)
+    val distinctDir = fixture((1L to 6L).map(i =>
+      (i * 10L, (0 until 12).map(j => s"w${i}x$j").mkString(" "))))
+    val (dOut, dRoute) = run(distinctDir, None)
+    assert(dRoute.map(_._1) == Seq("all"), s"distinct delta must route all: $dRoute")
+    assert(dOut == run(distinctDir, Some("on"))._1 && dOut == run(distinctDir, Some("off"))._1)
   }
 
   test("a delta doc MERGES two stored base components into one min label") {
