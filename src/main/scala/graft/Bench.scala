@@ -139,6 +139,30 @@ object Bench {
       case _ => -1L
     }
 
+  /** Frozen fixed-flop calibration arm (r18, VERDICT r17 #2) — the batch
+    * twin of StreamBench's `calib_eps`: a plan-stable, I/O-free,
+    * codegen'd arithmetic aggregation over `spark.range`, timed once per
+    * round-robin pass and emitted as `calib_rps` (median) +
+    * `calib_samples` beside cpu_total/loadavg. Cross-round artifact
+    * reads divide by it: if a row's wall moved but its rate/calib ratio
+    * did not, the box moved, not the code — this round's driver capture
+    * (BENCH_r17: 81.2 s at loadavg 2.67 vs 70–73 s local) needed
+    * judge-side forensics precisely because Bench had no such column.
+    * The definition is FROZEN (rows, expression, partitioning): any
+    * edit invalidates cross-round ratio reads — note it in the round
+    * log if ever necessary.
+    */
+  private val CalibRows = 1000L * 1000 * 1000
+
+  private def runCalibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, CalibRows, 1L, spark.sparkContext.defaultParallelism)
+      .selectExpr(
+        "sum(bit_count(id * 2654435761) + bit_count(id ^ 1099511628211)) AS s")
+      .collect()
+    CalibRows / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -173,7 +197,15 @@ object Bench {
     // sample from becoming the reported number)
     val coldBuilds = scala.collection.mutable.Map.empty[String, Seq[String]]
     val loadStart = loadAvg()
+    // warm the calibration arm's own one-time codegen cost outside the
+    // timed samples (the A/B warmup discipline)
+    runCalibration(spark)
+    val calibSamples = scala.collection.mutable.ListBuffer.empty[Double]
     for (r <- 1 to runs; name <- basket) {
+      // one calibration sample per round-robin pass, taken at the pass
+      // boundary — three points across the run's duration, so contention
+      // arriving mid-run is visible in the samples, not just the median
+      if (name == basket.head) calibSamples += runCalibration(spark)
       val t0 = System.nanoTime()
       val c0 = processCpuNs()
       val cb0 = graft.ColdBuilds.mark()
@@ -225,7 +257,11 @@ object Bench {
       .map(n => "\"" + n + "\":" +
         coldBuilds(n).map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"cold_builds":$coldJson,"loadavg":$load,"errors":$errs,"sf":"$sfDir"}"""
+    // one final calibration sample after the last pass brackets the run
+    calibSamples += runCalibration(spark)
+    val calibMed = median(calibSamples.toList)
+    val calibJson = calibSamples.map(c => f"$c%.0f").mkString("[", ",", "]")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"cold_builds":$coldJson,"loadavg":$load,"calib_rps":$calibMed%.0f,"calib_samples":$calibJson,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query/spread JSON is ~4 KB on one line; a bounded tail
     // capture of stdout can slice it mid-line and kill the parse (that is
     // exactly what happened to BENCH_r07). Persist the full detail to a
@@ -240,6 +276,6 @@ object Bench {
     // run with broken queries without parsing the errors array — rc is 0
     // either way because partial timings are still worth recording.
     val gate = if (errors.isEmpty) "pass" else "fail"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"calib_rps":$calibMed%.0f,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
   }
 }
