@@ -58,6 +58,41 @@ object StreamBench {
     (r, if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9)
   }
 
+  /** Adaptive median-of-3 for SHORT-WALL rows (r18, VERDICT r17 #7): a
+    * sub-[[ShortWallSec]] timed body is the ±20% single-sample shape
+    * that cost stream_ingest two rounds of manual re-measures before its
+    * median-of-3 fix — and this round's two 0.80 RoR flags
+    * (sigstore_maintain 1.7 s, decontam_gate 1.7 s) were the same
+    * pattern again. Run the body once; if its wall already clears the
+    * threshold, a single sample stands (long rows self-average), else
+    * run two more and report the MEDIAN-wall sample — timed body
+    * untouched, telemetry (cpu/loadavg/calib) is the median sample's,
+    * all wall samples + spread ride in the row so it self-reports its
+    * noise the way ingest's does.
+    */
+  private val ShortWallSec = 3.0
+
+  private def shortWallSampled[A](run: () => (A, Double))(wall: A => Double)
+      : ((A, Double), Seq[Double]) = {
+    val first = run()
+    if (wall(first._1) >= ShortWallSec) (first, Seq(wall(first._1)))
+    else {
+      val all = Seq(first, run(), run())
+      (all.sortBy(a => wall(a._1)).apply(1), all.map(a => wall(a._1)))
+    }
+  }
+
+  /** Row suffix for [[shortWallSampled]] output: empty when one sample
+    * stood, else the samples + spread fields.
+    */
+  private def samplesJson(samples: Seq[Double]): String =
+    if (samples.size <= 1) ""
+    else {
+      val med = samples.sorted.apply(samples.size / 2)
+      val spread = (samples.max - samples.min) / med
+      f""","samples_wall_sec":[${samples.map(s => f"$s%.3f").mkString(",")}],"spread_frac":$spread%.3f"""
+    }
+
   /** Telemetry suffix for every metric line: CPU burn, loadavg, and a
     * freshly measured calibration rate (see [[runCalibration]]) captured
     * at emission time — i.e. immediately after the timed measurement,
@@ -311,9 +346,10 @@ object StreamBench {
     }
 
     runServe(qvecs.take(100), 50) // warmup: codegen + model cache + footers
-    val ((serveSecs, answered), cpuSv) = withCpu(runServe(qvecs, 100))
+    val (((serveSecs, answered), cpuSv), svSamples) =
+      shortWallSampled(() => withCpu(runServe(qvecs, 100)))(_._1)
     require(answered == qvecs.length, s"answered $answered of ${qvecs.length}")
-    println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f${tele(cpuSv)}}""")
+    println(f"""{"metric":"ann_serve_queries_per_sec","value":${answered / serveSecs}%.0f,"unit":"queries/sec","queries":$answered,"wall_sec":$serveSecs%.3f${samplesJson(svSamples)}${tele(cpuSv)}}""")
     }
 
     // ---- BM25 online serving: streamed query texts answered from the
@@ -346,8 +382,9 @@ object StreamBench {
     // deflate the denominator's work; `answered` stays in-artifact as
     // the coverage figure
     runBmServe(bmQueryDocs.take(100), 50) // warmup: codegen + df footers
-    val ((bmsSecs, bmsAnswered), cpuBs) = withCpu(runBmServe(bmQueryDocs, 100))
-    println(f"""{"metric":"bm25_serve_queries_per_sec","value":${bmQueryDocs.length / bmsSecs}%.0f,"unit":"queries/sec","queries":${bmQueryDocs.length},"answered":$bmsAnswered,"wall_sec":$bmsSecs%.3f${tele(cpuBs)}}""")
+    val (((bmsSecs, bmsAnswered), cpuBs), bmsSamples) =
+      shortWallSampled(() => withCpu(runBmServe(bmQueryDocs, 100)))(_._1)
+    println(f"""{"metric":"bm25_serve_queries_per_sec","value":${bmQueryDocs.length / bmsSecs}%.0f,"unit":"queries/sec","queries":${bmQueryDocs.length},"answered":$bmsAnswered,"wall_sec":$bmsSecs%.3f${samplesJson(bmsSamples)}${tele(cpuBs)}}""")
 
     // the rows above serve whole DOCUMENTS as queries (~150 distinct
     // terms — the more-like-this shape); real search requests are a few
@@ -357,8 +394,9 @@ object StreamBench {
       .syntheticStandingQueries(spark, bmServeRoot, "sbshort", 2000, termsPerQuery = 5)
       .map { case (id, ts) => graft.streaming.BmServe.BmQuery(id, ts.mkString(" ")) }
     runBmServe(bmShort.take(200), 100) // warmup
-    val ((bshSecs, bshAnswered), cpuBsh) = withCpu(runBmServe(bmShort, 200))
-    println(f"""{"metric":"bm25_serve_short_queries_per_sec","value":${bmShort.length / bshSecs}%.0f,"unit":"queries/sec","queries":${bmShort.length},"answered":$bshAnswered,"wall_sec":$bshSecs%.3f${tele(cpuBsh)}}""")
+    val (((bshSecs, bshAnswered), cpuBsh), bshSamples) =
+      shortWallSampled(() => withCpu(runBmServe(bmShort, 200)))(_._1)
+    println(f"""{"metric":"bm25_serve_short_queries_per_sec","value":${bmShort.length / bshSecs}%.0f,"unit":"queries/sec","queries":${bmShort.length},"answered":$bshAnswered,"wall_sec":$bshSecs%.3f${samplesJson(bshSamples)}${tele(cpuBsh)}}""")
     }
 
     // ---- dedup signature-store maintenance: streamed new documents
@@ -385,8 +423,9 @@ object StreamBench {
       finally q.stop()
     }
     runSigMaintain(sigDocs.take(math.min(2000, nDocs)), 1000) // warmup
-    val (sigSecs, cpuSg) = withCpu(runSigMaintain(sigDocs, 2500))
-    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f${tele(cpuSg)}}""")
+    val ((sigSecs, cpuSg), sigSamples) =
+      shortWallSampled(() => withCpu(runSigMaintain(sigDocs, 2500)))(identity)
+    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f${samplesJson(sigSamples)}${tele(cpuSg)}}""")
     }
 
     // ---- streamed CLUSTERING maintenance: each micro-batch also merges
@@ -512,8 +551,9 @@ object StreamBench {
       (secs, pairs.get())
     }
     runSemantic(semRows.take(math.min(2000, nVecs))) // warmup
-    val ((semSecs, semPairs), cpuSm) = withCpu(runSemantic(semRows))
-    println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f${tele(cpuSm)}}""")
+    val (((semSecs, semPairs), cpuSm), semSamples) =
+      shortWallSampled(() => withCpu(runSemantic(semRows)))(_._1)
+    println(f"""{"metric":"semantic_dedup_vecs_per_sec","value":${nVecs / semSecs}%.0f,"unit":"vecs/sec","vecs":$nVecs,"pairs":$semPairs,"wall_sec":$semSecs%.3f${samplesJson(semSamples)}${tele(cpuSm)}}""")
     }
 
     // ---- BM25 percolation: arriving documents scored against the
@@ -785,8 +825,9 @@ object StreamBench {
     }
     val dcDocs = docRows.take(math.min(50000, nDocs))
     runDecontam(dcDocs.take(math.min(5000, dcDocs.length))) // warmup
-    val ((dcSecs, dcFlagged), cpuDc) = withCpu(runDecontam(dcDocs))
-    println(f"""{"metric":"decontam_gate_docs_per_sec","value":${dcDocs.length / dcSecs}%.0f,"unit":"docs/sec","docs":${dcDocs.length},"flagged":$dcFlagged,"wall_sec":$dcSecs%.3f${tele(cpuDc)}}""")
+    val (((dcSecs, dcFlagged), cpuDc), dcSamples) =
+      shortWallSampled(() => withCpu(runDecontam(dcDocs)))(_._1)
+    println(f"""{"metric":"decontam_gate_docs_per_sec","value":${dcDocs.length / dcSecs}%.0f,"unit":"docs/sec","docs":${dcDocs.length},"flagged":$dcFlagged,"wall_sec":$dcSecs%.3f${samplesJson(dcSamples)}${tele(cpuDc)}}""")
     }
 
     // ---- DSIR admission gate: arrivals scored against the frozen
@@ -817,8 +858,9 @@ object StreamBench {
     }
     val dsirDocs = docRows
     runDsir(dsirDocs.take(math.min(10000, nDocs))) // warmup
-    val ((dsirSecs, dsirAdmitted), cpuDs) = withCpu(runDsir(dsirDocs))
-    println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f${tele(cpuDs)}}""")
+    val (((dsirSecs, dsirAdmitted), cpuDs), dsirSamples) =
+      shortWallSampled(() => withCpu(runDsir(dsirDocs)))(_._1)
+    println(f"""{"metric":"dsir_gate_docs_per_sec","value":${dsirDocs.length / dsirSecs}%.0f,"unit":"docs/sec","docs":${dsirDocs.length},"admitted":$dsirAdmitted,"wall_sec":$dsirSecs%.3f${samplesJson(dsirSamples)}${tele(cpuDs)}}""")
     }
 
     // ---- cross-source overlap sketch maintenance: per-source MinHash
@@ -840,8 +882,9 @@ object StreamBench {
     }
     val ovDocs = docRows.take(math.min(50000, nDocs))
     runOverlap(ovDocs.take(math.min(5000, ovDocs.length)), 2) // warmup
-    val (ovSecs, cpuOv) = withCpu(runOverlap(ovDocs, 10))
-    println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f${tele(cpuOv)}}""")
+    val ((ovSecs, cpuOv), ovSamples) =
+      shortWallSampled(() => withCpu(runOverlap(ovDocs, 10)))(identity)
+    println(f"""{"metric":"overlap_maintain_docs_per_sec","value":${ovDocs.length / ovSecs}%.0f,"unit":"docs/sec","docs":${ovDocs.length},"batches":10,"wall_sec":$ovSecs%.3f${samplesJson(ovSamples)}${tele(cpuOv)}}""")
     }
     spark.stop()
   }
