@@ -134,6 +134,26 @@ object ScaleSmoke {
     "embedding_kmeans", "dedup_semantic", "embedding_prototypicality",
     "ann_recall_production")
 
+  /** Stored flop-family CPU envelopes for the sf10 decade probe (r18,
+    * VERDICT r17 #3): the r17 five-sample solo captures of the two
+    * dot_double-dominated rows (SCALE10_r17 `sf10_dot_double_reread`:
+    * dedup_embedding_lsh_fine 438.7–587.7 cpu-s, ann_bruteforce_topk
+    * 49.2–73.7 — bit-identical work, ±25–50% host spread) closed the
+    * r16 drift flag, but "read future rows against this envelope" was
+    * an instruction to a human. Now the smoke compares these rows
+    * itself: each carries `cpu_envelope` (the stored bounds widened 10%
+    * for sampling granularity) and `cpu_in_envelope`, and a generated
+    * summary row lists any outliers — the stream_ror_summary treatment
+    * for sf10. A row OUTSIDE the envelope means either real plan drift
+    * (interleaved A/B it) or a host regime change (recapture the
+    * 5-sample envelope and update these constants, noting it in the
+    * round log). Bounds must only ever come from a solo 5-sample
+    * capture, never from a single basket run.
+    */
+  private val Sf10CpuEnvelope: Map[String, (Double, Double)] = Map(
+    "dedup_embedding_lsh_fine" -> ((438.7, 587.7)),
+    "ann_bruteforce_topk" -> ((49.2, 73.7)))
+
   def generate(spark: SparkSession, base: String, outDir: String,
       replicas: Int): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -220,6 +240,7 @@ object ScaleSmoke {
       else basket0
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val envelopeOutliers = scala.collection.mutable.ArrayBuffer.empty[String]
     var total = 0.0
     def cpuNs(): Long =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -276,8 +297,17 @@ object ScaleSmoke {
             serveColds.map("\"" + _ + "\"").mkString("[", ",", "]")
           val build = math.max(0.0, secs - serve)
           lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"build_sec":$build%.3f,"serve_sec":$serve%.3f,"cpu_sec":$cpu%.3f,"serve_cpu_sec":$serveCpu%.3f,"cold_builds":$coldsJson,"serve_cold_builds":$serveColdsJson,"rows":$rows}"""
-        } else
-          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f,"cold_builds":$coldsJson,"rows":$rows}"""
+        } else {
+          // in/out-of-envelope self-check for the stored flop-family rows
+          val env =
+            if (label == "sf10") Sf10CpuEnvelope.get(name).map { case (lo, hi) =>
+              val in = cpu >= lo / 1.1 && cpu <= hi * 1.1
+              if (!in) envelopeOutliers += name
+              f""","cpu_envelope":[$lo%.1f,$hi%.1f],"cpu_in_envelope":$in"""
+            }.getOrElse("")
+            else ""
+          lines += f"""{"metric":"${label}_smoke","query":"$name","wall_sec":$secs%.3f,"cpu_sec":$cpu%.3f$env,"cold_builds":$coldsJson,"rows":$rows}"""
+        }
         println(lines.last)
       } catch {
         case e: Throwable =>
@@ -301,6 +331,16 @@ object ScaleSmoke {
       // default heap (r15: components at basket position 10 died where
       // the same query solo succeeded)
       System.gc()
+    }
+    // generated envelope summary (r18, VERDICT r17 #3): one row saying
+    // which flop-family rows were checked and which fell outside — the
+    // machine-readable verdict a cross-round reader consumes first
+    if (label == "sf10") {
+      val checked = basket.filter(Sf10CpuEnvelope.contains)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val out = envelopeOutliers.map("\"" + _ + "\"").mkString("[", ",", "]")
+      lines += s"""{"metric":"sf10_envelope_summary","checked":$checked,"out_of_envelope":$out}"""
+      println(lines.last)
     }
     // artifact discipline (same as Bench): full per-query detail to a
     // file, short always-parseable summary as the LAST stdout line, so a
