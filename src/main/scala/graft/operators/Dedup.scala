@@ -564,11 +564,28 @@ object Dedup {
           val relaxedM = relaxed.transform(Materialize.once)
           val jump = relaxedM
             .select(col("node").as("label"), col("label").as("label2"))
-          val n = relaxedM.join(jump, Seq("label"))
+          val n1 = relaxedM.join(jump, Seq("label"))
             .select(col("node"), col("label2").as("label"), col("prev"))
             .transform(Materialize.once)
           Materialize.drop(relaxedM)
-          n
+          // `graft.cc.jump2=on`: a SECOND pointer jump per jump round
+          // (label := label[label] over the once-jumped frame) — the
+          // hash-to-min doubling evaluation seam (VERDICT r17 #5).
+          // Output-invariant: labels are node ids of touched nodes and
+          // only ever decrease toward the component min, so any number
+          // of extra jumps lands between one-jump and the fixpoint.
+          // Costs one more |touched| self-join per jump round; adopted
+          // only if the interleaved sf10 A/B shows the saved rounds
+          // outweigh it.
+          if (sys.props.get("graft.cc.jump2").contains("on")) {
+            val jump2 = n1
+              .select(col("node").as("label"), col("label").as("label2"))
+            val n2 = n1.join(jump2, Seq("label"))
+              .select(col("node"), col("label2").as("label"), col("prev"))
+              .transform(Materialize.once)
+            Materialize.drop(n1)
+            n2
+          } else n1
         } else relaxed.transform(Materialize.once)
       changed = next.filter(col("label") < col("prev")).count()
       // superseded this round: the frame behind the previous `labels`
@@ -896,6 +913,34 @@ object Dedup {
     }
   }
 
+  /** The narrow (doc_id, text_hash) projection dedup_exact hashes — split
+    * out so PlanPruningSpec can assert its ReadSchema (the operator
+    * checkpoints this frame, which erases the scan from the final plan).
+    */
+  private[graft] def exactHashed(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(col("text")))
+      .select("doc_id", "text_hash")
+
+  /** Exact dedup: same window→groupBy-join rewrite as dedup_components'
+    * output stage (r18, VERDICT r17 #6): dup_count AND the canonical min
+    * come from one map-side-combined aggregation per text_hash, so a
+    * crawl-scale empty-document family can never funnel one task the way
+    * `count over (partition by text_hash)` does. The narrow
+    * (doc_id, text_hash) frame is materialized ONCE: both the aggregate
+    * and the probe side consume it, and unmaterialized each would rescan
+    * documents and re-hash every text (measured at sf0.1: 1.9 vs 0.9
+    * cpu-s).
+    */
+  private def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = exactHashed(s, d).transform(Materialize.once)
+    val stats = hashed.groupBy("text_hash").agg(
+      count(lit(1)).as("dup_count"), min("doc_id").as("min_id"))
+    hashed.join(stats, Seq("text_hash"))
+      .withColumn("is_canonical", col("doc_id") === col("min_id"))
+      .select("doc_id", "text_hash", "dup_count", "is_canonical")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> ((s, d) => {
       // pairs (pigeonhole simhash, hamming <= 6) -> canonical clusters.
@@ -1063,26 +1108,7 @@ object Dedup {
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
     }),
-    "dedup_exact" -> ((s, d) => {
-      // same window→groupBy-join rewrite as dedup_components' output
-      // stage (r18, VERDICT r17 #6): dup_count AND the canonical min
-      // come from one map-side-combined aggregation per text_hash, so a
-      // crawl-scale empty-document family can never funnel one task the
-      // way `count over (partition by text_hash)` does. The narrow
-      // (doc_id, text_hash) frame is materialized ONCE: both the
-      // aggregate and the probe side consume it, and unmaterialized each
-      // would rescan documents and re-hash every text (measured at
-      // sf0.1: 1.9 vs 0.9 cpu-s).
-      val hashed = Tables.documents(s, d)
-        .withColumn("text_hash", md5(col("text")))
-        .select("doc_id", "text_hash")
-        .transform(Materialize.once)
-      val stats = hashed.groupBy("text_hash").agg(
-        count(lit(1)).as("dup_count"), min("doc_id").as("min_id"))
-      hashed.join(stats, Seq("text_hash"))
-        .withColumn("is_canonical", col("doc_id") === col("min_id"))
-        .select("doc_id", "text_hash", "dup_count", "is_canonical")
-    }),
+    "dedup_exact" -> ((s, d) => exactDedup(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => {
       // Exact Jaccard via an inverted shingle index instead of all-pairs:
       // any pair with jaccard > 0 shares ≥ 1 shingle, so equi-joining the

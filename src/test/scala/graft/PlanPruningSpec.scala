@@ -41,8 +41,12 @@ class PlanPruningSpec extends AnyFunSuite {
       .foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), cols))
   }
 
+  // dedup_exact checkpoints its narrow (doc_id, text_hash) frame (r18:
+  // one scan+hash feeding both the stats aggregate and the probe side),
+  // which erases the scan from the final plan — assert the ReadSchema of
+  // the exact frame the checkpoint executes
   test("dedup_exact never reads lang/source/n_chars") {
-    readSchemas(Dedup.queries("dedup_exact")(spark, sf))
+    readSchemas(Dedup.exactHashed(spark, sf))
       .foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), cols))
   }
 

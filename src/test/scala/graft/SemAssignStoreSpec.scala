@@ -19,6 +19,19 @@ class SemAssignStoreSpec extends AnyFunSuite {
     Similarity.queries(q)(spark, sf)
       .collect().map(_.toString).sorted.toSeq
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  private def publishedRoots(withFile: String): Seq[java.io.File] = {
+    val base = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign")
+    Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(r => new java.io.File(r, "_READY").exists() &&
+        new java.io.File(r, withFile).exists())
+  }
+
   test("stored arm == inline arm, row-identical, for all three store consumers") {
     val stored = Seq("dedup_semantic", "embedding_kmeans",
       "embedding_prototypicality").map(q => q -> rows(q)).toMap
@@ -65,6 +78,40 @@ class SemAssignStoreSpec extends AnyFunSuite {
     assert(graft.ColdBuilds.since(mark2).contains("kmeans_trainer"),
       "a legacy store without centroids must fall back to the trainer")
     assert(viaFallback == viaTrainer)
+  }
+
+  test("pair-head store: warm serve is an O(output) scan, row-identical to inline enumeration (VERDICT r17 #4)") {
+    val stored = rows("dedup_semantic") // publishes the store incl. the head
+    val mark = graft.ColdBuilds.mark()
+    val again = rows("dedup_semantic")
+    val builds = graft.ColdBuilds.since(mark)
+    assert(builds.contains("sem_pairs_load"),
+      s"warm serve must read the persisted head, got: $builds")
+    assert(!builds.contains("sem_pairs_build"),
+      s"warm serve must NOT re-enumerate intra-cluster pairs, got: $builds")
+    assert(again == stored)
+    assert(stored.nonEmpty)
+    sys.props("graft.sem.pairs") = "inline"
+    try assert(rows("dedup_semantic") == stored,
+      "pair-head store and inline pair enumeration diverge")
+    finally sys.props.remove("graft.sem.pairs")
+  }
+
+  test("a store published before the pair head existed self-upgrades once") {
+    rows("dedup_semantic"): Unit // ensure a published store with a head
+    val legacy = publishedRoots("toppairs.parquet")
+    assert(legacy.nonEmpty, "expected a published store with a pair head")
+    legacy.foreach(r => rmTree(new java.io.File(r, "toppairs.parquet")))
+    val mark = graft.ColdBuilds.mark()
+    val upgraded = rows("dedup_semantic")
+    assert(graft.ColdBuilds.since(mark).contains("sem_pairs_build"),
+      "a legacy store without the head must self-upgrade")
+    val mark2 = graft.ColdBuilds.mark()
+    assert(rows("dedup_semantic") == upgraded) // upgrade is paid at most once
+    assert(!graft.ColdBuilds.since(mark2).contains("sem_pairs_build"))
+    sys.props("graft.sem.pairs") = "inline"
+    try assert(rows("dedup_semantic") == upgraded)
+    finally sys.props.remove("graft.sem.pairs")
   }
 
   test("torn write rebuilds: a store without its _READY marker is never served") {
