@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Calibration-normalized cross-round bench comparison (VERDICT r17 #2).
+
+graft.Bench r18+ emits `calib_rps` — the median rate of a frozen
+fixed-flop arithmetic aggregation sampled at every round-robin pass
+boundary. A contended capture inflates every query's wall AND deflates
+calib_rps by the same contention, so dividing each query's rate
+(1/wall) by the run's calib_rps cancels host drift: the judge-side
+forensics BENCH_r17 needed (loadavg cross-exams, fixed-flop envelopes)
+becomes one script run.
+
+    python3 tools/bench_ratio.py BENCH_LOCAL_r17.json BENCH_LOCAL_r18.json
+    python3 tools/bench_ratio.py OLD.json NEW.json --append
+
+Per query: wall ratio new/old (raw) and, when BOTH artifacts carry
+calib_rps, the ratio-of-ratios (query rate / calib rate, new vs old) —
+RoR > 1 means the query got FASTER relative to the box. Artifacts
+predating the calib arm (r17 and earlier) degrade to raw ratios with a
+`calib: raw` note, never a silent pretend-normalization.
+
+With --append, a single `bench_ror_summary` JSON line is appended to
+the NEW artifact (idempotent: prior summary rows are replaced), so the
+cross-round table ships inside the artifact.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            if d.get("metric") == "total" and "queries" in d:
+                return d
+    sys.exit(f"{path}: no bench 'total' row with a queries map")
+
+
+def main():
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(paths) != 2:
+        sys.exit("usage: bench_ratio.py OLD.json NEW.json [--append]")
+    old_path, new_path = paths
+    old, new = load(old_path), load(new_path)
+    oc, nc = old.get("calib_rps", 0), new.get("calib_rps", 0)
+    calibrated = oc > 0 and nc > 0
+    # calib_rps is work/sec; a query's comparable rate is 1/wall. The
+    # ratio-of-ratios (new_rate/new_calib) / (old_rate/old_calib)
+    # simplifies to (old_wall/new_wall) * (old_calib/new_calib).
+    calib_factor = (oc / nc) if calibrated else 1.0
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    movers = []
+    rors = {}
+    mode = "calibrated" if calibrated else "raw (old artifact predates calib_rps)"
+    print(f"normalization: {mode}" +
+          (f"  old_calib={oc:.0f} new_calib={nc:.0f} factor={calib_factor:.3f}"
+           if calibrated else ""))
+    hdr = f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'wall_x':>7s} {'RoR':>6s}"
+    print(hdr)
+    for q in common:
+        ov, nv = old["queries"][q], new["queries"][q]
+        if ov <= 0 or nv <= 0:
+            continue
+        wall_x = nv / ov  # >1 = slower raw wall
+        ror = (ov / nv) * calib_factor  # >1 = faster, box-normalized
+        rors[q] = round(ror, 3)
+        mark = " <-- >30%" if (ror > 1.30 or ror < 1 / 1.30) else ""
+        if mark:
+            movers.append((q, ror))
+        print(f"{q:40s} {ov:8.3f} {nv:8.3f} {wall_x:7.2f} {ror:6.2f}{mark}")
+    ow = sum(old["queries"][q] for q in common if old["queries"][q] > 0)
+    nw = sum(new["queries"][q] for q in common if new["queries"][q] > 0)
+    print(f"\ncommon-{len(common)} wall: old {ow:.1f}s new {nw:.1f}s "
+          f"raw {nw / ow:.3f}x  calib-normalized speedup {ow / nw * calib_factor:.3f}x")
+    ocpu = old.get("cpu_queries", {})
+    ncpu = new.get("cpu_queries", {})
+    cpu_common = [q for q in common if ocpu.get(q, 0) > 0 and ncpu.get(q, 0) > 0]
+    if cpu_common:
+        oc_t = sum(ocpu[q] for q in cpu_common)
+        nc_t = sum(ncpu[q] for q in cpu_common)
+        print(f"common-{len(cpu_common)} cpu:  old {oc_t:.1f}s new {nc_t:.1f}s "
+              f"raw {nc_t / oc_t:.3f}x")
+    only_old = sorted(set(old["queries"]) - set(new["queries"]))
+    only_new = sorted(set(new["queries"]) - set(old["queries"]))
+    if only_old:
+        print("only in old:", ", ".join(only_old))
+    if only_new:
+        print("only in new:", ", ".join(only_new))
+    print(f"\nmovers (calib-normalized RoR outside 0.77-1.30): {len(movers)}")
+    for q, r in sorted(movers, key=lambda x: x[1]):
+        print(f"  {q}: {r:.2f} ({'faster' if r > 1 else 'slower'})")
+    if "--append" in flags:
+        summary = {
+            "metric": "bench_ror_summary",
+            "vs": old_path.split("/")[-1],
+            "normalization": "calibrated" if calibrated else "raw",
+            "calib_factor": round(calib_factor, 4),
+            "common_queries": len(common),
+            "wall_raw_x": round(nw / ow, 4),
+            "wall_calib_speedup_x": round(ow / nw * calib_factor, 4),
+            "movers": {q: round(r, 3) for q, r in movers},
+            "only_in_old": only_old,
+            "only_in_new": only_new,
+        }
+        with open(new_path) as f:
+            kept = [
+                line for line in f
+                if not (line.strip() and
+                        json.loads(line).get("metric") == "bench_ror_summary")
+            ]
+        with open(new_path, "w") as f:
+            f.writelines(kept)
+            f.write(json.dumps(summary) + "\n")
+        print(f"\nwrote bench_ror_summary row to {new_path} (prior summary rows replaced)")
+
+
+if __name__ == "__main__":
+    main()
