@@ -110,7 +110,7 @@ object Dedup {
     * explode-words × explode-bits + double-aggregation plan inflated rows
     * 48× and shuffled twice).
     */
-  private[operators] def simhash(docs: DataFrame): DataFrame = {
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("simhash48(text)").as("simhash"))
   }
@@ -140,7 +140,7 @@ object Dedup {
     * (d1, d2, hamming), d1 < d2, hamming ≤ 6, distinct — see
     * dedup_simhash_pairs' doc comment for the placement argument.
     */
-  private[operators] def bandedTruePairs(sh: DataFrame,
+  private[graft] def bandedTruePairs(sh: DataFrame,
       probeName: String = "banded.verify"): DataFrame = {
     val banded = banded7(sh)
     val a = banded.select(col("doc_id").as("d1"), col("simhash").as("s1"),
@@ -574,9 +574,16 @@ object Dedup {
           // Output-invariant: labels are node ids of touched nodes and
           // only ever decrease toward the component min, so any number
           // of extra jumps lands between one-jump and the fixpoint.
-          // Costs one more |touched| self-join per jump round; adopted
-          // only if the interleaved sf10 A/B shows the saved rounds
-          // outweigh it.
+          // EVALUATED AND REJECTED at sf10 (AB_r18): the doubling
+          // eliminates exactly ONE late relax-only round (8→7; changed
+          // trace 456791/424626/61940/263/37/7/1/0 vs .../372972/20543/
+          // 192/29/5/0) worth ~1.2 s, while the three expensive
+          // jump-active rounds are unchanged — measured parity 71.3 vs
+          // 72.4 s wall / 762 vs 766 cpu-s solo, 79–102 vs 87–90
+          // interleaved (inside host drift). The relax already halves
+          // chain length per round once seeded with neighbor minima, so
+          // diameters this small leave doubling nothing to compress.
+          // Seam retained for corpora with genuinely deep components.
           if (sys.props.get("graft.cc.jump2").contains("on")) {
             val jump2 = n1
               .select(col("node").as("label"), col("label").as("label2"))
