@@ -940,7 +940,14 @@ object Dedup {
     * cpu-s).
     */
   private def exactDedup(s: SparkSession, d: String): DataFrame = {
-    val hashed = exactHashed(s, d).transform(Materialize.once)
+    // `graft.exact.ckpt=off` pins the recompute arm (both consumers
+    // rescan documents and re-hash) for interleaved A/Bs of the
+    // checkpoint's worth — the skew-immune groupBy+join SHAPE is not
+    // up for debate (PlanShapeSpec rule 6), only the materialization.
+    val hashed0 = exactHashed(s, d)
+    val hashed =
+      if (sys.props.get("graft.exact.ckpt").contains("off")) hashed0
+      else hashed0.transform(Materialize.once)
     val stats = hashed.groupBy("text_hash").agg(
       count(lit(1)).as("dup_count"), min("doc_id").as("min_id"))
     hashed.join(stats, Seq("text_hash"))
