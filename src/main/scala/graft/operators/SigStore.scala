@@ -816,6 +816,25 @@ object SigStore {
       serveComponentsStored(s, root)
     }
 
+  /** The RAW (doc_id, cluster_id) label frame from the absorbed store —
+    * for consumers that never read cluster_size (r18, measured): the
+    * leakage-safe split buckets on cluster_id alone and the manifest's
+    * cluster_canonical is the pure projection doc_id === cluster_id, so
+    * serving them through [[withClusterShape]] paid the size
+    * aggregation's two exchanges over the full corpus for columns that
+    * were immediately dropped (split_assign_leakage_safe_stored warm
+    * floor 11.1–12.7 cpu-s at sf10 vs ~4.6 before the r18 window→join
+    * rewrite; the size join is the one shape piece that needs an
+    * aggregation at all). dedup_components_stored itself — whose OUTPUT
+    * contract includes cluster_size — still serves the full shape.
+    */
+  private[graft] def serveComponentsLabels(s: SparkSession, d: String): DataFrame = {
+    serveComponentsAbsorbed(s, d): Unit // ensure the store is built
+    val root = storeRoot(d) + "_absorbed"
+    effectiveLabels(s, root)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental_stored" -> ((s, d) => serveIncremental(s, d)),
     "dedup_components_incremental" -> ((s, d) => serveComponentsIncremental(s, d)),

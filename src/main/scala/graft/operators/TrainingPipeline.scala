@@ -35,11 +35,15 @@ object TrainingPipeline {
       .select(col("doc_id"), col("quality_score"))
     val exact = Dedup.queries("dedup_exact")(s, d)
       .select(col("doc_id"), col("is_canonical").as("exact_canonical"))
-    val compQ =
-      if (storedLabels) SigStore.queries("dedup_components_stored")
-      else Dedup.queries("dedup_components")
-    val comp = compQ(s, d)
-      .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
+    // stored labels: the RAW label serve — cluster_canonical is the
+    // projection doc_id === cluster_id, so the full shaped serve (whose
+    // cluster_size aggregation costs two corpus exchanges) is never
+    // needed here (r18, measured at sf10)
+    val comp =
+      (if (storedLabels) storedCanonical(s, d)
+       else Dedup.queries("dedup_components")(s, d)
+         .select(col("doc_id"), col("is_canonical")))
+        .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
     Tables.documents(s, d)
       .join(quality, "doc_id")
       .join(exact, "doc_id")
@@ -117,6 +121,15 @@ object TrainingPipeline {
     * (doc_id, cluster_id) label frame — shared by the one-shot and
     * stored-label forms so the hash backbone cannot drift between them.
     */
+  /** (doc_id, is_canonical) from the persisted label store's RAW serve:
+    * canonical ⟺ doc_id === cluster_id (the component label IS the min
+    * doc_id), so no cluster_size aggregation is touched (r18).
+    */
+  private def storedCanonical(s: SparkSession, d: String): DataFrame =
+    SigStore.serveComponentsLabels(s, d)
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "is_canonical")
+
   private def leakageSafeSplit(labels: DataFrame): DataFrame =
     labels
       .select("doc_id", "cluster_id")
@@ -199,7 +212,9 @@ object TrainingPipeline {
     // oracle as the one-shot: the store's contract is that its labels
     // ARE the full-corpus clustering.
     "corpus_train_manifest_stored" -> ((s, d) =>
-      manifestOn(s, d, SigStore.queries("dedup_components_stored")(s, d))),
+      // raw-label serve: the manifest reads only cluster_canonical, a
+      // projection of the labels — never cluster_size (r18)
+      manifestOn(s, d, storedCanonical(s, d))),
 
     // Deterministic hash-based train/val/test assignment (80/10/10): pure
     // per-row map, zero shuffle, and STABLE — a doc keeps its split across
@@ -246,7 +261,11 @@ object TrainingPipeline {
     // the scale artifacts measure it as such. Same oracle: the store's
     // own contract is that its labels ARE the full-corpus clustering.
     "split_assign_leakage_safe_stored" -> ((s, d) =>
-      leakageSafeSplit(SigStore.queries("dedup_components_stored")(s, d))),
+      // raw-label serve: the split buckets on cluster_id alone, so the
+      // shaped serve's cluster_size aggregation (two corpus exchanges)
+      // was pure overhead here (r18, measured: warm floor 11.1-12.7
+      // cpu-s at sf10 through the shaped serve)
+      leakageSafeSplit(SigStore.serveComponentsLabels(s, d))),
 
     // Token-budget chunking: assign each doc (in doc_id order) a chunk id
     // so every chunk covers ChunkBudget tokens of the concatenated stream
