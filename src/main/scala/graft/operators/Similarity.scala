@@ -341,7 +341,12 @@ object Similarity {
   /** Content-keyed root + FileSystem of the persisted assignment store
     * (assign.parquet + centroids.parquet under one `_READY`).
     */
-  private def semStoreRoot(s: SparkSession, d: String)
+  // private[graft]: SemAssignStoreSpec tears markers/files to exercise
+  // rebuild/self-upgrade paths and must scope that to ITS OWN fixture's
+  // root — tearing every root under the shared tmp dir (the pre-r18
+  // idiom) invalidated the sf10 store on every suite run, turning later
+  // warm-restart captures into silent full rebuilds (58 s / 419 cpu-s).
+  private[graft] def semStoreRoot(s: SparkSession, d: String)
       : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))

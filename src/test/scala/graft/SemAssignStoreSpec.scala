@@ -24,12 +24,19 @@ class SemAssignStoreSpec extends AnyFunSuite {
     f.delete(): Unit
   }
 
-  private def publishedRoots(withFile: String): Seq[java.io.File] = {
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign")
-    Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(r => new java.io.File(r, "_READY").exists() &&
-        new java.io.File(r, withFile).exists())
+  /** THIS fixture's store root only (r18): tearing every root under the
+    * shared tmp dir — the previous idiom — invalidated OTHER fixtures'
+    * stores (the sf10 one) on every suite run, so later warm-restart
+    * captures silently paid full rebuilds.
+    */
+  private def ownRoot(): java.io.File =
+    new java.io.File(Similarity.semStoreRoot(spark, sf)._1.toString)
+
+  private def publishedOwnRoot(withFile: String): Seq[java.io.File] = {
+    val r = ownRoot()
+    if (new java.io.File(r, "_READY").exists() &&
+      new java.io.File(r, withFile).exists()) Seq(r)
+    else Nil
   }
 
   test("stored arm == inline arm, row-identical, for all three store consumers") {
@@ -61,16 +68,8 @@ class SemAssignStoreSpec extends AnyFunSuite {
     // a store published BEFORE centroids existed (centroids.parquet
     // absent, _READY present) must fall back to the trainer and still
     // serve identical rows
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign")
-    val legacy = Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(r => new java.io.File(r, "_READY").exists() &&
-        new java.io.File(r, "centroids.parquet").exists())
+    val legacy = publishedOwnRoot("centroids.parquet")
     assert(legacy.nonEmpty, "expected a published store with centroids")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(): Unit
-    }
     legacy.foreach(r => rmTree(new java.io.File(r, "centroids.parquet")))
     Similarity.clearAnnIndexCache()
     val mark2 = graft.ColdBuilds.mark()
@@ -99,7 +98,7 @@ class SemAssignStoreSpec extends AnyFunSuite {
 
   test("a store published before the pair head existed self-upgrades once") {
     rows("dedup_semantic"): Unit // ensure a published store with a head
-    val legacy = publishedRoots("toppairs.parquet")
+    val legacy = publishedOwnRoot("toppairs.parquet")
     assert(legacy.nonEmpty, "expected a published store with a pair head")
     legacy.foreach(r => rmTree(new java.io.File(r, "toppairs.parquet")))
     val mark = graft.ColdBuilds.mark()
@@ -116,11 +115,8 @@ class SemAssignStoreSpec extends AnyFunSuite {
 
   test("torn write rebuilds: a store without its _READY marker is never served") {
     rows("embedding_kmeans") // ensure the store exists
-    val base = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_semassign")
-    val roots = Option(base.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(r => new java.io.File(r, "_READY").exists())
-    assert(roots.nonEmpty, "expected at least one published assignment store")
+    val roots = publishedOwnRoot("assign.parquet")
+    assert(roots.nonEmpty, "expected a published assignment store")
     // simulate a crash between the parquet write and the marker create
     roots.foreach(r => assert(new java.io.File(r, "_READY").delete()))
     val mark = graft.ColdBuilds.mark()
