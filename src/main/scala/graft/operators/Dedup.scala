@@ -587,8 +587,15 @@ object Dedup {
           if (sys.props.get("graft.cc.jump2").contains("on")) {
             val jump2 = n1
               .select(col("node").as("label"), col("label").as("label2"))
-            val n2 = n1.join(jump2, Seq("label"))
-              .select(col("node"), col("label2").as("label"), col("prev"))
+            // LEFT join + coalesce (ADVICE r18): the inner-join form
+            // leaned on the every-label-is-a-node invariant a second
+            // time, and a violation would silently SHRINK the node set
+            // in this default-off arm rather than fail loudly — the
+            // left join makes any number of extra jumps a no-op for a
+            // label with no node row, safe by construction.
+            val n2 = n1.join(jump2, Seq("label"), "left")
+              .select(col("node"),
+                coalesce(col("label2"), col("label")).as("label"), col("prev"))
               .transform(Materialize.once)
             Materialize.drop(n1)
             n2

@@ -360,8 +360,24 @@ object Similarity {
   private def centroidsPath(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, "centroids.parquet")
 
+  /** Pair-head file name carries the parameters the persisted rows bake
+    * in — [[SemanticTopK]] and a ranking-format version (ADVICE r18,
+    * medium): the serve path gates on file existence, so a head written
+    * under a DIFFERENT K or ranking would otherwise keep serving stale
+    * rows from an already-published store. Folding the parameters into
+    * the name makes a mismatch a cache MISS (the normal self-upgrade
+    * path republishes under the new name) instead of a silent staleness.
+    * `SemanticDupThreshold` stays out of the key on purpose: `is_dup` is
+    * derived at read, so the persisted rows don't depend on it. Bump
+    * [[PairHeadVersion]] whenever [[topPairsHead]]'s ranking changes.
+    */
+  private[graft] val PairHeadVersion = 1
+
+  private[graft] def topPairsFileName: String =
+    s"toppairs_k${SemanticTopK}_v$PairHeadVersion.parquet"
+
   private def topPairsPath(root: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(root, "toppairs.parquet")
+    new org.apache.hadoop.fs.Path(root, topPairsFileName)
 
   /** Trained centroid VALUES, store-first (r17, VERDICT r16 #4): a warm
     * restart against a published assignment store reads K×dims doubles

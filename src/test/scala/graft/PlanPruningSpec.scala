@@ -50,6 +50,23 @@ class PlanPruningSpec extends AnyFunSuite {
       .foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), cols))
   }
 
+  // the helper assert above can't see a future exactDedup edit that joins
+  // extra document columns AFTER the hashed frame (ADVICE r18): pin
+  // graft.exact.ckpt=off so the scan stays in the SERVED query's plan and
+  // assert that plan's ReadSchema directly
+  test("dedup_exact served plan (ckpt=off) never reads lang/source/n_chars") {
+    val key = "graft.exact.ckpt"
+    val old = sys.props.get(key)
+    try {
+      sys.props(key) = "off"
+      readSchemas(Dedup.queries("dedup_exact")(spark, sf))
+        .foreach(cols => assert(cols.subsetOf(Set("doc_id", "text")), cols))
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key): Unit
+    }
+  }
+
   // decontam_bloom builds its filter by hand; Spark can also INJECT one —
   // a bloom filter built from the selective build side, pushed onto the
   // probe side's scan so most rows die before the shuffle. The default

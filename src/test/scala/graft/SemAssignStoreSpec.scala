@@ -98,9 +98,9 @@ class SemAssignStoreSpec extends AnyFunSuite {
 
   test("a store published before the pair head existed self-upgrades once") {
     rows("dedup_semantic"): Unit // ensure a published store with a head
-    val legacy = publishedOwnRoot("toppairs.parquet")
+    val legacy = publishedOwnRoot(Similarity.topPairsFileName)
     assert(legacy.nonEmpty, "expected a published store with a pair head")
-    legacy.foreach(r => rmTree(new java.io.File(r, "toppairs.parquet")))
+    legacy.foreach(r => rmTree(new java.io.File(r, Similarity.topPairsFileName)))
     val mark = graft.ColdBuilds.mark()
     val upgraded = rows("dedup_semantic")
     assert(graft.ColdBuilds.since(mark).contains("sem_pairs_build"),
@@ -111,6 +111,34 @@ class SemAssignStoreSpec extends AnyFunSuite {
     sys.props("graft.sem.pairs") = "inline"
     try assert(rows("dedup_semantic") == upgraded)
     finally sys.props.remove("graft.sem.pairs")
+  }
+
+  test("pair-head name encodes K + format version: a head under other params is a miss, never served (ADVICE r18)") {
+    rows("dedup_semantic"): Unit // ensure a published store with a head
+    val published = publishedOwnRoot(Similarity.topPairsFileName)
+    assert(published.nonEmpty, "expected a published store with a pair head")
+    // the name must carry the parameters the rows bake in — the whole
+    // staleness defense is that changing either changes the cache key
+    assert(Similarity.topPairsFileName
+      .contains(s"k${Similarity.SemanticTopK}"), Similarity.topPairsFileName)
+    assert(Similarity.topPairsFileName
+      .contains(s"v${Similarity.PairHeadVersion}"), Similarity.topPairsFileName)
+    // simulate a store published under a DIFFERENT K/version: rename the
+    // real head to a mismatched name — a serve must self-upgrade (rebuild
+    // under the correct name) and never read the mismatched file
+    published.foreach { r =>
+      val good = new java.io.File(r, Similarity.topPairsFileName)
+      val stale = new java.io.File(r, "toppairs_k999_v0.parquet")
+      assert(good.renameTo(stale), s"fixture rename failed: $good")
+    }
+    val mark = graft.ColdBuilds.mark()
+    val upgraded = rows("dedup_semantic")
+    assert(graft.ColdBuilds.since(mark).contains("sem_pairs_build"),
+      "a parameter-mismatched head must be a miss that self-upgrades")
+    sys.props("graft.sem.pairs") = "inline"
+    try assert(rows("dedup_semantic") == upgraded)
+    finally sys.props.remove("graft.sem.pairs")
+    published.foreach(r => rmTree(new java.io.File(r, "toppairs_k999_v0.parquet")))
   }
 
   test("torn write rebuilds: a store without its _READY marker is never served") {

@@ -71,10 +71,19 @@ def main():
         if mark:
             movers.append((q, ror))
         print(f"{q:40s} {ov:8.3f} {nv:8.3f} {wall_x:7.2f} {ror:6.2f}{mark}")
-    ow = sum(old["queries"][q] for q in common if old["queries"][q] > 0)
-    nw = sum(new["queries"][q] for q in common if new["queries"][q] > 0)
-    print(f"\ncommon-{len(common)} wall: old {ow:.1f}s new {nw:.1f}s "
-          f"raw {nw / ow:.3f}x  calib-normalized speedup {ow / nw * calib_factor:.3f}x")
+    # both sums restricted to queries valid on BOTH sides (ADVICE r18: the
+    # mismatched filters counted a one-side-only-valid query in one sum but
+    # not the other, skewing the headline ratio), and guarded against an
+    # empty/zero common set
+    valid = [q for q in common
+             if old["queries"][q] > 0 and new["queries"][q] > 0]
+    ow = sum(old["queries"][q] for q in valid)
+    nw = sum(new["queries"][q] for q in valid)
+    if ow > 0 and nw > 0:
+        print(f"\ncommon-{len(valid)} wall: old {ow:.1f}s new {nw:.1f}s "
+              f"raw {nw / ow:.3f}x  calib-normalized speedup {ow / nw * calib_factor:.3f}x")
+    else:
+        print("\nno queries valid on both sides — skipping aggregate ratios")
     ocpu = old.get("cpu_queries", {})
     ncpu = new.get("cpu_queries", {})
     cpu_common = [q for q in common if ocpu.get(q, 0) > 0 and ncpu.get(q, 0) > 0]
@@ -98,9 +107,10 @@ def main():
             "vs": old_path.split("/")[-1],
             "normalization": "calibrated" if calibrated else "raw",
             "calib_factor": round(calib_factor, 4),
-            "common_queries": len(common),
-            "wall_raw_x": round(nw / ow, 4),
-            "wall_calib_speedup_x": round(ow / nw * calib_factor, 4),
+            "common_queries": len(valid),
+            "wall_raw_x": round(nw / ow, 4) if ow > 0 else None,
+            "wall_calib_speedup_x":
+                round(ow / nw * calib_factor, 4) if nw > 0 else None,
             "movers": {q: round(r, 3) for q, r in movers},
             "only_in_old": only_old,
             "only_in_new": only_new,
