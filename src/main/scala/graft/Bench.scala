@@ -163,6 +163,49 @@ object Bench {
     CalibRows / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** I/O-side calibration arm (r19, VERDICT r18 #4): the fixed-flop
+    * arithmetic probe above is CPU-only and stayed FLAT through a
+    * discarded 85.5 s capture whose 12 uniformly-slower movers were
+    * I/O/GC-side — a degraded capture could not self-identify and cost a
+    * three-capture shootout. This arm scans a FROZEN parquet file (same
+    * deterministic content every round: 4 M rows of (id, md5 hex) —
+    * incompressible strings, so the scan is storage/decode-bound, not
+    * arithmetic-bound) once per round-robin pass. Cross-round reads
+    * compare the two arms: a capture whose cpu-calib is flat but whose
+    * scan-calib sank was I/O-degraded, in-artifact. The definition is
+    * FROZEN like CalibRows; the `_v1` path suffix is the format version.
+    */
+  private val ScanCalibRows = 4L * 1000 * 1000
+  private val ScanCalibPath = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+    "/graft_bench_scancalib_v1.parquet"
+
+  private def ensureScanCalib(spark: SparkSession): Unit =
+    if (!new java.io.File(ScanCalibPath, "_SUCCESS").exists()) {
+      spark.range(0L, ScanCalibRows, 1L, 8)
+        .selectExpr("id", "md5(cast(id as string)) AS h")
+        .write.mode("overwrite").parquet(ScanCalibPath)
+    }
+
+  private def runScanCalibration(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // length(h) forces the string column through the decoder — a
+    // pruned-away h would turn this back into a CPU probe
+    spark.read.parquet(ScanCalibPath)
+      .selectExpr("sum(id ^ length(h)) AS s").collect()
+    ScanCalibRows / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * per-pass deltas over wall time give the gc_frac column (VERDICT r18
+    * #4's second ask: a capture degraded by heap pressure shows a high
+    * GC fraction even when the box is otherwise idle).
+    */
+  private def gcTimeMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -197,15 +240,29 @@ object Bench {
     // sample from becoming the reported number)
     val coldBuilds = scala.collection.mutable.Map.empty[String, Seq[String]]
     val loadStart = loadAvg()
-    // warm the calibration arm's own one-time codegen cost outside the
-    // timed samples (the A/B warmup discipline)
+    // warm the calibration arms' own one-time costs (codegen; the scan
+    // file build + its first page-cache load) outside the timed samples
     runCalibration(spark)
+    ensureScanCalib(spark)
+    runScanCalibration(spark)
     val calibSamples = scala.collection.mutable.ListBuffer.empty[Double]
+    val scanSamples = scala.collection.mutable.ListBuffer.empty[Double]
+    val gcFracs = scala.collection.mutable.ListBuffer.empty[Double]
+    var gcPrev = gcTimeMs()
+    var gcWallPrev = System.nanoTime()
     for (r <- 1 to runs; name <- basket) {
-      // one calibration sample per round-robin pass, taken at the pass
-      // boundary — three points across the run's duration, so contention
-      // arriving mid-run is visible in the samples, not just the median
-      if (name == basket.head) calibSamples += runCalibration(spark)
+      // one sample per calibration arm per round-robin pass, taken at
+      // the pass boundary — points across the run's duration, so
+      // contention arriving mid-run is visible in the samples, not just
+      // the median; the GC fraction covers the whole preceding pass
+      if (name == basket.head) {
+        calibSamples += runCalibration(spark)
+        scanSamples += runScanCalibration(spark)
+        val (gcNow, wallNow) = (gcTimeMs(), System.nanoTime())
+        if (wallNow > gcWallPrev)
+          gcFracs += (gcNow - gcPrev) / ((wallNow - gcWallPrev) / 1e6)
+        gcPrev = gcNow; gcWallPrev = wallNow
+      }
       val t0 = System.nanoTime()
       val c0 = processCpuNs()
       val cb0 = graft.ColdBuilds.mark()
@@ -257,11 +314,18 @@ object Bench {
       .map(n => "\"" + n + "\":" +
         coldBuilds(n).map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    // one final calibration sample after the last pass brackets the run
+    // one final sample per arm after the last pass brackets the run
     calibSamples += runCalibration(spark)
+    scanSamples += runScanCalibration(spark)
+    val (gcEnd, gcWallEnd) = (gcTimeMs(), System.nanoTime())
+    if (gcWallEnd > gcWallPrev)
+      gcFracs += (gcEnd - gcPrev) / ((gcWallEnd - gcWallPrev) / 1e6)
     val calibMed = median(calibSamples.toList)
     val calibJson = calibSamples.map(c => f"$c%.0f").mkString("[", ",", "]")
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"cold_builds":$coldJson,"loadavg":$load,"calib_rps":$calibMed%.0f,"calib_samples":$calibJson,"errors":$errs,"sf":"$sfDir"}"""
+    val scanMed = median(scanSamples.toList)
+    val scanJson = scanSamples.map(c => f"$c%.0f").mkString("[", ",", "]")
+    val gcJson = gcFracs.map(g => f"$g%.4f").mkString("[", ",", "]")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cpu_queries":$cpuQs,"cpu_total":$cpuTotal%.3f,"cold_builds":$coldJson,"loadavg":$load,"calib_rps":$calibMed%.0f,"calib_samples":$calibJson,"scan_calib_rps":$scanMed%.0f,"scan_calib_samples":$scanJson,"gc_frac":$gcJson,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query/spread JSON is ~4 KB on one line; a bounded tail
     // capture of stdout can slice it mid-line and kill the parse (that is
     // exactly what happened to BENCH_r07). Persist the full detail to a
@@ -276,6 +340,6 @@ object Bench {
     // run with broken queries without parsing the errors array — rc is 0
     // either way because partial timings are still worth recording.
     val gate = if (errors.isEmpty) "pass" else "fail"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"calib_rps":$calibMed%.0f,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"calib_rps":$calibMed%.0f,"scan_calib_rps":$scanMed%.0f,"gc_frac_max":${if (gcFracs.isEmpty) -1.0 else gcFracs.max}%.4f,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

@@ -138,6 +138,37 @@ object SigStore {
         sortCols = Seq("band_bits"), crashBeforeDelete = false)).toSeq
   }
 
+  /** The store's OWN maintenance policy (r19, VERDICT r18 #6): compact
+    * bands + labels once any band partition has accreted more than
+    * `maxBatchDirs` per-batch generations. Long-streamed growth
+    * otherwise holds one `batch_id=<n>` dir per micro-batch forever —
+    * file counts, the node-patch pile, and the remap all grow with the
+    * absorb horizon, and each is only reset by an explicit compaction.
+    * Callers (a maintain stream's foreachBatch, a nightly job) invoke
+    * this after absorbs; it is a no-op until the policy trips, so the
+    * amortized cost is one fold per `maxBatchDirs` batches. Returns
+    * whether a compaction ran.
+    */
+  private[graft] def maintenanceTick(s: SparkSession, root: String,
+      maxBatchDirs: Int = 16): Boolean = {
+    val sigs = new Path(root, "sigs.parquet")
+    val f = fs(s, sigs)
+    if (!f.exists(sigs)) false
+    else {
+      val worstBand = f.listStatus(sigs).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("band_id="))
+        .map(b => f.listStatus(b.getPath).count(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id=")))
+        .foldLeft(0)(math.max)
+      if (worstBand <= maxBatchDirs) false
+      else {
+        compactBands(s, root): Unit
+        if (f.exists(new Path(root, "_LABELS_READY"))) compactLabels(s, root)
+        true
+      }
+    }
+  }
+
   /** Build (once per dataset, crash-safe) the banded signature store over
     * the BASE split (`doc_id % 10 =!= 0`, mirroring dedup_incremental).
     */
@@ -253,6 +284,14 @@ object SigStore {
   /** Crash-safe BASE-GENERATION publish: drop the marker FIRST (a torn
     * publish falls back to [[buildLabels]]), stage, swap, fold away any
     * patch state the new generation supersedes, restore the marker.
+    *
+    * cluster_size rides ON the generation rows (r19, VERDICT r18 #1 —
+    * the pair-head idiom applied to the label store): the size is a pure
+    * function of the persisted labels, so the skew-immune groupBy+join
+    * (the r18 shape, PlanShapeSpec rule 6) runs ONCE here at publish
+    * time, and [[serveComponentsStored]]'s default arm becomes a scan
+    * plus broadcast hops — the sf10 warm serve was paying those two
+    * corpus exchanges on EVERY serve (13.7 vs 6.5 cpu-s, SCALE10_r18).
     */
   private def publishLabels(s: SparkSession, root: String,
       labels: DataFrame): Unit = {
@@ -262,14 +301,25 @@ object SigStore {
     val live = new Path(root, "labels.parquet")
     f.delete(ready, false)
     f.delete(tmp, true)
-    labels.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // two consumers (the size aggregate and the join's probe side) — one
+    // materialization, freed after the staged write
+    val sized = labels.select("node", "label").transform(Materialize.once)
+    val sizes = sized.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    sized.join(sizes, Seq("label"))
+      .select("node", "label", "cluster_size")
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Materialize.drop(sized)
     f.delete(live, true)
     require(f.rename(tmp, live), s"labels publish failed: $live")
-    // the fresh generation subsumes all patches
+    // the fresh generation subsumes all patches and size overrides
     f.delete(new Path(root, "label_nodes.parquet"), true)
     f.delete(new Path(root, "label_remap.parquet"), true)
+    f.delete(sizeOverridePath(root), true)
     f.create(ready).close()
   }
+
+  private def sizeOverridePath(root: String) =
+    new Path(root, "size_override.parquet")
 
   /** `dedup_components` served incrementally: the base split's clustering
     * is READ from the persisted label table, and absorbing the delta
@@ -351,6 +401,59 @@ object SigStore {
     } else all
   }
 
+  /** [[effectiveLabels]] WITH the persisted per-cluster size — the
+    * zero-corpus-exchange read behind [[serveComponentsStored]]'s
+    * default arm (r19, VERDICT r18 #1). Resolution order per row:
+    *
+    *   1. generation rows carry the size baked at publish time;
+    *   2. patch rows (absorbed docs) carry NO size — every live patch
+    *      label is in the override by construction (its batch touched
+    *      it), so they resolve in step 4;
+    *   3. the label runs through the flat remap (broadcast hop);
+    *   4. the POST-remap label looks up `size_override.parquet` — the
+    *      latest recomputed size of every cluster any absorb ever
+    *      touched (|Σ delta|-bounded like the node patches, pruned of
+    *      merged-away labels each absorb, reset by [[compactLabels]]) —
+    *      and coalesces over the generation size.
+    *
+    * Correct because a cluster's size changes ONLY when an absorb
+    * touches it (a delta doc joins, or a merge lands on it), and every
+    * such label is re-counted into the override that same absorb;
+    * merged-AWAY labels never survive the remap hop, so their stale
+    * entries are unreachable (and pruned anyway). Plan shape: narrow
+    * scans + broadcast joins + a patch-sized aggregate — the corpus is
+    * never shuffled.
+    */
+  private[graft] def effectiveSizedLabels(s: SparkSession, root: String): DataFrame = {
+    val f = fs(s, new Path(root))
+    val base = s.read.parquet(s"$root/labels.parquet")
+      .select("node", "label", "cluster_size")
+    val nodesDir = new Path(root, "label_nodes.parquet")
+    val all = if (f.exists(nodesDir)) {
+      val patches = s.read.parquet(nodesDir.toString)
+        .groupBy("node").agg(expr("max_by(label, batch_id)").as("label"))
+        .withColumn("cluster_size", lit(null).cast("long"))
+      base.join(patches.select("node"), Seq("node"), "left_anti")
+        .unionByName(patches.select("node", "label", "cluster_size"))
+    } else base
+    val remapPath = new Path(root, "label_remap.parquet")
+    val remapped = if (f.exists(remapPath)) {
+      val remap = s.read.parquet(remapPath.toString)
+      all.join(broadcast(remap), all("label") === remap("old_label"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"),
+          col("cluster_size"))
+    } else all
+    val ovPath = sizeOverridePath(root)
+    if (f.exists(ovPath)) {
+      val ov = s.read.parquet(ovPath.toString)
+        .select(col("label").as("ov_label"), col("cluster_size").as("ov_size"))
+      remapped.join(broadcast(ov), remapped("label") === ov("ov_label"), "left")
+        .select(col("node"), col("label"),
+          coalesce(col("ov_size"), col("cluster_size")).as("cluster_size"))
+    } else remapped
+  }
+
   /** Contracted-fixpoint core shared by the incremental serve and
     * [[absorbComponents]]: clusters a delta documents frame against the
     * store's effective labels and returns
@@ -365,8 +468,8 @@ object SigStore {
     */
   private def contractDelta(s: SparkSession, root: String,
       deltaDocs: DataFrame): (DataFrame, DataFrame) = {
-    val sh = Dedup.simhash(deltaDocs).transform(Materialize.once)
-    val result = contractDeltaSh(s, root, sh)
+    val (sh, stats) = materializeShWithStats(Dedup.simhash(deltaDocs))
+    val result = contractDeltaSh(s, root, sh, stats)
     // both returned frames are self-contained (local relations on the
     // driver fast path, their own checkpoints on the distributed one), so
     // this call-local signature checkpoint is dead — free its files
@@ -375,12 +478,48 @@ object SigStore {
     result
   }
 
+  /** Materialize a delta's (doc_id, simhash) frame, harvesting the
+    * router's (row count, distinct-signature estimate) from the SAME
+    * pass via `observe()` — the eager checkpoint IS the action that
+    * computes the metrics, so the collapse-factor routing decision
+    * costs no separate Spark job (r19, VERDICT r18 #2: the +10% sf0.1
+    * incremental residual WAS the router's own ~0.1 s count+HLL job
+    * per absorb; GRAFT_CC_PROF traces, AB_r18 route_cost_note).
+    *
+    * NAME-based observe, deliberately NOT the `Observation` helper: the
+    * helper lazily initializes the session's ObservationManager — a
+    * non-serializable field that, once initialized, poisons every later
+    * closure that transitively serializes the SparkSession (found in
+    * THIS round's suite: the fraud ML model's scoring UDF captures its
+    * training summary → DataFrame → session, and fraud_ml_score died
+    * with NotSerializableException(ObservationManager) in any JVM that
+    * had served an incremental dedup first). The name-based variant
+    * only plants a CollectMetrics node; the metrics are read back
+    * synchronously from the executed plan's accumulators
+    * (`queryExecution.observedMetrics`) — no listener, no manager, no
+    * extra thread. The thunk yields None only if the metrics row is
+    * somehow absent, which the router answers with the legacy explicit
+    * aggregate; decision inputs are identical on both paths (exact
+    * count; same HLL++ at the default rsd).
+    */
+  private def materializeShWithStats(sh: DataFrame)
+      : (DataFrame, () => Option[(Long, Long)]) = {
+    val observed = sh.observe("graft_sh_stats", count(lit(1)).as("n"),
+      approx_count_distinct(col("simhash")).as("nsig"))
+    val m = observed.transform(Materialize.once)
+    val stats = () =>
+      observed.queryExecution.observedMetrics.get("graft_sh_stats")
+        .map(row => (row.getLong(0), row.getLong(1)))
+    (m, stats)
+  }
+
   /** [[contractDelta]] over an already-checkpointed (doc_id, simhash)
     * frame — absorb computes the signatures ONCE and shares them with
     * the sig-bank write.
     */
   private def contractDeltaSh(s: SparkSession, root: String,
-      deltaSh: DataFrame): (DataFrame, DataFrame) = {
+      deltaSh: DataFrame,
+      shStats: () => Option[(Long, Long)] = () => None): (DataFrame, DataFrame) = {
     val baseLabels = effectiveLabels(s, root)
     val store = s.read.parquet(s"$root/sigs.parquet")
       .select(col("doc_id").as("base_id"), col("simhash").as("bs"),
@@ -413,9 +552,17 @@ object SigStore {
       case Some("off") => false
       case Some(_) => true
       case None =>
-        val row = deltaSh.agg(count(lit(1)),
-          approx_count_distinct(col("simhash"))).head()
-        val (n, nSig) = (row.getLong(0), row.getLong(1))
+        // measured stats ride the checkpoint pass when the caller
+        // materialized via [[materializeShWithStats]] (r19 — zero-job
+        // routing); a miss (or a legacy caller) pays the explicit
+        // aggregate exactly as before
+        val (n, nSig) = shStats().getOrElse {
+          if (sys.env.contains("GRAFT_CC_PROF"))
+            System.err.println("[ccprof] absorb route: observed stats miss, explicit agg")
+          val row = deltaSh.agg(count(lit(1)),
+            approx_count_distinct(col("simhash"))).head()
+          (row.getLong(0), row.getLong(1))
+        }
         val rep = nSig > 0 && n.toDouble / nSig >= Dedup.CcSigDedupMinCollapse
         if (sys.props.get("graft.banded.probe").contains("volume"))
           graft.PlanVolume.record("cc.sigdedup.route",
@@ -694,11 +841,12 @@ object SigStore {
         System.err.println(f"[ccprof] $tag: ${(System.nanoTime()-t)/1e9}%.2f s")
     }
     // ONE simhash pass over the delta, shared by the contraction and the
-    // sig-bank write; materialize the contraction BEFORE mutating the
-    // state it reads
-    val deltaSh = Dedup.simhash(deltaDocs).transform(Materialize.once)
+    // sig-bank write (the router's collapse stats ride it via observe —
+    // r19, VERDICT r18 #2); materialize the contraction BEFORE mutating
+    // the state it reads
+    val (deltaSh, shStats) = materializeShWithStats(Dedup.simhash(deltaDocs))
     var contractResult: (DataFrame, DataFrame) = null
-    prof("contractDelta") { contractResult = contractDeltaSh(s, root, deltaSh) }
+    prof("contractDelta") { contractResult = contractDeltaSh(s, root, deltaSh, shStats) }
     val (relabel, deltaOut) = contractResult
     val remapPath = new Path(root, "label_remap.parquet")
     val oldRemap =
@@ -740,14 +888,56 @@ object SigStore {
     prof("remapWrite")(newRemap.write.mode(SaveMode.Overwrite).parquet(remapTmp.toString))
     f.delete(remapPath, true)
     require(f.rename(remapTmp, remapPath), s"remap publish failed: $remapPath")
+    // SIZE OVERRIDE (r19, VERDICT r18 #1): re-count exactly the clusters
+    // this batch touched — relabel targets (merged-into labels) plus
+    // every label a delta doc landed on — against the store's
+    // POST-mutation effective labels, so the recorded sizes are correct
+    // by construction under replays, patch-shadowed rewrites, and
+    // multi-way merges alike. The count is a broadcast-semi-join-pruned
+    // aggregate: one narrow label scan (absorb already pays one inside
+    // the contraction), a |touched|-row shuffle, never a corpus
+    // exchange. Compose = prune entries whose label this batch merged
+    // away (dom(remap) never re-becomes current) or re-touched, then
+    // union the fresh counts; publish via the remap's tmp-swap idiom
+    // (materialized first — the compose READS the file it replaces).
+    val touched = relabel.select(col("new_label").as("label"))
+      .unionByName(deltaOut.select(col("label")))
+      .distinct()
+    val newSizes = effectiveLabels(s, root)
+      .join(broadcast(touched), Seq("label"))
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val ovPath = sizeOverridePath(root)
+    val oldOv =
+      if (f.exists(ovPath)) s.read.parquet(ovPath.toString)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_size",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    var newOv: DataFrame = null
+    prof("sizeOverride") {
+      newOv = oldOv
+        .join(broadcast(newRemap.select(col("old_label").as("label"))),
+          Seq("label"), "left_anti")
+        .join(broadcast(touched), Seq("label"), "left_anti")
+        .unionByName(newSizes)
+        .transform(Materialize.once)
+    }
+    val ovTmp = new Path(root, "size_override.tmp")
+    f.delete(ovTmp, true)
+    newOv.write.mode(SaveMode.Overwrite).parquet(ovTmp.toString)
+    f.delete(ovPath, true)
+    require(f.rename(ovTmp, ovPath), s"size override publish failed: $ovPath")
     f.create(ready).close()
     // every frame this absorb checkpointed is now persisted in the store
-    // (sig bank, label_nodes, label_remap) — free the checkpointed state
-    // (files or blocks, per flavor) so a long-running maintainComponents
-    // stream holds O(1) checkpoints, not O(batches) (ADVICE r11; r15:
-    // the local flavor now unpersists eagerly too). relabel/deltaOut are
-    // local relations on the small-graph path; drop no-ops on those.
-    Seq(deltaSh, relabel, deltaOut, newRemap).foreach(Materialize.drop)
+    // (sig bank, label_nodes, label_remap, size_override) — free the
+    // checkpointed state (files or blocks, per flavor) so a long-running
+    // maintainComponents stream holds O(1) checkpoints, not O(batches)
+    // (ADVICE r11; r15: the local flavor now unpersists eagerly too).
+    // relabel/deltaOut are local relations on the small-graph path; drop
+    // no-ops on those.
+    Seq(deltaSh, relabel, deltaOut, newRemap, newOv).foreach(Materialize.drop)
   }
 
   /** Components served straight from the persisted label state — the
@@ -763,8 +953,39 @@ object SigStore {
   private[graft] def serveComponentsStored(s: SparkSession, root: String): DataFrame = {
     require(fs(s, new Path(root)).exists(new Path(root, "_LABELS_READY")),
       s"label state not published (absorb in flight or torn): $root")
-    withClusterShape(effectiveLabels(s, root)
-      .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+    // `graft.cc.shape=inline` pins the r18 per-serve groupBy+join as the
+    // interleaved A/B arm; the default reads the PERSISTED sizes — a
+    // scan plus broadcast hops, zero corpus exchanges per serve.
+    if (sys.props.get("graft.cc.shape").contains("inline"))
+      withClusterShape(effectiveLabels(s, root)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id")))
+    else {
+      ensureSized(s, root)
+      effectiveSizedLabels(s, root)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"),
+          (col("node") === col("label")).as("is_canonical"))
+    }
+  }
+
+  /** Legacy self-upgrade gate for the persisted sizes: a store published
+    * before r19 either lacks the cluster_size column on its generation
+    * rows, or carries node patches from absorbs that predate the
+    * override file — both fold into a fresh sized generation via
+    * [[publishLabels]] (the compactLabels path), paid at most once per
+    * legacy store. New-code absorbs ALWAYS publish the override (even
+    * empty), so patches-without-override can only mean legacy state.
+    */
+  private def ensureSized(s: SparkSession, root: String): Unit = synchronized {
+    val f = fs(s, new Path(root))
+    val hasSizes = s.read.parquet(s"$root/labels.parquet")
+      .schema.fieldNames.contains("cluster_size")
+    val legacyPatches = f.exists(new Path(root, "label_nodes.parquet")) &&
+      !f.exists(sizeOverridePath(root))
+    if (!hasSizes || legacyPatches) {
+      graft.ColdBuilds.record("sig_labels_size_upgrade")
+      publishLabels(s, root, effectiveLabels(s, root))
+    }
   }
 
   /** Fold node patches and the remap into a fresh base generation (the
@@ -776,7 +997,9 @@ object SigStore {
     val f = fs(s, new Path(root))
     require(f.exists(new Path(root, "_LABELS_READY")),
       s"no published labels to compact: $root")
-    publishLabels(s, root, effectiveLabels(s, root).transform(Materialize.once))
+    // publishLabels materializes internally (its size bake reads the
+    // frame twice) — no caller-side checkpoint needed
+    publishLabels(s, root, effectiveLabels(s, root))
   }
 
   /** Build-absorb-serve, end to end, as a pure function of the dataset

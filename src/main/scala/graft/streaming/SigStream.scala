@@ -47,15 +47,24 @@ object SigStream {
     * resolves every one of its docs to its already-stored label, so the
     * republished table is unchanged — idempotent like the sig append.
     */
+  /** `maintenanceEvery`: if > 0, run [[SigStore.maintenanceTick]] with
+    * that batch-dir bound after each absorb (r19) — the store then folds
+    * its own patch/remap/batch-dir growth on its own policy instead of
+    * waiting for an operator's nightly compaction. 0 (the default, and
+    * the measured STREAM row shape) never compacts in-stream.
+    */
   def maintainComponents(docs: Dataset[DocInsert], root: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintenanceEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[DocInsert], batchId: Long) =>
         SigStore.absorbComponents(batch.sparkSession, root, batch.toDF(), batchId)
+        if (maintenanceEvery > 0)
+          SigStore.maintenanceTick(batch.sparkSession, root, maintenanceEvery): Unit
       }
       .start()
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The warm-restart harness must catch SILENT store invalidation (r19,
+  * VERDICT r18 #3): a torn marker makes the next serve rebuild — correct
+  * rows at cold-build cost — and nothing failed before this harness. The
+  * integration test tears a real marker and asserts the harness flags
+  * the rebuild loudly.
+  */
+class WarmServeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("violation classifier: loads pass, builds/trainers/absorbs/upgrades fail") {
+    assert(WarmServe.violations(Seq(
+      "sem_pairs_load", "kmeans_centroids_load", "perc_standing_load",
+      "bm_meta", "bm_frozen_stats", "emb_count", "emb_dim")).isEmpty)
+    val bad = Seq("sem_assign_build", "kmeans_trainer", "sig_store_build",
+      "sig_labels_build", "sig_store_absorb", "sig_labels_size_upgrade",
+      "ann_index_train", "bm_store_build", "sig_absorb_base_sigs:61.2s")
+    assert(WarmServe.violations(bad) == bad)
+    assert(WarmServe.violations(Seq("sem_pairs_load", "kmeans_trainer"))
+      == Seq("kmeans_trainer"))
+  }
+
+  test("served-name completeness guard: unknown and dodging names both fail fast") {
+    val all = SparkEntry.queries.keySet
+    assert(WarmServe.servedNames(all) == WarmServe.Served)
+    intercept[IllegalArgumentException] {
+      WarmServe.servedNames(all - "dedup_components_stored")
+    }
+    intercept[IllegalArgumentException] {
+      WarmServe.servedNames(all + "q_new_thing_stored")
+    }
+  }
+
+  test("a deliberately torn marker makes the warm serve fail loudly") {
+    assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
+    // warm pass over an already-published store: zero violations
+    graft.operators.Similarity.queries("dedup_semantic")(spark, sf).count(): Unit
+    val warm = WarmServe.serveOnce(spark, sf, Seq("dedup_semantic"))
+    assert(warm.flatMap(r => WarmServe.violations(r._4)).isEmpty,
+      s"published store must serve warm: ${warm.flatMap(_._4)}")
+    // tear THIS dataset's assignment-store marker (scoped to its own
+    // root — the r18 teardown lesson) and clear the JVM model caches to
+    // simulate the silent-invalidation-then-restart sequence
+    val (root, _) = graft.operators.Similarity.semStoreRoot(spark, sf)
+    val marker = new java.io.File(root.toString, "_READY")
+    assert(marker.exists() && marker.delete(), s"fixture marker tear failed: $marker")
+    graft.operators.Similarity.clearAnnIndexCache()
+    val torn = WarmServe.serveOnce(spark, sf, Seq("dedup_semantic"))
+    val flagged = torn.flatMap(r => WarmServe.violations(r._4))
+    assert(flagged.exists(_.startsWith("sem_assign_build")),
+      s"torn marker must surface as a flagged rebuild, got: $flagged")
+    // the rebuild republished the store — later suites see a valid root
+    assert(marker.exists(), "the flagged serve must still have healed the store")
+  }
+}

@@ -51,6 +51,19 @@ def main():
     # ratio-of-ratios (new_rate/new_calib) / (old_rate/old_calib)
     # simplifies to (old_wall/new_wall) * (old_calib/new_calib).
     calib_factor = (oc / nc) if calibrated else 1.0
+    # two-arm cross-check (r19, VERDICT r18 #4): the CPU probe is blind to
+    # I/O/GC-side degradation (a discarded 85.5 s capture read calib-FLAT
+    # with 12 uniformly-slower movers). When both artifacts carry the
+    # frozen parquet-scan arm, the two factors must agree — a capture
+    # whose scan arm sank while the cpu arm stayed flat degraded on the
+    # I/O side and its wall ratios are suspect.
+    os_, ns_ = old.get("scan_calib_rps", 0), new.get("scan_calib_rps", 0)
+    scan_factor = (os_ / ns_) if (os_ > 0 and ns_ > 0) else None
+    calib_disagree = (calibrated and scan_factor is not None and
+                      abs(scan_factor / calib_factor - 1) > 0.25)
+    gc_max = {p: max(d.get("gc_frac", [0]) or [0]) for p, d in
+              (("old", old), ("new", new))}
+    gc_flag = gc_max["new"] > 0.20 or gc_max["old"] > 0.20
     common = sorted(set(old["queries"]) & set(new["queries"]))
     movers = []
     rors = {}
@@ -58,6 +71,14 @@ def main():
     print(f"normalization: {mode}" +
           (f"  old_calib={oc:.0f} new_calib={nc:.0f} factor={calib_factor:.3f}"
            if calibrated else ""))
+    if scan_factor is not None:
+        agree = "DISAGREE — I/O-side degradation suspected" \
+            if calib_disagree else "agree"
+        print(f"scan arm: old={os_:.0f} new={ns_:.0f} factor={scan_factor:.3f}"
+              f"  vs cpu factor {calib_factor:.3f} -> {agree}")
+    if any(v > 0 for v in gc_max.values()):
+        note = "  <-- HIGH GC (heap-pressure-degraded capture?)" if gc_flag else ""
+        print(f"gc_frac max: old={gc_max['old']:.3f} new={gc_max['new']:.3f}{note}")
     hdr = f"{'query':40s} {'old_s':>8s} {'new_s':>8s} {'wall_x':>7s} {'RoR':>6s}"
     print(hdr)
     for q in common:
@@ -111,6 +132,10 @@ def main():
             "wall_raw_x": round(nw / ow, 4) if ow > 0 else None,
             "wall_calib_speedup_x":
                 round(ow / nw * calib_factor, 4) if nw > 0 else None,
+            "scan_calib_factor":
+                round(scan_factor, 4) if scan_factor is not None else None,
+            "calib_arms_disagree": calib_disagree,
+            "gc_frac_max_new": round(gc_max["new"], 4),
             "movers": {q: round(r, 3) for q, r in movers},
             "only_in_old": only_old,
             "only_in_new": only_new,
