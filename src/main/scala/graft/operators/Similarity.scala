@@ -131,8 +131,20 @@ object Similarity {
     * dir@fingerprint (part-file names/sizes/mtimes) makes the refresh
     * automatic; the seam remains for same-mtime edge cases in tests.
     */
-  private def cacheKey(d: String): String =
-    s"$d@${Tables.tableFingerprint(d, "embeddings")}"
+  /** Canonicalized (r19): the raw `d` string let a relative and an
+    * absolute spelling of the SAME dataset dir key two separate
+    * assignment stores — found in the wild when ScaleSmoke
+    * (`target/sf10`) and WarmServe (`/root/repo/target/sf10`) each
+    * built a 79 MB store for one corpus. Every other store root
+    * (SigStore, BmStore, AnnIndexIO, Upsert, IncrementalStats) already
+    * canonicalizes; this was the one straggler.
+    */
+  private def cacheKey(d: String): String = {
+    val canon = try new java.io.File(d).getCanonicalPath catch {
+      case _: java.io.IOException => d
+    }
+    s"$canon@${Tables.tableFingerprint(d, "embeddings")}"
+  }
 
   private def embCount(s: SparkSession, d: String): Long =
     embCounts.getOrElseUpdate(cacheKey(d), {
