@@ -434,7 +434,7 @@ object StreamBench {
     // continuously queryable as a pure label scan.
     if (wanted("components_maintain")) {
     def runCcMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
-        batchSize: Int): Double = {
+        batchSize: Int, maintenanceEvery: Int = 0): Double = {
       val sroot = java.nio.file.Files
         .createTempDirectory("sb_ccstore").toString + "/store"
       graft.operators.SigStore.buildFrom(spark, sroot,
@@ -446,7 +446,7 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("sb_cc_ckpt").toString
       val t0 = System.nanoTime()
       val q = graft.streaming.SigStream.maintainComponents(in.toDS(), sroot, ckpt,
-        trigger = Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow(), maintenanceEvery = maintenanceEvery)
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
       finally q.stop()
     }
@@ -461,6 +461,15 @@ object StreamBench {
     val (ccSecs, cpuCc) = withCpu(runCcMaintain(ccDocs, 2500))
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
     println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f${tele(cpuCc)}}""")
+    // the long-horizon deployment shape (r19, VERDICT r18 #6): the SAME
+    // absorb workload in 1000-doc micro-batches with the store's own
+    // compaction policy live in-stream (maintenanceTick at 8 batch
+    // dirs) — the row prices the policy's amortized fold cost against
+    // the plain maintain row above. New row beside the frozen ones,
+    // never a redefinition.
+    val (ccCmpSecs, cpuCmp) = withCpu(runCcMaintain(ccDocs, 1000,
+      maintenanceEvery = 8))
+    println(f"""{"metric":"components_maintain_compact_docs_per_sec","value":${ccDocs.length / ccCmpSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccCmpSecs%.3f,"batch_size":1000,"policy_batch_dirs":8${tele(cpuCmp)}}""")
     // INTERLEAVED maintain A/B (r16, opt-in; generalized r17): the same
     // JVM re-runs the identical absorb workload under a legacy arm,
     // alternating default/legacy twice — the AbProbe discipline for a
