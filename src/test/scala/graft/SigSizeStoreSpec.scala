@@ -125,6 +125,44 @@ class SigSizeStoreSpec extends AnyFunSuite {
     assert(graft.ColdBuilds.since(mark).contains("sig_labels_size_upgrade"))
   }
 
+  test("randomized absorb sequences: stored sizes ≡ inline after every batch (merges, dups, replays, heal)") {
+    // the override's compose/prune is a state machine over arbitrary
+    // interleavings of cluster touches, multi-way merges, replays, and
+    // recovery — the directed tests above pin specific paths; this
+    // drives a seeded random 8-batch horizon and re-proves the
+    // stored≡inline identity after EVERY mutation, including a torn
+    // marker healed mid-sequence.
+    val rng = new scala.util.Random(7L)
+    // doc universe: 3 bridgeable templates (tB~tE~tC) + distinct fillers
+    val fillers = Seq(
+      "november oscar papa quebec golf india mike foxtrot uniform bravo delta echo",
+      "echo delta bravo uniform foxtrot mike india golf quebec papa oscar november xray",
+      "five two six ten zero one eight nine thirteen four eleven seven",
+      "juliett lima mike kilo one four papa romeo seven six victor zulu")
+    val pool = Seq(tB, tC, tE) ++ fillers
+    val root = java.nio.file.Files.createTempDirectory("cc_prop").toString + "/store"
+    var nextId = 100L
+    val absorbed = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String)]]
+    SigStore.buildFrom(spark, root, docsOf(1L -> tB, 2L -> fillers(0)))
+    SigStore.buildLabels(spark, root)
+    for (b <- 0 until 8) {
+      val batch: Seq[(Long, String)] =
+        if (b == 5 && absorbed.nonEmpty) absorbed(rng.nextInt(absorbed.size)) // replay
+        else Seq.fill(1 + rng.nextInt(3)) {
+          nextId += 1
+          (nextId, pool(rng.nextInt(pool.size)))
+        }
+      if (b == 3) { // torn marker healed by the absorb's self-heal path
+        assert(new java.io.File(s"$root/_LABELS_READY").delete())
+      }
+      SigStore.absorbComponents(spark, root, docsOf(batch: _*), batchId = b.toLong)
+      absorbed += batch
+      val stored = served(root)
+      val inline = inlineArm(served(root))
+      assert(stored == inline, s"batch $b: stored≡inline broken\n$stored\nvs\n$inline")
+    }
+  }
+
   test("fraud ML scoring survives a prior incremental serve (ObservationManager poisoning tripwire)") {
     // the Observation-based observe() API lazily initializes the
     // session's non-serializable ObservationManager, which poisons any
