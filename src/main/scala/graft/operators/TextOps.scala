@@ -53,10 +53,33 @@ object TextOps {
       .withColumn("n_words", size(col("ws")).cast("int"))
       .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("int"))
       .withColumn("stop_hits", expr(hitExpr(stops.flatMap(_._2))))
-      .withColumn("quality_score",
-        round(lit(0.4) * least(lit(1.0), col("n_words") / 100.0) +
-          lit(0.3) * (lit(1.0) - col("stop_hits") / col("n_words").cast("double")) +
-          lit(0.3) * (col("n_distinct") / col("n_words").cast("double")), 4))
+      .withColumn("quality_score", expr(qualityScoreExpr))
+
+  /** quality_score in EXACT integer arithmetic (r19). The float form
+    * `round(0.4·min(1,n/100) + 0.3·(1−stop/n) + 0.3·distinct/n, 4)` hit
+    * true decimal HALF-WAY ties (the inputs are small-integer rationals,
+    * so sums ending in …5 at the 5th decimal are structural): Spark's
+    * Round goes through BigDecimal.valueOf (shortest decimal repr → ties
+    * round UP), DuckDB multiplies in double space (the nearest double
+    * sits a hair BELOW the tie → rounds DOWN) — 7 of 5000 sf0.1 docs
+    * split between the engines, invisible at the sf0.01 oracle scale.
+    * The score is the rational num/den with
+    *   num = 10·n·min(100,n) + 750·(n − stop + distinct),  den = 2500·n
+    * and round-half-up at the 4th decimal is
+    *   ((20000·num + den) div (2·den)) / 10000
+    * — pure BIGINT ops both engines compute bit-identically (num ≤ 2.5e9
+    * at a 10⁶-word doc; ×20000 ≤ 5e13, far inside BIGINT). Mirrors the
+    * repo's quantize-to-integers discipline for every cross-engine float.
+    */
+  private def qualityScoreNum(n: String) =
+    s"(10 * $n * least(100, $n) + 750 * ($n - cast(stop_hits as bigint) + cast(n_distinct as bigint)))"
+
+  private[operators] val qualityScoreExpr: String = {
+    val n = "cast(n_words as bigint)"
+    // divide by a DOUBLE, not the 10000.0 decimal literal — bigint/decimal
+    // yields DECIMAL and breaks every Double-typed consumer
+    s"((20000 * ${qualityScoreNum(n)} + 2500 * $n) div (5000 * $n)) / cast(10000 as double)"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> ((s, d) => {
@@ -349,11 +372,19 @@ object TextOps {
     * text_quality oracle's expression, for composition by other modules'
     * oracles ([[TrainingPipeline]]).
     */
+  /** The DuckDB twin of [[qualityScoreExpr]] — the same exact-integer
+    * num/den + half-up (`//` is DuckDB's integer division), so the two
+    * engines agree bit-for-bit even at true decimal ties.
+    */
+  private def qualitySql: String = {
+    val n = "len(ws)::BIGINT"
+    val num = s"(10 * $n * least(100, $n) + 750 * ($n - (${hitSql(stops.flatMap(_._2))})::BIGINT + len(list_distinct(ws))::BIGINT))"
+    s"((20000 * $num + 2500 * $n) // (5000 * $n)) / 10000::DOUBLE"
+  }
+
   private[operators] val qualityCte: String =
     s"""q AS (SELECT doc_id,
-       |  round(0.4 * least(1.0, len(ws) / 100.0)
-       |    + 0.3 * (1.0 - ${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE)
-       |    + 0.3 * (len(list_distinct(ws)) / len(ws)::DOUBLE), 4) quality_score
+       |  $qualitySql quality_score
        |  FROM t)""".stripMargin
 
   private val rollSql = (c: String) =>
@@ -385,9 +416,7 @@ object TextOps {
          |  round(list_sum(list_transform(ws, w -> length(w)::BIGINT)) / len(ws)::DOUBLE, 4) avg_word_len,
          |  round(${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE, 4) stopword_ratio,
          |  round(CAST(len(list_distinct(ws)) AS INT) / len(ws)::DOUBLE, 4) distinct_ratio,
-         |  round(0.4 * least(1.0, len(ws) / 100.0)
-         |    + 0.3 * (1.0 - ${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE)
-         |    + 0.3 * (len(list_distinct(ws)) / len(ws)::DOUBLE), 4) quality_score
+         |  $qualitySql quality_score
          |FROM t""".stripMargin,
     "text_lang_id" -> {
       val hitCols = stops
