@@ -662,10 +662,13 @@ object Dedup {
     val pairs = cand
       .join(sh.select(col("doc_id").as("train_id"), col("sh").as("sh1")), Seq("train_id"))
       .join(sh.select(col("doc_id").as("test_id"), col("sh").as("sh2")), Seq("test_id"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 4))
-      .filter(col("jaccard") >= 0.8)
+      // exact-integer round + INTEGER threshold (r19, ExactRound): a
+      // rounded-double filter flips row membership at decimal ties
+      .withColumn("j4", ExactRound.round4Int(
+        size(array_intersect(col("sh1"), col("sh2"))),
+        size(array_union(col("sh1"), col("sh2")))))
+      .filter(col("j4") >= 8000)
+      .withColumn("jaccard", col("j4") / lit(10000.0))
       .select("train_id", "test_id", "jaccard")
     (sh.filter(col("bucket") >= 90).select(col("doc_id")), pairs)
   }
@@ -779,9 +782,10 @@ object Dedup {
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jaccard") > t)
+        .withColumn("j4", ExactRound.round4Int(col("inter"),
+          col("n1") + col("n2") - col("inter")))
+        .filter(col("j4") > math.round(t * 10000))
+        .withColumn("jaccard", col("j4") / lit(10000.0))
         .select("d1", "d2", "jaccard")
     } else {
       val byDocCanonical =
@@ -907,8 +911,8 @@ object Dedup {
         .join(gated(shh.select(col("doc_id").as("d2"), col("shh").as("h2"),
           col("n_sh").as("n2"))), Seq("d2"))
         .withColumn("ih", expr("sorted_inter_count(h1, h2)"))
-        .filter(round(col("ih").cast("double") /
-          (col("n1") + col("n2") - col("ih")), 4) > t)
+        .filter(ExactRound.round4Int(col("ih"),
+          col("n1") + col("n2") - col("ih")) > math.round(t * 10000))
         .select("d1", "d2")
       // exact confirm on the output-sized survivors, against the
       // ORIGINAL string arrays — identical rows to the single-stage
@@ -919,9 +923,10 @@ object Dedup {
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
           col("n_sh").as("n2")), Seq("d2"))
         .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jaccard") > t)
+        .withColumn("j4", ExactRound.round4Int(col("inter"),
+          col("n1") + col("n2") - col("inter")))
+        .filter(col("j4") > math.round(t * 10000))
+        .withColumn("jaccard", col("j4") / lit(10000.0))
         .select("d1", "d2", "jaccard")
       }
     }
@@ -1155,9 +1160,10 @@ object Dedup {
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jaccard") > 0.1)
+        .withColumn("j4", ExactRound.round4Int(col("inter"),
+          col("n1") + col("n2") - col("inter")))
+        .filter(col("j4") > 1000)
+        .withColumn("jaccard", col("j4") / lit(10000.0))
         .select("d1", "d2", "jaccard")
     }),
     "dedup_ngram_jaccard_capped" -> ((s, d) => {
@@ -1186,9 +1192,10 @@ object Dedup {
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2", "n1", "n2")
         .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-        .filter(col("jaccard") > 0.1)
+        .withColumn("j4", ExactRound.round4Int(col("inter"),
+          col("n1") + col("n2") - col("inter")))
+        .filter(col("j4") > 1000)
+        .withColumn("jaccard", col("j4") / lit(10000.0))
         .select("d1", "d2", "jaccard")
     }),
     "dedup_ngram_jaccard_prefix" -> ((s, d) =>
@@ -1280,10 +1287,11 @@ object Dedup {
       minhashCandidates(sh)
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
         .join(sh.select(col("doc_id").as("d2"), col("sh").as("sh2")), Seq("d2"))
-        .withColumn("jaccard",
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-            size(array_union(col("sh1"), col("sh2"))), 4))
-        .filter(col("jaccard") >= 0.8)
+        .withColumn("j4", ExactRound.round4Int(
+          size(array_intersect(col("sh1"), col("sh2"))),
+          size(array_union(col("sh1"), col("sh2")))))
+        .filter(col("j4") >= 8000)
+        .withColumn("jaccard", col("j4") / lit(10000.0))
         .select("d1", "d2", "jaccard")
     }),
     "dedup_eval_minhash" -> ((s, d) => {
@@ -1343,10 +1351,10 @@ object Dedup {
             .otherwise(0)).cast("long").as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           when(col("n_cand") === 0, lit(null))
-            .otherwise(round(col("n_hit").cast("double") / col("n_cand"), 4))
+            .otherwise(ExactRound.round4(col("n_hit"), col("n_cand")))
             .as("prec"),
           when(col("n_truth") === 0, lit(null))
-            .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 4))
+            .otherwise(ExactRound.round4(col("n_hit"), col("n_truth")))
             .as("rec"))
     }),
     "dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
@@ -1507,9 +1515,9 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte
          |SELECT a.doc_id d1, b.doc_id d2,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) jaccard
+         |  ${ExactRound.duck4("len(list_intersect(a.sh, b.sh))", "len(list_distinct(a.sh || b.sh))")} jaccard
          |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) > 0.1""".stripMargin,
+         |WHERE ${ExactRound.duck4Int("len(list_intersect(a.sh, b.sh))", "len(list_distinct(a.sh || b.sh))")} > 1000""".stripMargin,
     "dedup_ngram_jaccard_capped" ->
       s"""WITH $shingleCte,
          |ex0 AS (SELECT doc_id, unnest(sh) s FROM shg),
@@ -1519,17 +1527,17 @@ object Dedup {
          |p AS (SELECT a.doc_id d1, b.doc_id d2, a.n_sh n1, b.n_sh n2, count(*) inter
          |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2, 3, 4)
-         |SELECT d1, d2, round(inter::DOUBLE / (n1 + n2 - inter), 4) jaccard
-         |FROM p WHERE round(inter::DOUBLE / (n1 + n2 - inter), 4) > 0.1""".stripMargin,
+         |SELECT d1, d2, ${ExactRound.duck4("inter", "n1 + n2 - inter")} jaccard
+         |FROM p WHERE ${ExactRound.duck4Int("inter", "n1 + n2 - inter")} > 1000""".stripMargin,
     // Prefix filtering is output-invariant: the oracle IS the n²
     // formulation at the same threshold — any divergence is a
     // prefix-filter bug.
     "dedup_ngram_jaccard_prefix" ->
       s"""WITH $shingleCte
          |SELECT a.doc_id d1, b.doc_id d2,
-         |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) jaccard
+         |  ${ExactRound.duck4("len(list_intersect(a.sh, b.sh))", "len(list_distinct(a.sh || b.sh))")} jaccard
          |FROM shg a JOIN shg b ON a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) > $JaccardPrefixThreshold""".stripMargin,
+         |WHERE ${ExactRound.duck4Int("len(list_intersect(a.sh, b.sh))", "len(list_distinct(a.sh || b.sh))")} > ${math.round(JaccardPrefixThreshold * 10000)}""".stripMargin,
     "dedup_substring" ->
       """WITH gs AS (SELECT unnest(generate_series(1, (SELECT max(len(text))::BIGINT FROM documents))) AS g),
         |w AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(substr(text, g::INT, 40)), 1, 8))::BIGINT AS h
@@ -1557,7 +1565,7 @@ object Dedup {
          |conf AS (
          |  SELECT test_id, count(*) n_train_matches, max(j) max_jaccard FROM (
          |    SELECT cand.test_id,
-         |      round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) j
+         |      ${ExactRound.duck4("len(list_intersect(x.sh, y.sh))", "len(list_distinct(x.sh || y.sh))")} j
          |    FROM cand JOIN shg x ON cand.train_id = x.doc_id
          |              JOIN shg y ON cand.test_id = y.doc_id) q
          |  WHERE j >= 0.8 GROUP BY test_id
@@ -1584,9 +1592,9 @@ object Dedup {
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |)
          |SELECT d1, d2,
-         |  round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) jaccard
+         |  ${ExactRound.duck4("len(list_intersect(x.sh, y.sh))", "len(list_distinct(x.sh || y.sh))")} jaccard
          |FROM cand JOIN shg x ON cand.d1 = x.doc_id JOIN shg y ON cand.d2 = y.doc_id
-         |WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh)), 4) >= 0.8""".stripMargin,
+         |WHERE ${ExactRound.duck4Int("len(list_intersect(x.sh, y.sh))", "len(list_distinct(x.sh || y.sh))")} >= 8000""".stripMargin,
     "dedup_eval_minhash" ->
       s"""WITH $shingleCte, $sigCte,
          |bands AS (
@@ -1602,7 +1610,7 @@ object Dedup {
          |truth AS (
          |  SELECT a.doc_id d1, b.doc_id d2
          |  FROM shg a JOIN shg b ON a.doc_id < b.doc_id
-         |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+         |  WHERE ${ExactRound.duck4Int("len(list_intersect(a.sh, b.sh))", "len(list_distinct(a.sh || b.sh))")} >= 8000
          |),
          |hit AS (SELECT d1, d2 FROM cand INTERSECT SELECT d1, d2 FROM truth),
          |n AS (SELECT (SELECT count(*) FROM truth)::BIGINT n_truth,
@@ -1610,9 +1618,9 @@ object Dedup {
          |             (SELECT count(*) FROM hit)::BIGINT n_hit)
          |SELECT n_truth, n_cand, n_hit,
          |  CASE WHEN n_cand = 0 THEN NULL
-         |       ELSE round(n_hit::DOUBLE / n_cand, 4) END prec,
+         |       ELSE ${ExactRound.duck4("n_hit", "n_cand")} END prec,
          |  CASE WHEN n_truth = 0 THEN NULL
-         |       ELSE round(n_hit::DOUBLE / n_truth, 4) END rec
+         |       ELSE ${ExactRound.duck4("n_hit", "n_truth")} END rec
          |FROM n""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte

@@ -85,7 +85,9 @@ object IncrementalStats {
   private[graft] def finalizeStats(state: DataFrame): DataFrame =
     state.select(col("lang"), col("n_docs"), col("total_chars"),
       col("total_words"),
-      round(col("sum_quality") / col("n_docs"), 4).as("avg_quality"),
+      ExactRound.round4(
+        round(col("sum_quality") * 10000).cast("long"),
+        col("n_docs") * 10000).as("avg_quality"),
       col("min_chars"), col("max_chars"))
 
   /** Crash-safe state publish: staged write + marker + atomic rename. */
@@ -173,7 +175,7 @@ object IncrementalStats {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
-         |  round(sum(quality_score) / count(*), 4) AS avg_quality,
+         |  ${ExactRound.duck4("round(sum(quality_score) * 10000)::BIGINT", "10000 * count(*)")} AS avg_quality,
          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
          |  CAST(max(n_chars) AS BIGINT) AS max_chars
          |FROM t JOIN q USING (doc_id)

@@ -72,7 +72,7 @@ object SamplingOps {
   private[operators] def mixtureOutput(m: DataFrame): DataFrame =
     m.select(
       col("lang"), col("n_docs"),
-      round(col("p"), 6).as("p"),
+      ExactRound.round6(col("n_docs"), col("n_total")).as("p"),
       col("weight"),
       round(col("weight") / col("p"), 4).as("upsample"))
 
@@ -269,18 +269,18 @@ object SamplingOps {
          |FROM r""".stripMargin,
     "corpus_mixture" ->
       s"""WITH $mixtureCte
-         |SELECT lang, n_docs, round(p, 6) p, weight,
+         |SELECT lang, n_docs, ${ExactRound.duck6("n_docs", "n_total")} p, weight,
          |  round(weight / p, 4) upsample
          |FROM mix""".stripMargin,
     "corpus_mixture_tokens" ->
       s"""WITH bl AS (SELECT lang, sum(len(string_split(text, ' ')))::BIGINT n_tokens
          |           FROM documents GROUP BY lang),
          |tot AS (SELECT sum(n_tokens)::BIGINT t_total FROM bl),
-         |wp AS (SELECT lang, n_tokens, n_tokens / t_total::DOUBLE p,
+         |wp AS (SELECT lang, n_tokens, t_total, n_tokens / t_total::DOUBLE p,
          |         pow(n_tokens / t_total::DOUBLE, $Alpha) w_raw
          |       FROM bl CROSS JOIN tot),
          |z AS (SELECT sum(w_raw) z FROM wp)
-         |SELECT lang, n_tokens, round(p, 6) p, round(w_raw / z, 6) weight,
+         |SELECT lang, n_tokens, ${ExactRound.duck6("n_tokens", "t_total")} p, round(w_raw / z, 6) weight,
          |  round(round(w_raw / z, 6) / p, 4) upsample
          |FROM wp CROSS JOIN z""".stripMargin,
     "sample_manifest_upsampled" ->

@@ -108,11 +108,11 @@ object TextOps {
     }),
     "text_quality" -> ((s, d) => {
       withQuality(Tables.documents(s, d))
-        .withColumn("avg_word_len",
-          round(expr("aggregate(ws, cast(0 as bigint), (a, w) -> a + length(w))") /
-            col("n_words").cast("double"), 4))
-        .withColumn("stopword_ratio", round(col("stop_hits") / col("n_words").cast("double"), 4))
-        .withColumn("distinct_ratio", round(col("n_distinct") / col("n_words").cast("double"), 4))
+        .withColumn("avg_word_len", ExactRound.round4(
+          expr("aggregate(ws, cast(0 as bigint), (a, w) -> a + length(w))"),
+          col("n_words")))
+        .withColumn("stopword_ratio", ExactRound.round4(col("stop_hits"), col("n_words")))
+        .withColumn("distinct_ratio", ExactRound.round4(col("n_distinct"), col("n_words")))
         .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
           "distinct_ratio", "quality_score")
     }),
@@ -185,8 +185,10 @@ object TextOps {
         .withColumn("n_words", size(split(col("text"), " ")).cast("int"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg("n_chars"), 4).as("avg_chars"),
-          round(avg("n_words"), 4).as("avg_words"),
+          ExactRound.round4(sum(col("n_chars").cast("long")), count(lit(1)))
+            .as("avg_chars"),
+          ExactRound.round4(sum(col("n_words").cast("long")), count(lit(1)))
+            .as("avg_words"),
           countDistinct(col("source")).as("n_sources"))
     }),
     "corpus_stats" -> ((s, d) => {
@@ -199,8 +201,11 @@ object TextOps {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_words").cast("long")).as("total_tokens"),
-          round(avg("quality_score"), 4).as("avg_quality"),
-          round(lit(1.0) - countDistinct(md5(col("text"))) / count(lit(1)), 4)
+          ExactRound.round4(
+            sum(round(col("quality_score") * 10000).cast("long")),
+            count(lit(1)) * 10000).as("avg_quality"),
+          ExactRound.round4(
+            count(lit(1)) - countDistinct(md5(col("text"))), count(lit(1)))
             .as("exact_dup_rate"))
     }),
     "text_repetition" -> ((s, d) => {
@@ -216,8 +221,9 @@ object TextOps {
           count(lit(1)).as("n_distinct"),
           max("c").as("top_count"))
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_ratio"),
-          round(col("top_count") / col("n_words"), 4).as("top_share"))
+          ExactRound.round4(col("n_words") - col("n_distinct"), col("n_words"))
+            .as("dup_ratio"),
+          ExactRound.round4(col("top_count"), col("n_words")).as("top_share"))
     }),
     "text_distinct_shingles_by_lang" -> ((s, d) => {
       // the KMV sketch in its real deployment shape: GROUPED approximate
@@ -279,7 +285,8 @@ object TextOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("q").as("sum_q"))
         .select(col("doc_id"), col("n_tokens"), col("sum_q"),
-          round(-col("sum_q") / lit(1e6) / col("n_tokens"), 4).as("avg_neg_logprob"))
+          ExactRound.round4(-col("sum_q"), lit(1000000L) * col("n_tokens"))
+            .as("avg_neg_logprob"))
     }),
     "text_bigram_logprob" -> ((s, d) => {
       // Interpolated bigram LM quality score — the KenLM-shaped upgrade
@@ -333,7 +340,8 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum("c").as("n_bigrams"), sum(col("c") * col("q")).as("sum_q"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
-          round(-col("sum_q") / lit(1e6) / col("n_bigrams"), 4).as("avg_neg_logprob"))
+          ExactRound.round4(-col("sum_q"), lit(1000000L) * col("n_bigrams"))
+            .as("avg_neg_logprob"))
     }),
     "text_pii_scrub" -> ((s, d) => {
       // PII detect + redact. The corpus is synthetic word-salad with no
@@ -413,9 +421,9 @@ object TextOps {
     "text_quality" ->
       s"""WITH $wsCte
          |SELECT doc_id, CAST(len(ws) AS INT) n_words,
-         |  round(list_sum(list_transform(ws, w -> length(w)::BIGINT)) / len(ws)::DOUBLE, 4) avg_word_len,
-         |  round(${hitSql(stops.flatMap(_._2))} / len(ws)::DOUBLE, 4) stopword_ratio,
-         |  round(CAST(len(list_distinct(ws)) AS INT) / len(ws)::DOUBLE, 4) distinct_ratio,
+         |  ${ExactRound.duck4("list_sum(list_transform(ws, w -> length(w)::BIGINT))", "len(ws)")} avg_word_len,
+         |  ${ExactRound.duck4(hitSql(stops.flatMap(_._2)), "len(ws)")} stopword_ratio,
+         |  ${ExactRound.duck4("len(list_distinct(ws))", "len(ws)")} distinct_ratio,
          |  $qualitySql quality_score
          |FROM t""".stripMargin,
     "text_lang_id" -> {
@@ -474,28 +482,29 @@ object TextOps {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) rank
         |  FROM scored) WHERE rank <= 3""".stripMargin,
     "text_stats_by_lang" ->
-      """SELECT lang, count(*) n_docs, round(avg(n_chars), 4) avg_chars,
-        |  round(avg(len(string_split(text, ' '))), 4) avg_words,
-        |  count(DISTINCT source) n_sources
-        |FROM documents GROUP BY lang""".stripMargin,
+      s"""SELECT lang, count(*) n_docs,
+         |  ${ExactRound.duck4("sum(n_chars)", "count(*)")} avg_chars,
+         |  ${ExactRound.duck4("sum(len(string_split(text, ' ')))", "count(*)")} avg_words,
+         |  count(DISTINCT source) n_sources
+         |FROM documents GROUP BY lang""".stripMargin,
     "corpus_stats" ->
       s"""WITH $wsCte, ${qualityCte}
          |SELECT count(*) n_docs,
          |  count(DISTINCT t.lang) n_langs,
          |  count(DISTINCT t.source) n_sources,
          |  sum(len(t.ws))::BIGINT total_tokens,
-         |  round(avg(q.quality_score), 4) avg_quality,
-         |  round(1.0 - count(DISTINCT md5(t.text)) / count(*), 4) exact_dup_rate
+         |  ${ExactRound.duck4("round(sum(q.quality_score) * 10000)::BIGINT", "10000 * count(*)")} avg_quality,
+         |  ${ExactRound.duck4("count(*) - count(DISTINCT md5(t.text))", "count(*)")} exact_dup_rate
          |FROM t JOIN q USING (doc_id)""".stripMargin,
     "text_repetition" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
-        |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY doc_id, w),
-        |a AS (SELECT doc_id, sum(c)::BIGINT n_words, count(*) n_distinct, max(c) top_count
-        |      FROM c GROUP BY doc_id)
-        |SELECT doc_id, n_words, n_distinct,
-        |  round(1.0 - n_distinct / n_words::DOUBLE, 4) dup_ratio,
-        |  round(top_count / n_words::DOUBLE, 4) top_share
-        |FROM a""".stripMargin,
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY doc_id, w),
+         |a AS (SELECT doc_id, sum(c)::BIGINT n_words, count(*) n_distinct, max(c) top_count
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_words, n_distinct,
+         |  ${ExactRound.duck4("n_words - n_distinct", "n_words")} dup_ratio,
+         |  ${ExactRound.duck4("top_count", "n_words")} top_share
+         |FROM a""".stripMargin,
     "text_distinct_shingles_by_lang" ->
       s"""WITH ${graft.operators.Dedup.shingleCte},
          |ex AS (SELECT d.lang, unnest(s.sh) sh FROM shg s JOIN documents d USING (doc_id)),
@@ -520,21 +529,21 @@ object TextOps {
         |SELECT doc_id, n_chars, round(log2(n_chars) - sum_q / 1e6 / n_chars, 4) entropy
         |FROM a""".stripMargin,
     "text_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
         |vocab AS (SELECT token, count(*) cnt FROM toks GROUP BY token),
         |tot AS (SELECT sum(cnt)::BIGINT total FROM vocab),
         |q AS (SELECT doc_id, CAST(round(ln(cnt / total) * 1e6) AS BIGINT) q
         |      FROM toks JOIN vocab USING (token) CROSS JOIN tot),
         |a AS (SELECT doc_id, count(*) n_tokens, sum(q)::BIGINT sum_q FROM q GROUP BY doc_id)
         |SELECT doc_id, n_tokens, sum_q,
-        |  round(-sum_q / 1e6 / n_tokens, 4) avg_neg_logprob
+        |  ${ExactRound.duck4("-sum_q", "1000000 * n_tokens")} avg_neg_logprob
         |FROM a""".stripMargin,
     // range(1, len) is [1, len) and DuckDB lists are 1-based inclusive,
     // so i spans exactly the bigram starts; the len >= 2 guard mirrors
     // the Spark filter (and keeps range from going empty-vs-error on
     // single-token docs — both engines simply drop them)
     "text_bigram_logprob" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         |bgx AS (SELECT doc_id, ws[i] w1, ws[i + 1] w2 FROM (
         |          SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM t
         |          WHERE len(ws) >= 2)),
@@ -548,7 +557,7 @@ object TextOps {
         |            0.8::DOUBLE * cb / cc + 0.2::DOUBLE * cu / total) * 1e6) AS BIGINT) q
         |          FROM bcnt JOIN ccnt USING (w1) JOIN ucnt USING (w2) CROSS JOIN tot)
         |SELECT doc_id, sum(c)::BIGINT n_bigrams, sum(c * q)::BIGINT sum_q,
-        |  round(-sum(c * q) / 1e6 / sum(c), 4) avg_neg_logprob
+        |  ${ExactRound.duck4("-sum(c * q)::BIGINT", "1000000 * (sum(c)::BIGINT)")} avg_neg_logprob
         |FROM bgo JOIN model USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
     "text_pii_scrub" -> {
