@@ -176,23 +176,45 @@ object Bench {
     * FROZEN like CalibRows; the `_v1` path suffix is the format version.
     */
   private val ScanCalibRows = 4L * 1000 * 1000
+  // per-user path (ADVICE r19): /tmp is shared across users/processes, so
+  // a concurrent bench run's SaveMode.Overwrite could clobber the dir
+  // mid-scan of another run under a shared name
   private val ScanCalibPath = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-    "/graft_bench_scancalib_v1.parquet"
+    s"/graft_bench_scancalib_v1_${sys.props.getOrElse("user.name", "anon")}.parquet"
+
+  private def writeScanCalib(spark: SparkSession): Unit =
+    spark.range(0L, ScanCalibRows, 1L, 8)
+      .selectExpr("id", "md5(cast(id as string)) AS h")
+      .write.mode("overwrite").parquet(ScanCalibPath)
 
   private def ensureScanCalib(spark: SparkSession): Unit =
     if (!new java.io.File(ScanCalibPath, "_SUCCESS").exists()) {
-      spark.range(0L, ScanCalibRows, 1L, 8)
-        .selectExpr("id", "md5(cast(id as string)) AS h")
-        .write.mode("overwrite").parquet(ScanCalibPath)
+      writeScanCalib(spark)
     }
 
   private def runScanCalibration(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
     // length(h) forces the string column through the decoder — a
-    // pruned-away h would turn this back into a CPU probe
-    spark.read.parquet(ScanCalibPath)
-      .selectExpr("sum(id ^ length(h)) AS s").collect()
-    ScanCalibRows / ((System.nanoTime() - t0) / 1e9)
+    // pruned-away h would turn this back into a CPU probe. count(*)
+    // rides the same scan and VALIDATES the artifact (ADVICE r19): a
+    // stale/truncated dir whose _SUCCESS survived would silently skew
+    // the arm every cross-round comparison keys on.
+    def pass(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val row = spark.read.parquet(ScanCalibPath)
+        .selectExpr("sum(id ^ length(h)) AS s", "count(*) AS n").collect()(0)
+      (row.getLong(1), ScanCalibRows / ((System.nanoTime() - t0) / 1e9))
+    }
+    val (n, rps) = pass()
+    if (n == ScanCalibRows) rps
+    else {
+      // torn artifact: rebuild once; a second mismatch is a hard error,
+      // not a silently-skewed calibration
+      writeScanCalib(spark)
+      val (n2, rps2) = pass()
+      require(n2 == ScanCalibRows,
+        s"scan-calib artifact invalid after rebuild: $n2 rows at $ScanCalibPath")
+      rps2
+    }
   }
 
   /** Cumulative stop-the-world GC milliseconds across all collectors —

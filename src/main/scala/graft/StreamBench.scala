@@ -405,6 +405,14 @@ object StreamBench {
     // can absorb a crawl without ever rescanning the base corpus.
     lazy val sigDocs = docRows.map(e =>
       graft.streaming.SigStream.DocInsert(e.doc_id + 10000000L, e.text))
+    // r20 (VERDICT r19 #6): the maintain workloads now run the store's
+    // own compaction policy DEFAULT-ON (maintenanceTick at the
+    // DefaultMaxBatchDirs=16 bound rides every absorb); -Dgraft.sb.policy=off
+    // pins the r19 never-compact arm for A/B. Rows carry policy_batch_dirs
+    // so each capture self-describes which arm it measured.
+    val policyDirs: Int =
+      if (sys.props.get("graft.sb.policy").contains("off")) 0
+      else graft.operators.SigStore.DefaultMaxBatchDirs
     if (wanted("sigstore_maintain")) {
     def runSigMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
         batchSize: Int): Double = {
@@ -418,14 +426,14 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("sb_sig_ckpt").toString
       val t0 = System.nanoTime()
       val q = graft.streaming.SigStream.maintain(in.toDS(), sroot, ckpt,
-        trigger = Trigger.AvailableNow())
+        trigger = Trigger.AvailableNow(), maxBatchDirs = policyDirs)
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
       finally q.stop()
     }
     runSigMaintain(sigDocs.take(math.min(2000, nDocs)), 1000) // warmup
     val ((sigSecs, cpuSg), sigSamples) =
       shortWallSampled(() => withCpu(runSigMaintain(sigDocs, 2500)))(identity)
-    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f${samplesJson(sigSamples)}${tele(cpuSg)}}""")
+    println(f"""{"metric":"sigstore_maintain_docs_per_sec","value":${nDocs / sigSecs}%.0f,"unit":"docs/sec","docs":$nDocs,"wall_sec":$sigSecs%.3f,"policy_batch_dirs":$policyDirs${samplesJson(sigSamples)}${tele(cpuSg)}}""")
     }
 
     // ---- streamed CLUSTERING maintenance: each micro-batch also merges
@@ -434,7 +442,7 @@ object StreamBench {
     // continuously queryable as a pure label scan.
     if (wanted("components_maintain")) {
     def runCcMaintain(rows: Seq[graft.streaming.SigStream.DocInsert],
-        batchSize: Int, maintenanceEvery: Int = 0): Double = {
+        batchSize: Int, maxBatchDirs: Int = policyDirs): Double = {
       val sroot = java.nio.file.Files
         .createTempDirectory("sb_ccstore").toString + "/store"
       graft.operators.SigStore.buildFrom(spark, sroot,
@@ -446,7 +454,7 @@ object StreamBench {
       val ckpt = java.nio.file.Files.createTempDirectory("sb_cc_ckpt").toString
       val t0 = System.nanoTime()
       val q = graft.streaming.SigStream.maintainComponents(in.toDS(), sroot, ckpt,
-        trigger = Trigger.AvailableNow(), maintenanceEvery = maintenanceEvery)
+        trigger = Trigger.AvailableNow(), maxBatchDirs = maxBatchDirs)
       try { q.processAllAvailable(); (System.nanoTime() - t0) / 1e9 }
       finally q.stop()
     }
@@ -460,15 +468,15 @@ object StreamBench {
     runCcMaintain(ccDocs.take(math.min(2000, nDocs)), 1000) // warmup
     val (ccSecs, cpuCc) = withCpu(runCcMaintain(ccDocs, 2500))
     val dupFactor = ccDocs.length.toDouble / baseDocs.length
-    println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f${tele(cpuCc)}}""")
+    println(f"""{"metric":"components_maintain_docs_per_sec","value":${ccDocs.length / ccSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccSecs%.3f,"dup_factor":$dupFactor%.1f,"policy_batch_dirs":$policyDirs${tele(cpuCc)}}""")
     // the long-horizon deployment shape (r19, VERDICT r18 #6): the SAME
     // absorb workload in 1000-doc micro-batches with the store's own
-    // compaction policy live in-stream (maintenanceTick at 8 batch
-    // dirs) — the row prices the policy's amortized fold cost against
-    // the plain maintain row above. New row beside the frozen ones,
-    // never a redefinition.
+    // compaction policy live in-stream at an AGGRESSIVE 8-dir bound —
+    // since r20 the plain row above already runs the policy at the
+    // conservative default (16), so this row prices a tighter fold
+    // cadence against it.
     val (ccCmpSecs, cpuCmp) = withCpu(runCcMaintain(ccDocs, 1000,
-      maintenanceEvery = 8))
+      maxBatchDirs = 8))
     println(f"""{"metric":"components_maintain_compact_docs_per_sec","value":${ccDocs.length / ccCmpSecs}%.0f,"unit":"docs/sec","docs":${ccDocs.length},"wall_sec":$ccCmpSecs%.3f,"batch_size":1000,"policy_batch_dirs":8${tele(cpuCmp)}}""")
     // INTERLEAVED maintain A/B (r16, opt-in; generalized r17): the same
     // JVM re-runs the identical absorb workload under a legacy arm,

@@ -18,8 +18,14 @@ object Verify {
     // Dev-only: SPARK_GRAFT_ONLY=a,b,c limits the dump to named queries
     // (unset in the driver run → full surface).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Dev-only twin of check_oracle.py --skip-recursive (r20): drop the
+    // queries whose DuckDB oracle is a recursive-CTE fixpoint — the
+    // pruned sf0.1 standing gate's Spark side.
+    val skipRecursive = sys.env.get("SPARK_GRAFT_SKIP_RECURSIVE").contains("1")
+    def isPruned(name: String): Boolean = skipRecursive &&
+      SparkEntry.oracleSql.get(name).exists(_.toUpperCase.contains("RECURSIVE"))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !isPruned(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -45,7 +45,13 @@ object WarmServe {
     "text_bm25_served_topk",
     "text_bm25_incremental",
     "ann_hybrid_served_rrf",
-    "ann_hybrid_served_rerank")
+    "ann_hybrid_served_rerank",
+    // r20: flagged by the mechanical calibration (calib-a/calib-b) —
+    // plain-named but cold-builds the persisted bm + ann stores; the
+    // rerank twin reads the same stores (first-touch attribution hides
+    // it behind this one in a single-JVM sweep)
+    "ann_hybrid_agreement",
+    "ann_hybrid_rerank_agreement")
 
   private[graft] def servedNames(all: Set[String]): Seq[String] = {
     val missing = Served.filterNot(all)
@@ -81,8 +87,9 @@ object WarmServe {
 
   /** Serve each named query once, returning (wall s, cpu s, cold tags). */
   private[graft] def serveOnce(spark: SparkSession, sfDir: String,
-      names: Seq[String]): Seq[(String, Double, Double, Seq[String])] = {
-    val qs = SparkEntry.queries
+      names: Seq[String],
+      qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+        SparkEntry.queries): Seq[(String, Double, Double, Seq[String])] =
     names.map { name =>
       val m = ColdBuilds.mark()
       val t0 = System.nanoTime()
@@ -92,12 +99,134 @@ object WarmServe {
       val cpu = if (c0 >= 0) (processCpuNs() - c0) / 1e9 else -1.0
       (name, wall, cpu, ColdBuilds.since(m))
     }
+
+  // ---- mechanical completeness calibration (r20, VERDICT r19 #2) ----
+  //
+  // The Served list used to be hand-curated past the `_stored`/`_served`
+  // naming guard — dedup_semantic/embedding_kmeans/embedding_
+  // prototypicality were added by inspection, and a future store-backed
+  // query with a plain name could silently skip the fresh-JVM gate. The
+  // calibration derives the list from BEHAVIOR: run every registered
+  // query twice, in two separate JVMs. A query that emits build-class
+  // ColdBuilds tags in sweep A but is silent in the fresh-JVM sweep B
+  // built state that PERSISTED — exactly the class whose warm-restart
+  // cost WarmServe exists to pin. A query that pays the build in BOTH
+  // sweeps is a deliberate per-JVM oracle anchor (ann_*_topk re-trains
+  // in-JVM by design) and is legitimately absent from Served.
+  //
+  // Known residual: a plain-named query that only READS a store built by
+  // an earlier query in the same sweep emits nothing and is not flagged —
+  // it cannot cause a silent rebuild (worst case is untracked serve
+  // cost), and first-touch attribution inside one JVM cannot see it.
+  // Sweep order puts non-Served names first so first-touch attribution
+  // lands on potential dodgers, not on the queries already under the gate.
+
+  /** All registered query names, non-Served first (alphabetical within
+    * each half) — the calibration sweep order.
+    */
+  private[graft] def calibOrder(all: Set[String]): Seq[String] =
+    (all -- Served).toSeq.sorted ++ Served.filter(all)
+
+  /** One calibration sweep: every query's BUILD-CLASS tags (load-class
+    * filtered out by the same classifier the serve gate uses).
+    */
+  private[graft] def buildTagsByQuery(spark: SparkSession, sfDir: String,
+      qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+        SparkEntry.queries): Map[String, Seq[String]] =
+    serveOnce(spark, sfDir, calibOrder(qs.keySet), qs)
+      .map { case (n, _, _, tags) => n -> violations(tags) }.toMap
+
+  /** Queries whose builds PERSISTED across the JVM boundary: build tags
+    * in sweep A, silent in fresh-JVM sweep B.
+    */
+  private[graft] def persistedBuilders(a: Map[String, Seq[String]],
+      b: Map[String, Seq[String]]): Seq[String] =
+    a.collect { case (n, tags) if tags.nonEmpty &&
+      b.getOrElse(n, Seq.empty).isEmpty => n }.toSeq.sorted
+
+  /** The mechanical guard: every persisted-store builder must be under
+    * the WarmServe gate.
+    */
+  private[graft] def calibrationGuard(persisted: Seq[String]): Unit = {
+    val dodged = persisted.filterNot(Served.contains)
+    require(dodged.isEmpty,
+      s"store-backed queries (observed persisted cold builds) missing from " +
+        s"WarmServe.Served: $dodged")
+  }
+
+  private def writeTagsTsv(path: String, dataDir: String,
+      tags: Map[String, Seq[String]]): Unit = {
+    val w = new java.io.PrintWriter(path, "UTF-8")
+    try {
+      w.println(s"#data=$dataDir")
+      tags.toSeq.sortBy(_._1).foreach { case (n, ts) =>
+        w.println(s"$n\t${ts.mkString(",")}")
+      }
+    } finally w.close()
+  }
+
+  private def readTagsDataDir(path: String): String = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("#data=") => l.stripPrefix("#data=")
+    }.getOrElse(sys.error(s"no #data= header in $path — rerun calib-a"))
+    finally src.close()
+  }
+
+  /** The calibration sweeps run against a FRESH COPY of the dataset:
+    * every store root keys on the canonical dataset path, so a copy at a
+    * new path starts with pristine (cold) stores — without it, a machine
+    * whose /tmp stores are already warm would observe zero builds in
+    * sweep A and the guard would pass vacuously. The copy path must be
+    * UNIQUE per calibration (stores keyed on a REUSED copy path survive
+    * in /tmp past the copy's deletion and would pre-warm the next run),
+    * so calib-a mints it and records it as the tsv's `#data=` header for
+    * calib-b to reuse.
+    */
+  private def mintCalibDataDir(tsvPath: String): String =
+    s"$tsvPath.data.${System.nanoTime()}"
+
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val paths = Files.walk(from).iterator().asScala.toSeq
+    paths.foreach { p =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest): Unit
+      else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    }
+  }
+
+  private def readTagsTsv(path: String): Map[String, Seq[String]] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().filterNot(_.startsWith("#")).map { line =>
+      val parts = line.split("\t", 2)
+      val ts = if (parts.length > 1 && parts(1).nonEmpty)
+        parts(1).split(",").toSeq else Seq.empty[String]
+      parts(0) -> ts
+    }.toMap
+    finally src.close()
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty && Set("build", "serve").contains(args(0)),
-      "usage: WarmServe build|serve [sfDir] [outJson]")
+    require(args.nonEmpty &&
+      Set("build", "serve", "calib-a", "calib-b", "gc").contains(args(0)),
+      "usage: WarmServe build|serve [sfDir] [outJson] | " +
+        "calib-a <sfDir> <tags.tsv> | calib-b <sfDir> <a-tags.tsv> | " +
+        "gc <liveDir1,liveDir2,...> [minAgeHours] [--dry-run]")
     val mode = args(0)
+    if (mode == "gc") { // maintenance subcommand; no Spark session needed
+      StoreGc.main(args.drop(1))
+      return
+    }
     val sfDir = if (args.length > 1) args(1) else
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = if (args.length > 2) args(2) else "/tmp/graft_warmserve.json"
@@ -110,6 +239,40 @@ object WarmServe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (mode == "calib-a" || mode == "calib-b") {
+      // the mechanical completeness calibration: sweep EVERY registered
+      // query against a fresh COPY of the dataset (cold stores by
+      // construction); calib-a persists its build-tag observations,
+      // calib-b (a fresh JVM) re-sweeps the same copy and gates
+      // persisted builders against Served
+      val dataDir = if (mode == "calib-a") mintCalibDataDir(out)
+        else readTagsDataDir(out)
+      val dataPath = java.nio.file.Paths.get(dataDir)
+      if (mode == "calib-a") {
+        copyDir(java.nio.file.Paths.get(sfDir), dataPath)
+      } else require(java.nio.file.Files.isDirectory(dataPath),
+        s"calib-b needs calib-a's dataset copy at $dataDir — run calib-a first")
+      val tags = buildTagsByQuery(spark, dataDir)
+      if (mode == "calib-a") {
+        writeTagsTsv(out, dataDir, tags)
+        val builders = tags.collect { case (n, ts) if ts.nonEmpty => n }.toSeq.sorted
+        println(s"""{"metric":"warmserve_calib_a","queries":${tags.size},"builders":${builders.size},"builder_names":${builders.map("\"" + _ + "\"").mkString("[", ",", "]")},"tags_tsv":"$out","sf":"$sfDir"}""")
+      } else {
+        val a = readTagsTsv(out)
+        val persisted = persistedBuilders(a, tags)
+        val dodged = persisted.filterNot(Served.contains)
+        val perJvm = tags.collect { case (n, ts) if ts.nonEmpty => n }.toSeq.sorted
+        val gate = if (dodged.isEmpty) "pass" else "fail"
+        println(s"""{"metric":"warmserve_calib","gate":"$gate","queries":${tags.size},"persisted_builders":${persisted.map("\"" + _ + "\"").mkString("[", ",", "]")},"per_jvm_anchors":${perJvm.map("\"" + _ + "\"").mkString("[", ",", "]")},"dodged":${dodged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+        deleteDir(dataPath)
+        try spark.stop() catch { case _: Throwable => }
+        if (dodged.nonEmpty) {
+          System.err.println(s"[warmserve] CALIB FAIL — persisted-store builders outside Served: $dodged")
+          sys.exit(1)
+        }
+      }
+      return
+    }
     val names = servedNames(SparkEntry.queries.keySet)
     val rows = serveOnce(spark, sfDir, names)
     if (mode == "build") {

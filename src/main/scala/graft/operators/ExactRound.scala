@@ -30,19 +30,28 @@ package graft.operators
 private[operators] object ExactRound {
 
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{lit, pmod}
+  import org.apache.spark.sql.functions.{call_function, lit}
 
-  /** Column form of [[spark4Int]]: the Column API has no integer
-    * division, so q4 = (a − a mod b)/b with a = 2·10⁴·num + den,
-    * b = 2·den — the subtraction makes a an exact multiple of b, and
-    * IEEE double division of one representable exact multiple by its
-    * representable divisor is exact (a ≤ 5e13 ≪ 2^53 for any
-    * realistic count). Non-negative operands only.
+  /** Column form of [[spark4Int]]: `div` (IntegralDivide, the same
+    * operator the SQL form uses) over DECIMAL(38,0) operands.
+    *
+    * r20 (ADVICE r19): the previous form computed the quotient as
+    * `(a − a mod b)/b` in IEEE doubles, exact only while
+    * a = 2·10⁴·num + den < 2^53 ≈ 9e15. text_unigram/bigram_logprob
+    * pass num = −sum_q in 1e-6-quantized log units (~2e7 per token),
+    * so a ≈ 4e11·n_tokens crosses 2^53 near ~20–30k-token docs — there
+    * the double quotient can land one ulp below q4 and the long cast
+    * truncates to q4−1 while DuckDB's pure-BIGINT `//` stays exact,
+    * reintroducing the cross-engine flip this module exists to kill.
+    * DECIMAL(38,0) arithmetic is exact to 38 digits (the operands are
+    * per-doc counts ≤ ~1e16 ≪ 10^38), and IntegralDivide over decimals
+    * is exact integer division — no float anywhere in the path.
+    * Non-negative operands only (div truncates toward zero ≡ floor).
     */
   def round4Int(num: Column, den: Column): Column = {
-    val a = lit(20000L) * num.cast("long") + den.cast("long")
-    val b = lit(2L) * den.cast("long")
-    ((a - pmod(a, b)) / b).cast("long")
+    val a = lit(20000L) * num.cast("decimal(38,0)") + den.cast("decimal(38,0)")
+    val b = lit(2L) * den.cast("decimal(38,0)")
+    call_function("div", a, b)
   }
 
   /** round-half-up(num/den, 4) as a DOUBLE Column — the value every
@@ -52,24 +61,28 @@ private[operators] object ExactRound {
   def round4(num: Column, den: Column): Column =
     round4Int(num, den) / lit(10000.0)
 
-  /** Scale-6 twins, for the 6-decimal contract columns (mixture p). */
+  /** Scale-6 twins, for the 6-decimal contract columns (mixture p).
+    * Same DECIMAL(38,0)+div shape as [[round4Int]] (r20). */
   def round6(num: Column, den: Column): Column = {
-    val a = lit(2000000L) * num.cast("long") + den.cast("long")
-    val b = lit(2L) * den.cast("long")
-    ((a - pmod(a, b)) / b).cast("long") / lit(1000000.0)
+    val a = lit(2000000L) * num.cast("decimal(38,0)") + den.cast("decimal(38,0)")
+    val b = lit(2L) * den.cast("decimal(38,0)")
+    call_function("div", a, b) / lit(1000000.0)
   }
 
   def duck6(num: String, den: String): String =
     s"(((2000000 * (($num)::BIGINT) + (($den)::BIGINT)) // (2 * (($den)::BIGINT))) / 1000000::DOUBLE)"
 
-  // NOT converted (documented residuals): rounds whose numerator is a
-  // QUANTIZED-IRRATIONAL double (mixture upsample = round6-weight / p,
-  // upsample rate, hybrid RRF sums) — the exact rational form needs the
-  // weight's 10⁶ quantum times the corpus total in the numerator, which
-  // leaves 64-bit range around ~5·10¹⁴ corpus units; and their tie
-  // probability requires an irrational-derived quantum to land on a
-  // rational's half-way boundary. Revisit with DECIMAL(38)/HUGEINT
-  // arithmetic if a scale point ever exposes one.
+  // NOT converted — and since r20 MEASURED, not just argued
+  // (graft.TieProbe → TIEPROBE_r20.json; VERDICT r19 #1): rounds whose
+  // numerator is a quantized-irrational double (mixture weight = p^0.3/z,
+  // mixture upsample = round6-weight / p, upsample/sample rates) measure
+  // a minimum pre-round distance-to-half-boundary of 4.1e-3 across
+  // sf0.001..sf10 — six orders of magnitude above the ~1e-9 cross-libm
+  // double-jitter envelope. The hybrid-RRF sums are stronger still:
+  // their input domain is FINITE (ranks ≤ FuseDepth, denominators
+  // 61..80 for any corpus size), exhaustively enumerated — min distance
+  // 2.26e-3, pinned by TieProbeSpec. Revisit only if a constant changes
+  // the domain (the spec freezes the enumeration's answer).
 
   /** Spark SQL round-half-up(num/den, 4) as DOUBLE; num ≥ 0, den > 0. */
   def spark4(num: String, den: String): String =

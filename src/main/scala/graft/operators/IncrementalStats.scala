@@ -29,7 +29,8 @@ import graft.sources.Tables
 object IncrementalStats {
 
   /** Fold into the root digest; bump on state-schema change. */
-  private val FormatVersion = 1
+  // v2 (r20): sum_quality double partial → sum_quality_q4 exact LONG
+  private val FormatVersion = 2
 
   /** Delta split for the registered query: every 5th doc arrives "late"
     * (mirrored literally in the oracle as `doc_id % 5 = 0`).
@@ -65,7 +66,13 @@ object IncrementalStats {
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("total_chars"),
       sum(col("n_words").cast("long")).as("total_words"),
-      sum(col("quality_score")).as("sum_quality"),
+      // EXACT integer partial (r20, ADVICE r19): quality_score is q4/10⁴
+      // exactly, so ×10⁴ + round recovers the integer per row and the
+      // state sums LONGs — double accumulation over a large corpus can
+      // drift ≥1 in the numerator vs an exact sum, flipping the 4th
+      // decimal of the average between engines near a boundary. The duck
+      // oracle twin sums per-row-rounded BIGINTs the same way.
+      sum(round(col("quality_score") * 10000).cast("long")).as("sum_quality_q4"),
       min(col("n_chars")).as("min_chars"),
       max(col("n_chars")).as("max_chars"))
 
@@ -77,7 +84,7 @@ object IncrementalStats {
       sum(col("n_docs")).as("n_docs"),
       sum(col("total_chars")).as("total_chars"),
       sum(col("total_words")).as("total_words"),
-      sum(col("sum_quality")).as("sum_quality"),
+      sum(col("sum_quality_q4")).as("sum_quality_q4"),
       min(col("min_chars")).as("min_chars"),
       max(col("max_chars")).as("max_chars"))
 
@@ -85,9 +92,8 @@ object IncrementalStats {
   private[graft] def finalizeStats(state: DataFrame): DataFrame =
     state.select(col("lang"), col("n_docs"), col("total_chars"),
       col("total_words"),
-      ExactRound.round4(
-        round(col("sum_quality") * 10000).cast("long"),
-        col("n_docs") * 10000).as("avg_quality"),
+      ExactRound.round4(col("sum_quality_q4"), col("n_docs") * 10000)
+        .as("avg_quality"),
       col("min_chars"), col("max_chars"))
 
   /** Crash-safe state publish: staged write + marker + atomic rename. */
@@ -175,7 +181,7 @@ object IncrementalStats {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  CAST(sum(len(ws)) AS BIGINT) AS total_words,
-         |  ${ExactRound.duck4("round(sum(quality_score) * 10000)::BIGINT", "10000 * count(*)")} AS avg_quality,
+         |  ${ExactRound.duck4("sum(round(quality_score * 10000)::BIGINT)", "10000 * count(*)")} AS avg_quality,
          |  CAST(min(n_chars) AS BIGINT) AS min_chars,
          |  CAST(max(n_chars) AS BIGINT) AS max_chars
          |FROM t JOIN q USING (doc_id)

@@ -47,7 +47,13 @@ object SamplingOps {
     * (lang, n_docs) frame so the counts can come from a corpus scan OR
     * from persisted incremental partials (corpus_mixture_incremental).
     */
-  private[operators] def mixtureFrom(byLangRaw: DataFrame): DataFrame = {
+  /** [[mixtureFrom]] plus the PRE-ROUND normalized weight (`w_pre`) —
+    * kept for [[graft.TieProbe]], which measures how close each
+    * plain-`round` column's input lands to a decimal half-way boundary
+    * (r20, VERDICT r19 #1). Same plan as before; the probe column is a
+    * free intermediate.
+    */
+  private[graft] def mixtureExtended(byLangRaw: DataFrame): DataFrame = {
     // materialize the (|langs|)-row aggregate once: every downstream
     // branch (total, z, the weight projection) otherwise re-runs the full
     // input pipeline — Spark does not reuse exchanges across self-branches
@@ -58,9 +64,13 @@ object SamplingOps {
       .withColumn("w_raw", pow(col("p"), Alpha))
     val z = withP.agg(sum("w_raw").as("z"))
     withP.crossJoin(broadcast(z))
-      .withColumn("weight", round(col("w_raw") / col("z"), 6))
-      .select("lang", "n_docs", "n_total", "p", "weight")
+      .withColumn("w_pre", col("w_raw") / col("z"))
+      .withColumn("weight", round(col("w_pre"), 6))
   }
+
+  private[operators] def mixtureFrom(byLangRaw: DataFrame): DataFrame =
+    mixtureExtended(byLangRaw)
+      .select("lang", "n_docs", "n_total", "p", "weight")
 
   private def mixture(s: SparkSession, d: String): DataFrame =
     mixtureFrom(

@@ -149,8 +149,13 @@ object SigStore {
     * amortized cost is one fold per `maxBatchDirs` batches. Returns
     * whether a compaction ran.
     */
+  /** The policy's conservative default bound — shared with the maintain
+    * stream's default-on wiring (r20, VERDICT r19 #6).
+    */
+  private[graft] val DefaultMaxBatchDirs = 16
+
   private[graft] def maintenanceTick(s: SparkSession, root: String,
-      maxBatchDirs: Int = 16): Boolean = {
+      maxBatchDirs: Int = DefaultMaxBatchDirs): Boolean = {
     val sigs = new Path(root, "sigs.parquet")
     val f = fs(s, sigs)
     if (!f.exists(sigs)) false

@@ -358,11 +358,17 @@ object Similarity {
   // root — tearing every root under the shared tmp dir (the pre-r18
   // idiom) invalidated the sf10 store on every suite run, turning later
   // warm-restart captures into silent full rebuilds (58 s / 419 cpu-s).
-  private[graft] def semStoreRoot(s: SparkSession, d: String)
-      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
-    val key = java.security.MessageDigest.getInstance("MD5")
+  /** The semassign family's dir name for a dataset — exposed for
+    * [[graft.StoreGc]]'s liveness derivation (r20, VERDICT r19 #5).
+    */
+  private[graft] def semStoreKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
+
+  private[graft] def semStoreRoot(s: SparkSession, d: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {
+    val key = semStoreKey(d)
     val root = new org.apache.hadoop.fs.Path(new java.io.File(
       new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_semassign"), key).toString)

@@ -493,7 +493,7 @@ object TextOps {
          |  count(DISTINCT t.lang) n_langs,
          |  count(DISTINCT t.source) n_sources,
          |  sum(len(t.ws))::BIGINT total_tokens,
-         |  ${ExactRound.duck4("round(sum(q.quality_score) * 10000)::BIGINT", "10000 * count(*)")} avg_quality,
+         |  ${ExactRound.duck4("sum(round(q.quality_score * 10000)::BIGINT)", "10000 * count(*)")} avg_quality,
          |  ${ExactRound.duck4("count(*) - count(DISTINCT md5(t.text))", "count(*)")} exact_dup_rate
          |FROM t JOIN q USING (doc_id)""".stripMargin,
     "text_repetition" ->

@@ -21,15 +21,22 @@ object SigStream {
   /** One newly ingested base document. */
   final case class DocInsert(doc_id: Long, text: String)
 
+  /** `maxBatchDirs`: the store's own compaction policy, default ON —
+    * see [[maintainComponents]] for the semantics (a per-band
+    * batch-directory bound, not a cadence); 0 opts out.
+    */
   def maintain(docs: Dataset[DocInsert], root: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxBatchDirs: Int = SigStore.DefaultMaxBatchDirs): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[DocInsert], batchId: Long) =>
         SigStore.appendBatch(batch.sparkSession, root, batch.toDF(), batchId)
+        if (maxBatchDirs > 0)
+          SigStore.maintenanceTick(batch.sparkSession, root, maxBatchDirs): Unit
       }
       .start()
 
@@ -47,24 +54,29 @@ object SigStream {
     * resolves every one of its docs to its already-stored label, so the
     * republished table is unchanged — idempotent like the sig append.
     */
-  /** `maintenanceEvery`: if > 0, run [[SigStore.maintenanceTick]] with
-    * that batch-dir bound after each absorb (r19) — the store then folds
-    * its own patch/remap/batch-dir growth on its own policy instead of
-    * waiting for an operator's nightly compaction. 0 (the default, and
-    * the measured STREAM row shape) never compacts in-stream.
+  /** `maxBatchDirs`: if > 0, run [[SigStore.maintenanceTick]] with that
+    * PER-BAND BATCH-DIRECTORY bound after each absorb — the store then
+    * folds its own patch/remap/batch-dir growth on its own policy instead
+    * of waiting for an operator's nightly compaction. NOT a per-N-batches
+    * cadence (ADVICE r19): the tick is a no-op until some band partition
+    * has accreted more than `maxBatchDirs` `batch_id=` generations, so
+    * the amortized cost is one fold per `maxBatchDirs` batches. Default
+    * ON at the store policy's own conservative bound (r20, VERDICT r19
+    * #6 — a long-horizon maintain stream that never compacts grows file
+    * counts without bound); 0 opts out (the pin-arm shape).
     */
   def maintainComponents(docs: Dataset[DocInsert], root: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maintenanceEvery: Int = 0): StreamingQuery =
+      maxBatchDirs: Int = SigStore.DefaultMaxBatchDirs): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[DocInsert], batchId: Long) =>
         SigStore.absorbComponents(batch.sparkSession, root, batch.toDF(), batchId)
-        if (maintenanceEvery > 0)
-          SigStore.maintenanceTick(batch.sparkSession, root, maintenanceEvery): Unit
+        if (maxBatchDirs > 0)
+          SigStore.maintenanceTick(batch.sparkSession, root, maxBatchDirs): Unit
       }
       .start()
 }

@@ -35,6 +35,56 @@ class WarmServeSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration guard: a plain-named store-backed query is caught mechanically") {
+    // (r20, VERDICT r19 #2) register a store-backed query whose name has
+    // no _stored/_served hint: it records a build-class tag on FIRST run
+    // (persisting a marker) and is silent on the re-sweep — the
+    // persisted-builder derivation must flag it without any curation.
+    val markerDir = java.nio.file.Files.createTempDirectory("ws_calib").toFile
+    val marker = new java.io.File(markerDir, "_PLAIN_STORE_READY")
+    val plainStoreQuery: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = { (s, _) =>
+      if (!marker.exists()) {
+        ColdBuilds.record("plain_store_build")
+        marker.createNewFile(): Unit
+      }
+      s.range(1).toDF("x")
+    }
+    val perJvmAnchor: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = { (s, _) =>
+      ColdBuilds.record("anchor_train") // every run: in-JVM by design
+      s.range(1).toDF("x")
+    }
+    val servedLike: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = { (s, _) => s.range(1).toDF("x") }
+    val qs = Map(
+      "my_plainly_named_query" -> plainStoreQuery,
+      "my_anchor_query" -> perJvmAnchor,
+      "my_pure_query" -> servedLike)
+    val sweepA = WarmServe.buildTagsByQuery(spark, "unused", qs)
+    val sweepB = WarmServe.buildTagsByQuery(spark, "unused", qs) // "fresh JVM": marker persists
+    val persisted = WarmServe.persistedBuilders(sweepA, sweepB)
+    assert(persisted == Seq("my_plainly_named_query"),
+      s"derivation must flag exactly the persisted builder, got $persisted")
+    val err = intercept[IllegalArgumentException] {
+      WarmServe.calibrationGuard(persisted)
+    }
+    assert(err.getMessage.contains("my_plainly_named_query"))
+    // every CURRENT Served name passes the guard by construction
+    WarmServe.calibrationGuard(WarmServe.Served)
+    marker.delete(); markerDir.delete(): Unit
+  }
+
+  test("calibration sweep order puts potential dodgers before gated names") {
+    val all = SparkEntry.queries.keySet
+    val order = WarmServe.calibOrder(all)
+    assert(order.toSet == all)
+    val servedIdx = WarmServe.Served.filter(all).map(order.indexOf)
+    val plainIdx = order.zipWithIndex
+      .collect { case (n, i) if !WarmServe.Served.contains(n) => i }
+    assert(plainIdx.forall(_ < servedIdx.min))
+  }
+
   test("a deliberately torn marker makes the warm serve fail loudly") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     // warm pass over an already-published store: zero violations

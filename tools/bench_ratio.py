@@ -21,12 +21,29 @@ predating the calib arm (r17 and earlier) degrade to raw ratios with a
 With --append, a single `bench_ror_summary` JSON line is appended to
 the NEW artifact (idempotent: prior summary rows are replaced), so the
 cross-round table ships inside the artifact.
+
+BOX-PARITY PAIR SELECTION (r20, VERDICT r19 #3): artifacts may carry
+SEVERAL capture rows (r19 ships `shipped` / `kept-alternate` /
+`kept-final-head`), and the host's fixed-flop calib swings 33% between
+same-HEAD captures — which capture pair to compare used to be human
+judgment. The script now selects the pair itself: among all old x new
+capture combinations it requires calib parity within +/-15%, scan-arm
+agreement within 25% of the cpu factor, and 1-min loadavg <= 8 on both
+sides, then picks the pair with the closest calib_rps (tie-broken by
+scan parity). No qualifying pair -> the script REFUSES with each
+combination's named rejection reason (never a silently skewed read).
+`--pair I,J` forces capture I of OLD vs J of NEW for forensics.
 """
 import json
+import math
 import sys
 
+# declared box-parity windows (the refusal reasons cite these)
+PAIR_WINDOWS = {"calib": 0.15, "scan_vs_cpu": 0.25, "loadavg1": 8.0}
 
-def load(path):
+
+def load_all(path):
+    rows = []
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -34,17 +51,83 @@ def load(path):
                 continue
             d = json.loads(line)
             if d.get("metric") == "total" and "queries" in d:
-                return d
-    sys.exit(f"{path}: no bench 'total' row with a queries map")
+                rows.append(d)
+    if not rows:
+        sys.exit(f"{path}: no bench 'total' row with a queries map")
+    return rows
+
+
+def cap_name(d, idx):
+    return d.get("capture", f"capture{idx}")
+
+
+def pair_reject_reason(o, n):
+    """None if (o, n) is a box-parity pair, else the named reason."""
+    oc, nc = o.get("calib_rps", 0), n.get("calib_rps", 0)
+    if not (oc > 0 and nc > 0):
+        return None  # pre-calib artifact: raw mode, handled by caller
+    cf = oc / nc
+    if abs(cf - 1) > PAIR_WINDOWS["calib"]:
+        return (f"calib mismatch {cf:.3f} (window +/-"
+                f"{PAIR_WINDOWS['calib']:.0%})")
+    os_, ns_ = o.get("scan_calib_rps", 0), n.get("scan_calib_rps", 0)
+    if os_ > 0 and ns_ > 0:
+        sf = os_ / ns_
+        if abs(sf / cf - 1) > PAIR_WINDOWS["scan_vs_cpu"]:
+            return (f"scan arm {sf:.3f} disagrees with cpu arm {cf:.3f} "
+                    f"(window {PAIR_WINDOWS['scan_vs_cpu']:.0%}) — "
+                    "I/O-side degradation")
+    for side, d in (("old", o), ("new", n)):
+        la = (d.get("loadavg") or [0])[0]
+        if la > PAIR_WINDOWS["loadavg1"]:
+            return (f"{side} capture loadavg1 {la} > "
+                    f"{PAIR_WINDOWS['loadavg1']} — contended box")
+    return None
+
+
+def select_pair(old_rows, new_rows):
+    """Pick the box-parity (old, new) capture pair, or exit with every
+    combination's named rejection reason."""
+    if len(old_rows) == 1 and len(new_rows) == 1:
+        return old_rows[0], new_rows[0], "only one capture per side"
+    best, rejects = None, []
+    for i, o in enumerate(old_rows):
+        for j, n in enumerate(new_rows):
+            reason = pair_reject_reason(o, n)
+            label = f"{cap_name(o, i)} x {cap_name(n, j)}"
+            if reason is not None:
+                rejects.append(f"  {label}: {reason}")
+                continue
+            oc, nc = o.get("calib_rps", 0), n.get("calib_rps", 0)
+            score = abs(math.log(oc / nc)) if oc > 0 and nc > 0 else 99.0
+            os_, ns_ = o.get("scan_calib_rps", 0), n.get("scan_calib_rps", 0)
+            tiebreak = abs(math.log(os_ / ns_)) if os_ > 0 and ns_ > 0 else 0.0
+            if best is None or (score, tiebreak) < best[0]:
+                best = ((score, tiebreak), o, n, label)
+    if best is None:
+        sys.exit("no box-parity capture pair within declared windows — "
+                 "refusing the comparison:\n" + "\n".join(rejects))
+    return best[1], best[2], f"selected {best[3]} (closest calib parity)"
 
 
 def main():
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     paths = [a for a in sys.argv[1:] if not a.startswith("--")]
     if len(paths) != 2:
-        sys.exit("usage: bench_ratio.py OLD.json NEW.json [--append]")
+        sys.exit("usage: bench_ratio.py OLD.json NEW.json "
+                 "[--append] [--pair=I,J]")
     old_path, new_path = paths
-    old, new = load(old_path), load(new_path)
+    old_rows, new_rows = load_all(old_path), load_all(new_path)
+    forced = [f for f in flags if f.startswith("--pair")]
+    if forced:
+        i, j = (int(x) for x in forced[0].split("=", 1)[-1].split(","))
+        old, new = old_rows[i], new_rows[j]
+        why = f"forced --pair {i},{j}"
+    else:
+        old, new, why = select_pair(old_rows, new_rows)
+    print(f"captures: old={len(old_rows)} ({', '.join(cap_name(d, i) for i, d in enumerate(old_rows))})"
+          f" new={len(new_rows)} ({', '.join(cap_name(d, i) for i, d in enumerate(new_rows))})")
+    print(f"pair: {why}")
     oc, nc = old.get("calib_rps", 0), new.get("calib_rps", 0)
     calibrated = oc > 0 and nc > 0
     # calib_rps is work/sec; a query's comparable rate is 1/wall. The
@@ -126,6 +209,9 @@ def main():
         summary = {
             "metric": "bench_ror_summary",
             "vs": old_path.split("/")[-1],
+            "pair_selection": why,
+            "pair_old": cap_name(old, old_rows.index(old)),
+            "pair_new": cap_name(new, new_rows.index(new)),
             "normalization": "calibrated" if calibrated else "raw",
             "calib_factor": round(calib_factor, 4),
             "common_queries": len(valid),

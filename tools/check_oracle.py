@@ -4,6 +4,16 @@ graft.Verify output against DuckDB oracles and diff. Dev tooling only —
 the Scala library has no python/duckdb dependency.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+                [--skip-recursive] [--only=a,b,...]
+
+--skip-recursive (r20, VERDICT r19 #4): drop every oracle whose SQL uses
+a recursive CTE — the clustering fixpoints that dominate the 26-min full
+sf0.1 DuckDB pass but are already covered at sf0.01 — making the pruned
+sf0.1 subset cheap enough to be a STANDING per-round gate (the r19
+quality_score rounding tie is the existence proof that bigger scale
+points catch real bugs). Membership is mechanical (a SQL text test), so
+a new clustering oracle is pruned automatically and everything else is
+in by default.
 """
 import json
 import sys
@@ -16,12 +26,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, skip_recursive: bool = False,
+         only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
+    if skip_recursive:
+        skipped = sorted(k for k, v in oracles.items()
+                         if "RECURSIVE" in v.upper())
+        oracles = {k: v for k, v in oracles.items() if k not in skipped}
+        print(f"skip-recursive: pruned {len(skipped)} recursive-CTE "
+              f"oracles (covered at sf0.01): {', '.join(skipped)}")
     failures = 0
     t_all = time.monotonic()
     for name, sql in sorted(oracles.items()):
@@ -72,4 +91,10 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    only_arg = next((f.split("=", 1)[1].split(",") for f in flags
+                     if f.startswith("--only=")), None)
+    sys.exit(1 if main(args[0], args[1],
+                       skip_recursive="--skip-recursive" in flags,
+                       only=set(only_arg) if only_arg else None) else 0)
