@@ -133,8 +133,17 @@ object Analytics {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     }),
     "q_running_supplier_qty" -> ((s, d) => {
+      // l_quantity closes the order (r20, found by the sf0.1 oracle):
+      // the fixture's (l_orderkey, l_linenumber) is NOT unique (118k dup
+      // pairs at sf0.1), and one dup pair collides on the full
+      // (suppkey, shipdate, orderkey, linenumber) key with DIFFERENT
+      // quantities — a ROWS running sum then depends on which engine
+      // happens to order the tied pair first. With quantity in the key,
+      // any remaining ties are between rows identical in every selected
+      // column, so either order yields the same output multiset.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -155,7 +164,10 @@ object Analytics {
     // --- sort / limit / top-k --------------------------------------------
     "q_top_lineitems" -> ((s, d) => {
       Tables.lineitem(s, d)
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        // l_quantity closes the order over the non-unique (ok, ln) key —
+        // same r20 fixture-duplicate class as q_running_supplier_qty
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
         .limit(20)
     }),
@@ -372,7 +384,7 @@ object Analytics {
     "q_running_supplier_qty" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |FROM lineitem""".stripMargin,
     "q_order_rank_in_month" ->
@@ -385,7 +397,7 @@ object Analytics {
     "q_top_lineitems" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
         |FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity LIMIT 20""".stripMargin,
     "q_distinct_parts" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps,

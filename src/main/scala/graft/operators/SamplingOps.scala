@@ -107,7 +107,13 @@ object SamplingOps {
         .withColumn("h", expr(
           "cast(conv(substring(md5(concat(cast(l_orderkey as string), '#', " +
             "cast(l_linenumber as string))), 1, 8), 16, 10) as bigint)"))
-      val smp = li.orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      // l_extendedprice closes the sample order (r20): h is md5 of
+      // (orderkey, linenumber), which the fixture does NOT keep unique —
+      // a dup pair shares h but can differ in extendedprice, and a pair
+      // straddling the LIMIT boundary would make the sample (hence the
+      // quantile) engine-order-dependent
+      val smp = li.orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .limit(QuantileK)
       // O(k) rows from here on: the window is over the sample, not data
       val ranked = smp
@@ -242,7 +248,7 @@ object SamplingOps {
          |  ('0x' || substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), 1, 8))::BIGINT h
          |  FROM lineitem),
          |smp AS (SELECT l_extendedprice, h FROM hx
-         |        ORDER BY h, l_orderkey, l_linenumber LIMIT $QuantileK),
+         |        ORDER BY h, l_orderkey, l_linenumber, l_extendedprice LIMIT $QuantileK),
          |rk AS (SELECT l_extendedprice, h,
          |         row_number() OVER (ORDER BY l_extendedprice, h) r,
          |         count(*) OVER () n

@@ -27,7 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main(sf_dir: str, out_dir: str, skip_recursive: bool = False,
-         only=None) -> int:
+         only=None, skip=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -35,6 +35,11 @@ def main(sf_dir: str, out_dir: str, skip_recursive: bool = False,
         oracles = json.load(f)
     if only:
         oracles = {k: v for k, v in oracles.items() if k in only}
+    if skip:
+        dropped = sorted(set(oracles) & set(skip))
+        oracles = {k: v for k, v in oracles.items() if k not in skip}
+        print(f"skip: pruned {len(dropped)} named oracles: "
+              f"{', '.join(dropped)}")
     if skip_recursive:
         skipped = sorted(k for k, v in oracles.items()
                          if "RECURSIVE" in v.upper())
@@ -95,6 +100,9 @@ if __name__ == "__main__":
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
     only_arg = next((f.split("=", 1)[1].split(",") for f in flags
                      if f.startswith("--only=")), None)
+    skip_arg = next((f.split("=", 1)[1].split(",") for f in flags
+                     if f.startswith("--skip=")), None)
     sys.exit(1 if main(args[0], args[1],
                        skip_recursive="--skip-recursive" in flags,
-                       only=set(only_arg) if only_arg else None) else 0)
+                       only=set(only_arg) if only_arg else None,
+                       skip=set(skip_arg) if skip_arg else None) else 0)
