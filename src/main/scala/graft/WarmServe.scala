@@ -114,12 +114,22 @@ object WarmServe {
   // sweeps is a deliberate per-JVM oracle anchor (ann_*_topk re-trains
   // in-JVM by design) and is legitimately absent from Served.
   //
-  // Known residual: a plain-named query that only READS a store built by
-  // an earlier query in the same sweep emits nothing and is not flagged —
-  // it cannot cause a silent rebuild (worst case is untracked serve
-  // cost), and first-touch attribution inside one JVM cannot see it.
-  // Sweep order puts non-Served names first so first-touch attribution
-  // lands on potential dodgers, not on the queries already under the gate.
+  // Pure READERS are gated too (r20 follow-up): a plain-named query that
+  // only reads another query's persisted store emits no BUILD tags in
+  // either sweep, but in the fresh calib-b JVM its first touch of the
+  // store pays a LOAD — an unambiguous store-read tag (`*_load`, or the
+  // bm store's meta/frozen-stats reads; never WarmOk's benign per-JVM
+  // probes). Any such query outside Served fails the gate: it is serving
+  // out of a persisted store whose warm-restart cost nothing tracks.
+  // Queries that emit build-class tags in calib-b are per-JVM anchors
+  // and stay exempt even if they also read.
+  //
+  // Remaining residual (narrower than before): two plain-named readers
+  // of the SAME store family in one sweep — the second hits the in-JVM
+  // cache the first warmed and is invisible to single-JVM first-touch
+  // attribution. Sweep order puts non-Served names first so first touch
+  // lands on potential dodgers, not on the queries already under the
+  // gate; a shadowed reader still cannot cause a silent rebuild.
 
   /** All registered query names, non-Served first (alphabetical within
     * each half) — the calibration sweep order.
@@ -136,6 +146,16 @@ object WarmServe {
     serveOnce(spark, sfDir, calibOrder(qs.keySet), qs)
       .map { case (n, _, _, tags) => n -> violations(tags) }.toMap
 
+  /** One calibration sweep with RAW tags (load-class included) — calib-b
+    * derives both builders (build tags) and readers (load tags) from the
+    * same single pass; a second pass would observe pre-warmed caches.
+    */
+  private[graft] def rawTagsByQuery(spark: SparkSession, sfDir: String,
+      qs: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+        SparkEntry.queries): Map[String, Seq[String]] =
+    serveOnce(spark, sfDir, calibOrder(qs.keySet), qs)
+      .map { case (n, _, _, tags) => n -> tags }.toMap
+
   /** Queries whose builds PERSISTED across the JVM boundary: build tags
     * in sweep A, silent in fresh-JVM sweep B.
     */
@@ -144,14 +164,39 @@ object WarmServe {
     a.collect { case (n, tags) if tags.nonEmpty &&
       b.getOrElse(n, Seq.empty).isEmpty => n }.toSeq.sorted
 
-  /** The mechanical guard: every persisted-store builder must be under
-    * the WarmServe gate.
+  /** Unambiguous persisted-store READ tags: explicit `_load`s plus the
+    * bm store's metadata/frozen-stats reads. Deliberately excludes the
+    * rest of [[WarmOk]] (emb_count/emb_dim/jaccard_df_stats/dsir_model
+    * are per-JVM probes bounded by a footer or the query set — emitting
+    * one does not mean a persisted store was touched).
     */
-  private[graft] def calibrationGuard(persisted: Seq[String]): Unit = {
+  private[graft] def storeReads(tags: Seq[String]): Seq[String] =
+    tags.filter { t =>
+      val base = t.takeWhile(_ != ':')
+      base.endsWith("_load") || base == "bm_meta" || base == "bm_frozen_stats"
+    }
+
+  /** Queries that served out of a persisted store in the FRESH JVM
+    * (sweep B): store-read tags present, zero build-class tags (a query
+    * that also builds in the fresh JVM is a per-JVM anchor — exempt).
+    */
+  private[graft] def freshReaders(rawB: Map[String, Seq[String]]): Seq[String] =
+    rawB.collect { case (n, tags) if violations(tags).isEmpty &&
+      storeReads(tags).nonEmpty => n }.toSeq.sorted
+
+  /** The mechanical guard: every persisted-store builder AND every
+    * fresh-JVM store reader must be under the WarmServe gate.
+    */
+  private[graft] def calibrationGuard(persisted: Seq[String],
+      readers: Seq[String] = Seq.empty): Unit = {
     val dodged = persisted.filterNot(Served.contains)
     require(dodged.isEmpty,
       s"store-backed queries (observed persisted cold builds) missing from " +
         s"WarmServe.Served: $dodged")
+    val readerDodged = readers.filterNot(Served.contains)
+    require(readerDodged.isEmpty,
+      s"store-READING queries (fresh-JVM store loads, no builds) missing " +
+        s"from WarmServe.Served: $readerDodged")
   }
 
   private def writeTagsTsv(path: String, dataDir: String,
@@ -252,7 +297,8 @@ object WarmServe {
         copyDir(java.nio.file.Paths.get(sfDir), dataPath)
       } else require(java.nio.file.Files.isDirectory(dataPath),
         s"calib-b needs calib-a's dataset copy at $dataDir — run calib-a first")
-      val tags = buildTagsByQuery(spark, dataDir)
+      val raw = rawTagsByQuery(spark, dataDir)
+      val tags = raw.map { case (n, ts) => n -> violations(ts) }
       if (mode == "calib-a") {
         writeTagsTsv(out, dataDir, tags)
         val builders = tags.collect { case (n, ts) if ts.nonEmpty => n }.toSeq.sorted
@@ -260,14 +306,16 @@ object WarmServe {
       } else {
         val a = readTagsTsv(out)
         val persisted = persistedBuilders(a, tags)
+        val readers = freshReaders(raw)
         val dodged = persisted.filterNot(Served.contains)
+        val readerDodged = readers.filterNot(Served.contains)
         val perJvm = tags.collect { case (n, ts) if ts.nonEmpty => n }.toSeq.sorted
-        val gate = if (dodged.isEmpty) "pass" else "fail"
-        println(s"""{"metric":"warmserve_calib","gate":"$gate","queries":${tags.size},"persisted_builders":${persisted.map("\"" + _ + "\"").mkString("[", ",", "]")},"per_jvm_anchors":${perJvm.map("\"" + _ + "\"").mkString("[", ",", "]")},"dodged":${dodged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
+        val gate = if (dodged.isEmpty && readerDodged.isEmpty) "pass" else "fail"
+        println(s"""{"metric":"warmserve_calib","gate":"$gate","queries":${tags.size},"persisted_builders":${persisted.map("\"" + _ + "\"").mkString("[", ",", "]")},"fresh_readers":${readers.map("\"" + _ + "\"").mkString("[", ",", "]")},"per_jvm_anchors":${perJvm.map("\"" + _ + "\"").mkString("[", ",", "]")},"dodged":${dodged.map("\"" + _ + "\"").mkString("[", ",", "]")},"reader_dodged":${readerDodged.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}""")
         deleteDir(dataPath)
         try spark.stop() catch { case _: Throwable => }
-        if (dodged.nonEmpty) {
-          System.err.println(s"[warmserve] CALIB FAIL — persisted-store builders outside Served: $dodged")
+        if (dodged.nonEmpty || readerDodged.nonEmpty) {
+          System.err.println(s"[warmserve] CALIB FAIL — outside Served: builders=$dodged readers=$readerDodged")
           sys.exit(1)
         }
       }

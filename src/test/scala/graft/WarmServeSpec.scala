@@ -75,6 +75,28 @@ class WarmServeSpec extends AnyFunSuite {
     marker.delete(); markerDir.delete(): Unit
   }
 
+  test("calibration guard: a plain-named pure READER of a persisted store is caught") {
+    // (r20 follow-up) a reader emits no build tags in either sweep, but
+    // its first touch in the fresh calib-b JVM pays an unambiguous
+    // store-read tag — the derivation must flag it; per-JVM anchors that
+    // also read stay exempt, and WarmOk's benign probes never count.
+    val rawB = Map(
+      "plain_reader" -> Seq("sem_pairs_load"),
+      "anchor_that_also_reads" -> Seq("ann_index_train", "kmeans_centroids_load"),
+      "probe_only" -> Seq("emb_count", "jaccard_df_stats", "dsir_model"),
+      "silent" -> Seq.empty[String])
+    assert(WarmServe.freshReaders(rawB) == Seq("plain_reader"))
+    val err = intercept[IllegalArgumentException] {
+      WarmServe.calibrationGuard(Seq.empty, Seq("plain_reader"))
+    }
+    assert(err.getMessage.contains("plain_reader"))
+    WarmServe.calibrationGuard(Seq.empty, Seq("dedup_semantic")) // gated reader passes
+    // the read classifier: explicit loads + bm meta/stats only
+    assert(WarmServe.storeReads(Seq("bm_meta", "bm_frozen_stats", "emb_dim",
+      "dsir_model", "x_load:1.2s", "kmeans_trainer"))
+      == Seq("bm_meta", "bm_frozen_stats", "x_load:1.2s"))
+  }
+
   test("calibration sweep order puts potential dodgers before gated names") {
     val all = SparkEntry.queries.keySet
     val order = WarmServe.calibOrder(all)
