@@ -51,7 +51,16 @@ object WarmServe {
     // rerank twin reads the same stores (first-touch attribution hides
     // it behind this one in a single-JVM sweep)
     "ann_hybrid_agreement",
-    "ann_hybrid_rerank_agreement")
+    "ann_hybrid_rerank_agreement",
+    // r20: the aggstate family was a LIVE instance of the reader-guard
+    // residual — store-backed (persisted incremental partials keyed on
+    // dataset + format version) but emitting no tags, so it dodged both
+    // the builder and reader derivations. The v1→v2 format bump then
+    // booked an unattributed one-time rebuild into SCALE10's
+    // corpus_mixture_incremental row. ensureBuilt/readState now carry
+    // aggstate_build/aggstate_load tags and the gate covers both.
+    "corpus_stats_incremental",
+    "corpus_mixture_incremental")
 
   private[graft] def servedNames(all: Set[String]): Seq[String] = {
     val missing = Served.filterNot(all)

@@ -111,8 +111,10 @@ object IncrementalStats {
     require(f.rename(tmp, rootPath), s"atomic publish failed: $root")
   }
 
-  private[graft] def readState(s: SparkSession, root: String): DataFrame =
+  private[graft] def readState(s: SparkSession, root: String): DataFrame = {
+    graft.ColdBuilds.record("aggstate_load")
     s.read.parquet(new Path(root, "state.parquet").toString)
+  }
 
   /** Advance the persisted state by one delta batch: one pass over the
     * delta, one O(|langs|) merge, one atomic re-publish. The maintenance
@@ -134,9 +136,18 @@ object IncrementalStats {
   private[graft] def ensureBuilt(s: SparkSession, d: String): String =
     synchronized {
       val root = stateRoot(d)
+      // ColdBuilds-tagged (r20): the v1→v2 format bump re-keyed the state
+      // root and SCALE10's corpus_mixture_incremental row silently booked
+      // the one-time base rebuild into its serve cost (2.5→25.6 cpu-s at
+      // sf10) — exactly the unattributed-build class the registry exists
+      // for. The tag also makes the aggstate family visible to the
+      // WarmServe calibration (builder in sweep A, silent in the fresh
+      // JVM), pulling these store-backed queries under the gate.
       if (!fs(s, new Path(root)).exists(new Path(root, "_STATE_READY")))
-        publish(s, root, partials(
-          Tables.documents(s, d).filter(col("doc_id") % DeltaMod =!= 0)))
+        graft.ColdBuilds.timed("aggstate_build") {
+          publish(s, root, partials(
+            Tables.documents(s, d).filter(col("doc_id") % DeltaMod =!= 0)))
+        }
       root
     }
 

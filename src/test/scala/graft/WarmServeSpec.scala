@@ -15,10 +15,12 @@ class WarmServeSpec extends AnyFunSuite {
   test("violation classifier: loads pass, builds/trainers/absorbs/upgrades fail") {
     assert(WarmServe.violations(Seq(
       "sem_pairs_load", "kmeans_centroids_load", "perc_standing_load",
-      "bm_meta", "bm_frozen_stats", "emb_count", "emb_dim")).isEmpty)
+      "aggstate_load", "bm_meta", "bm_frozen_stats", "emb_count",
+      "emb_dim")).isEmpty)
     val bad = Seq("sem_assign_build", "kmeans_trainer", "sig_store_build",
       "sig_labels_build", "sig_store_absorb", "sig_labels_size_upgrade",
-      "ann_index_train", "bm_store_build", "sig_absorb_base_sigs:61.2s")
+      "ann_index_train", "bm_store_build", "sig_absorb_base_sigs:61.2s",
+      "aggstate_build:12.3s")
     assert(WarmServe.violations(bad) == bad)
     assert(WarmServe.violations(Seq("sem_pairs_load", "kmeans_trainer"))
       == Seq("kmeans_trainer"))
