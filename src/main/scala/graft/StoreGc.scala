@@ -83,7 +83,21 @@ object StoreGc {
   def sweep(liveDirs: Seq[String], minAgeMs: Long,
       dryRun: Boolean = false, tmpRoot: String = tmpDir,
       families: Seq[String] = Families): Seq[FamilySweep] = {
-    val (present, absent) = liveDirs.partition(d =>
+    // Provenance-derived liveness (r20, the SCALE_r20 cold-capture
+    // lesson): the declared list is the caller's memory, and forgetting
+    // one root — target/sf1, that round — silently reaps a serving
+    // dataset's stores. Every store-root resolver records its dataset
+    // dir in StoreRegistry, so any registered dir STILL ON DISK is live
+    // without being declared; deleted datasets (spec fixtures, calib
+    // copies) drop out of liveness the moment the dir is gone. Non-dry
+    // sweeps compact dead registry lines away.
+    val registered = graft.operators.StoreRegistry.liveDirs(tmpRoot)
+      .filterNot(liveDirs.contains)
+    if (registered.nonEmpty)
+      System.err.println(s"[storegc] registry adds ${registered.size} " +
+        s"undeclared live dataset dir(s): ${registered.mkString(", ")}")
+    if (!dryRun) graft.operators.StoreRegistry.compact(tmpRoot)
+    val (present, absent) = (liveDirs ++ registered).partition(d =>
       new java.io.File(d, "documents.parquet").isDirectory ||
         new java.io.File(d).isDirectory)
     absent.foreach(d =>
@@ -123,6 +137,7 @@ object StoreGc {
       println(s"""{"metric":"store_gc","family":"${s.family}","kept":${s.kept},"reaped":${s.reaped.size},"bytes":${s.bytes},"dry_run":$dry,"missing_root":${s.missing}}""")
     }
     val total = sweeps.map(_.bytes).sum
-    println(s"""{"metric":"store_gc_total","families":${sweeps.size},"reaped_dirs":${sweeps.map(_.reaped.size).sum},"bytes":$total,"dry_run":$dry,"live_dirs":${liveDirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"min_age_hours":$minAgeH}""")
+    val regDirs = graft.operators.StoreRegistry.liveDirs()
+    println(s"""{"metric":"store_gc_total","families":${sweeps.size},"reaped_dirs":${sweeps.map(_.reaped.size).sum},"bytes":$total,"dry_run":$dry,"live_dirs":${liveDirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"registry_live_dirs":${regDirs.map("\"" + _ + "\"").mkString("[", ",", "]")},"min_age_hours":$minAgeH}""")
   }
 }

@@ -68,6 +68,7 @@ object AnnIndexIO {
   private val FormatVersion = 2
 
   private[graft] def indexRoot(d: String, variant: String): String = {
+    StoreRegistry.note(d)
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
     }

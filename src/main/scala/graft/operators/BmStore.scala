@@ -113,6 +113,7 @@ object BmStore {
     * resolved root).
     */
   private[graft] def storeRoot(d: String, variant: String): String = {
+    StoreRegistry.note(d)
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
     }

@@ -42,6 +42,7 @@ object IncrementalStats {
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   private[graft] def stateRoot(d: String): String = {
+    StoreRegistry.note(d)
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
     }

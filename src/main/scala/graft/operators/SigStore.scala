@@ -45,6 +45,7 @@ object SigStore {
       .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
   private[graft] def storeRoot(d: String): String = {
+    StoreRegistry.note(d)
     val canon = try new java.io.File(d).getCanonicalPath catch {
       case _: java.io.IOException => d
     }

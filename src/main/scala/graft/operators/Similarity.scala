@@ -361,10 +361,12 @@ object Similarity {
   /** The semassign family's dir name for a dataset — exposed for
     * [[graft.StoreGc]]'s liveness derivation (r20, VERDICT r19 #5).
     */
-  private[graft] def semStoreKey(d: String): String =
+  private[graft] def semStoreKey(d: String): String = {
+    StoreRegistry.note(d)
     java.security.MessageDigest.getInstance("MD5")
       .digest(cacheKey(d).getBytes("UTF-8")).map("%02x".format(_))
       .mkString.take(12)
+  }
 
   private[graft] def semStoreRoot(s: SparkSession, d: String)
       : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileSystem) = {

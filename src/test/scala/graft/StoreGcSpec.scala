@@ -67,6 +67,40 @@ class StoreGcSpec extends AnyFunSuite {
     assert(names("graft_sigstore").exists(_.endsWith("_absorbed")))
   }
 
+  test("registry-known dataset dirs are live undeclared; deleted datasets are not") {
+    // (r20, the SCALE_r20 cold-capture lesson) the resolvers record every
+    // dataset dir they key a store for; a sweep whose DECLARED list
+    // forgets one must still keep its stores as long as the dataset is on
+    // disk — and must reap them, and compact the registry line, once the
+    // dataset itself is gone.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("gc_tmp").toFile
+    val famRoot = new java.io.File(tmpRoot, "graft_sigstore")
+    val ds = java.nio.file.Files.createTempDirectory("gc_ds").toFile
+    val deadDs = java.nio.file.Files.createTempDirectory("gc_dead").toFile
+    val liveName = new java.io.File(graft.operators.SigStore.storeRoot(ds.toString)).getName
+    val deadName = new java.io.File(graft.operators.SigStore.storeRoot(deadDs.toString)).getName
+    val live = mkStore(famRoot, liveName, ageMs = 10L * 24 * 3600 * 1000)
+    val dead = mkStore(famRoot, deadName, ageMs = 10L * 24 * 3600 * 1000)
+    val reg = graft.operators.StoreRegistry.registryFile(tmpRoot.toString)
+    val w = new java.io.FileWriter(reg)
+    w.write(ds.getCanonicalPath + "\n" + deadDs.getCanonicalPath + "\n")
+    w.close()
+    assert(deadDs.delete(), "dead dataset dir teardown failed")
+    val s = StoreGc.sweep(Seq.empty, minAgeMs = 24L * 3600 * 1000,
+      tmpRoot = tmpRoot.toString, families = Seq("graft_sigstore")).head
+    assert(live.isDirectory,
+      "registry-known store reaped despite its dataset existing")
+    assert(!dead.exists() && s.reaped == Seq(deadName),
+      s"dead dataset's store must be reaped, got ${s.reaped}")
+    // the non-dry sweep compacted the dead registry line away
+    assert(graft.operators.StoreRegistry.liveDirs(tmpRoot.toString)
+      == Seq(ds.getCanonicalPath))
+    // teardown: the resolver calls above registered these temp dirs in
+    // the REAL registry too — delete them so the next real sweep
+    // compacts the lines instead of tracking phantom datasets
+    assert(ds.delete()): Unit
+  }
+
   test("a freshly published live store is never a reap candidate on the real tmp") {
     assume(TestSpark.fixturesPresent, TestSpark.fixturesHint)
     // integration (DRY run — other datasets' stores under the real tmp
