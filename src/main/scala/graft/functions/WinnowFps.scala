@@ -92,12 +92,14 @@ object WinnowFps {
     if (nWindows < 1) return ArrayData.toArrayData(Array.emptyLongArray)
 
     val md = MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // reused digest buffer (r20: digest()
+    // allocated a fresh 16-byte array per gram — one per input character)
     val gh = new Array[Long](nGrams)
     var g = 0
     while (g < nGrams) {
       val from = starts(g)
       md.update(bytes, from, starts(g + gramLen) - from)
-      val d = md.digest() // resets for the next gram
+      md.digest(d, 0, 16) // resets for the next gram
       gh(g) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       g += 1

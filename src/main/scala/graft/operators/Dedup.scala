@@ -711,7 +711,11 @@ object Dedup {
     */
   private[graft] def jaccardPrefixPairs(s: SparkSession, d: String,
       t: Double): DataFrame = {
-    val sh = withShingles(Tables.documents(s, d))
+    // spread the leaf (r20): the checkpointed sh/ex0 frames inherit the
+    // scan's single fixture split, serializing the prefix window and both
+    // self-join probe sides (JobProf: 14 stages at ~1 task each); no-op at
+    // real scale, see Materialize.spreadScan
+    val sh = withShingles(Materialize.spreadScan(Tables.documents(s, d)))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
       .transform(Materialize.once) // feeds the postings build AND the verify join
     // Three consumers read the postings (df aggregate + both self-join
@@ -1028,7 +1032,12 @@ object Dedup {
             queries("dedup_simhash_pairs")(s, d).select("d1", "d2"), "all")
           connectedComponents(docs, pairs)
         } else {
-          val sh = simhash(Tables.documents(s, d)).transform(Materialize.once)
+          // spread the leaf (r20): the checkpointed sh otherwise pins the
+          // banded probe side to the scan's one fixture split — the same
+          // serialization the rep arm's explicit repartition (below) was
+          // measured to fix; no-op at real scale
+          val sh = simhash(Materialize.spreadScan(Tables.documents(s, d)))
+            .transform(Materialize.once)
           // ROUTING (r18, VERDICT r17 #1): measure this corpus's collapse
           // factor from the checkpointed signature pass — one map-side
           // count+HLL job, never a cached constant (the r14 stale-gate
@@ -1146,7 +1155,12 @@ object Dedup {
       // shingles are the residual risk at 100 TB; the standard mitigation
       // (drop shingles above a document-frequency cap) changes output, so
       // it lives in the dedup_ngram_jaccard_capped twin below.
-      val sh = withShingles(Tables.documents(s, d))
+      // spread the single-split fixture scan (r20 JobProf: this query ran
+      // 6 stages / 15 tasks with its shingle projection AND the inverted
+      // self-join probe side serialized on the scan's one partition — the
+      // Dedup:1073 rep-arm failure mode at the leaf; no-op at real scale,
+      // see Materialize.spreadScan)
+      val sh = withShingles(Materialize.spreadScan(Tables.documents(s, d)))
         .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
       // materialize the exploded postings ONCE: both self-join sides would
       // otherwise re-run the shingle expression over the whole corpus. An
@@ -1177,7 +1191,9 @@ object Dedup {
       // equi-join back (NOT a window over the shingle key, which would
       // funnel each ultra-common shingle's postings into one task — the
       // exact skew being mitigated); the join is AQE-skew-eligible.
-      val ex0 = withShingles(Tables.documents(s, d))
+      // spread the leaf like the uncapped twin (r20): shingle projection +
+      // df-join probe parallelism both ride the scan's partitioning
+      val ex0 = withShingles(Materialize.spreadScan(Tables.documents(s, d)))
         .select(col("doc_id"), explode(col("sh")).as("s"))
       val kept = ex0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= JaccardDfCap).select("s")
@@ -1219,22 +1235,31 @@ object Dedup {
       // should be pre-chunked (pack_chunks) so the per-row window array
       // stays bounded.
       // The whole sample-select-dedup pipeline runs INSIDE the array
-      // expression, before explode (r10): transform hashes each window
-      // transiently (no 40-char string array is ever materialized in the
-      // output row), filter keeps the ≡ 0 (mod 4) sample, and
-      // array_distinct dedups per doc — so the generator emits ~n/4
-      // unique longs per doc instead of n−39 strings, and the former
-      // row-level `.distinct()` SHUFFLE disappears (per-doc uniqueness is
-      // exactly what it enforced: doc_id is part of every key). Measured
-      // at sf0.1: 3.99 → 2.95 s with identical output hashes.
-      val wins = Tables.documents(s, d)
+      // expression, before explode (r10): each window hashes transiently
+      // (no 40-char string array is ever materialized in the output
+      // row), the ≡ 0 (mod 4) sample is kept, and per-doc dedup happens
+      // in the array — so the generator emits ~n/4 unique longs per doc
+      // instead of n−39 strings, and the former row-level `.distinct()`
+      // SHUFFLE disappears (per-doc uniqueness is exactly what it
+      // enforced: doc_id is part of every key). Measured at sf0.1 (r10):
+      // 3.99 → 2.95 s with identical output hashes.
+      // r20: the transform/filter/array_distinct lambda chain was
+      // INTERPRETED per window (hex string + substring + base-16 parse
+      // each) — replaced by the native [[graft.functions.ContentWindows]]
+      // loop, the WinnowFps treatment (same values by construction,
+      // ContentWindowsSpec pins parity against the retired SQL form).
+      // spread the leaf (r20 JobProf: 6 stages / 6 TASKS — the per-window
+      // md5 pass ran wholly on the scan's one fixture split, and the
+      // checkpointed wins frame then kept 1 partition through the
+      // self-join; no-op at real scale, see Materialize.spreadScan).
+      // workFactor 4: one md5 per 40-char window ≈ 25 digests/KB × the
+      // per-digest cost dwarfs scan cost (measured width sweep in
+      // spreadScan's doc)
+      graft.functions.ContentWindows.register(s)
+      val wins = Materialize.spreadScan(Tables.documents(s, d), workFactor = 4)
         .filter(length(col("text")) >= 40)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(filter(
-            |  transform(sequence(1, length(text) - 39),
-            |    i -> cast(conv(substring(md5(substring(text, i, 40)), 1, 8), 16, 10) as bigint)),
-            |  h -> h % 4 = 0))""".stripMargin
-        )).as("h"))
+        .select(col("doc_id"),
+          explode(expr("content_windows(text, 40, 4)")).as("h"))
         // both self-join sides consume this: materialize the window-hash
         // pass ONCE (narrow (doc_id, h) rows only)
         .transform(Materialize.once)
@@ -1282,7 +1307,10 @@ object Dedup {
       // (localCheckpoint) and feeds both the signature build and the
       // exact-Jaccard confirm — un-checkpointed, each consumer re-ran the
       // WordShingles expression over the whole corpus.
-      val sh = withShingles(Tables.documents(s, d))
+      // spread the leaf (r20): signature build + band self-join probe
+      // otherwise serialize on the single fixture split (JobProf 7
+      // stages / 7 tasks); no-op at real scale
+      val sh = withShingles(Materialize.spreadScan(Tables.documents(s, d)))
         .select("doc_id", "sh").transform(Materialize.once)
       minhashCandidates(sh)
         .join(sh.select(col("doc_id").as("d1"), col("sh").as("sh1")), Seq("d1"))
@@ -1311,7 +1339,7 @@ object Dedup {
           .orElse(sys.env.get("GRAFT_JACCARD_STAGE")).contains("cand"),
         "dedup_eval_minhash: ground truth needs the full prefix pipeline; " +
           "unset graft.jaccard.stage/GRAFT_JACCARD_STAGE=cand")
-      val sh = withShingles(Tables.documents(s, d))
+      val sh = withShingles(Materialize.spreadScan(Tables.documents(s, d)))
         .select("doc_id", "sh").transform(Materialize.once)
       // Ground truth via the PREFIX pipeline, not the exact uncapped
       // inverted-index self-join (VERDICT r15 #1): the eval needs exact
@@ -1387,7 +1415,10 @@ object Dedup {
       // pairs), per the r14 stale-gate mandate.
       // (plan body lives in bandedTruePairs, shared with the contracted
       // one-shot dedup_components — self-review r17)
-      bandedTruePairs(simhash(Tables.documents(s, d)))
+      // spread the leaf (r20 JobProf: 5 stages / 5 TASKS — simhash48 and
+      // the banded candidate verify both serialized on the single fixture
+      // split; no-op at real scale, see Materialize.spreadScan)
+      bandedTruePairs(simhash(Materialize.spreadScan(Tables.documents(s, d))))
     }),
     "dedup_embedding_topk" -> ((s, d) => {
       embPairs(s, d)

@@ -102,9 +102,39 @@ private[graft] object Materialize {
     * materialize them once here and again downstream (Writers.scala
     * repartition caveat).
     */
-  def spreadScan(df: DataFrame): DataFrame = {
+  /** Per-task input quantum for [[spreadScan]]'s width (bytes, from the
+    * scan's size estimate). Measured r20 on the fixture (QProf width
+    * sweep, warm runs): per-task cost has a real fixed component — the
+    * bypass-merge shuffle writer opens `spark.sql.shuffle.partitions`
+    * files per MAP task, so spread CPU grows ~linearly with width
+    * (dedup_simhash_pairs 4.1 cpu-s at width 4 → 9.5 at 32; ngram
+    * jaccard 4.9 → 13.7) while wall is flat past ~8 tasks on the 1.5 MB
+    * fixture. Deriving width from input size keeps the md5-heavy
+    * projections parallel where they matter and stops a KB-sized scan
+    * from paying a 32-way fan-out's file-machinery tax. At real scale
+    * the input has ≥ parallelism splits and spreadScan is a no-op, so
+    * the quantum only ever shapes small inputs.
+    */
+  private val SpreadQuantumBytes: Long =
+    sys.props.get("graft.spread.quantum").map(_.toLong).getOrElse(192L * 1024)
+
+  /** `workFactor` scales the size-derived width for projections whose
+    * per-byte cost is far above a plain scan's (md5-per-gram passes do
+    * ~300 digests per input KB: measured r20, dedup_substring wall
+    * 1.43 s at width 4 vs 1.00 at 16 on the sf0.1 fixture). Factor 1 =
+    * plain tokenize/hash-per-row work.
+    */
+  def spreadScan(df: DataFrame, workFactor: Int = 1): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    // width override seam (r20 width sweep) > size-derived width
+    val width = sys.props.get("graft.spread.width")
+      .map(w => math.max(1, math.min(par, w.toInt)))
+      .getOrElse {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes * workFactor
+        val byQuantum = (bytes + SpreadQuantumBytes - 1) / SpreadQuantumBytes
+        byQuantum.min(BigInt(par)).max(BigInt(1)).toInt
+      }
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
   }
 
   def once(df: DataFrame): DataFrame =

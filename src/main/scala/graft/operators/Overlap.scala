@@ -70,7 +70,13 @@ object Overlap {
     * intersection, and the signature build.
     */
   private def srcHashes(s: SparkSession, d: String): DataFrame =
-    shingleHashes(Tables.documents(s, d)).transform(Materialize.once)
+    // spread the batch leaf (r20): the shingle+md5 universe pass and the
+    // checkpointed frame's downstream joins otherwise serialize on the
+    // single fixture split. Spread HERE, not in shingleHashes — the
+    // streamed maintainer feeds shingleHashes micro-batch frames, which
+    // are not bare scans (spreadScan's contract).
+    shingleHashes(Materialize.spreadScan(Tables.documents(s, d)))
+      .transform(Materialize.once)
 
   /** All source pairs (source_a < source_b) with set sizes — the full
     * pair domain, so zero-overlap pairs still appear in every output.

@@ -83,6 +83,17 @@ object Retrieval {
     c.isin(QueryDocIds: _*)
   private[graft] val queryIdsSql = QueryDocIds.mkString(", ")
 
+  /** dl = size(split(text, " ")) without the regex split: splitting on a
+    * single-char literal always yields (#separators + 1) fields (empty
+    * fields included — split keeps them, and so does DuckDB's
+    * string_split), so dl ≡ #spaces + 1 for EVERY string, including "".
+    * Two cheap codegen string scans replace a corpus-wide regex split in
+    * the stats passes whose only need is the length (r20; the token
+    * stream itself still pays split once, for the generator).
+    */
+  private def docLen(text: org.apache.spark.sql.Column) =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
   /** Per-term document frequency of one standing query's terms, plus the
     * corpus scalars — the FROZEN statistics the streaming percolator
     * ([[graft.streaming.Percolate]]) scores arrivals against. Bounded by
@@ -106,17 +117,20 @@ object Retrieval {
     */
   def frozenStats(s: SparkSession, d: String): FrozenIndexStats = {
     val docs = Tables.documents(s, d)
-    val t = docs.select(
+    // corpus stream spread (r20, same fix as bmScored); query side on the
+    // BARE scan so the IN filter keeps pushing into the parquet scan
+    val t = Materialize.spreadScan(docs).select(
       col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-    val qt = t.filter(isQueryDoc(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val qt = docs.filter(isQueryDoc(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("token")).distinct()
       .transform(Materialize.once) // collected below AND feeds the df probe
     val dfq = t.join(broadcast(qt.select("token").distinct()), "token")
       .select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
     val st = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .select(docLen(col("text")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .head()
     val rows = qt.join(dfq, "token")
@@ -172,12 +186,24 @@ object Retrieval {
     // one row per token OCCURRENCE, carrying the doc length. dl is
     // functionally dependent on doc_id, so grouping by it below adds no
     // cardinality — and saves a corpus-sized dl join.
-    val t = docs.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"),
-      explode(split(col("text"), " ")).as("token"))
-    val qt = t.filter(isQueryDoc(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    //
+    // r20 (JobProf: 16 stages / 16 TASKS, 3.6 s of single-task compute —
+    // the whole tokenize+tf pipeline serialized on the scan's one fixture
+    // split): spread the corpus stream (no-op at real scale), split ONCE
+    // per row (the old shape evaluated the regex split twice — once in
+    // the dl projection, once as the generator input; Generate's input
+    // is outside the child Project so codegen CSE never merges them),
+    // and take dl from the split already in hand.
+    val t = Materialize.spreadScan(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("token"))
+    // query side stays on the BARE scan: the IN filter must keep pushing
+    // into the parquet scan (O(Q) at any corpus size) — hanging it off
+    // the spread stream would put a repartition between filter and scan
+    val qt = docs.filter(isQueryDoc(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("token")).distinct()
     // prune the corpus stream to query-term postings BEFORE the tf
     // shuffle — the broadcast semi-join is what keeps the one big
     // shuffle proportional to candidate postings at 100 TB
@@ -189,10 +215,17 @@ object Retrieval {
     // of tf — no second corpus pass, no distinct over occurrences
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val st = docs
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .select(docLen(col("text")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    tf.join(broadcast(qt.join(dfq, "token")), "token")
-      .filter(col("doc_id") =!= col("query_id"))
+    // Quantize per (doc_id, token), BEFORE the query fan-out (r20): the
+    // rounded contribution q = round(idf·tfw·1e6) depends only on
+    // (df, tf, dl, corpus scalars) — never on query_id — and the later
+    // per-(query, doc) aggregate sums the identical longs, so hoisting
+    // the transcendentals+round above the qt join changes nothing but
+    // evaluates them once per POSTING instead of once per (query, doc,
+    // token) row (sf0.1: 155 k vs 3.1 M; the ratio is the query count's
+    // term coverage at any scale).
+    val qd = tf.join(broadcast(dfq), "token")
       .crossJoin(broadcast(st))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -200,6 +233,9 @@ object Retrieval {
         col("tf") * lit(2.2) / (col("tf") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
       .withColumn("q", round(col("idf") * col("tfw") * lit(1e6)).cast("long"))
+      .select("doc_id", "token", "q")
+    qd.join(broadcast(qt), "token")
+      .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"), sum("q").as("sum_q"))
   }

@@ -101,7 +101,12 @@ object Winnow {
   private[graft] def withFps(docs: DataFrame, gram: Int = GramLen,
       win: Int = WinSize): DataFrame = {
     WinnowFps.register(docs.sparkSession)
-    Materialize.spreadScan(docs)
+    // workFactor 4: md5 per gram (one digest per input CHARACTER) is the
+    // heaviest per-byte projection in the engine — r20 width sweep:
+    // dedup_winnow_pairs wall 2.4 s at width 4 vs 2.0 at 16, while the
+    // blanket full-parallelism spread burned 17 cpu-s in shuffle-file
+    // machinery for a 3.0 s wall (see Materialize.spreadScan)
+    Materialize.spreadScan(docs, workFactor = 4)
       .filter(length(col("text")) >= gram + win - 1)
       .withColumn("fps", expr(s"winnow_fps(text, $gram, $win)"))
   }
