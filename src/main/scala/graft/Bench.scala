@@ -362,6 +362,16 @@ object Bench {
     // run with broken queries without parsing the errors array — rc is 0
     // either way because partial timings are still worth recording.
     val gate = if (errors.isEmpty) "pass" else "fail"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"calib_rps":$calibMed%.0f,"scan_calib_rps":$scanMed%.0f,"gc_frac_max":${if (gcFracs.isEmpty) -1.0 else gcFracs.max}%.4f,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
+    // `queries` — per-query medians, driver-visible (VERDICT r20 #2: 20
+    // rounds of PERF.per_query came up empty because the medians lived
+    // only in the detail file; totals-only artifacts forced every
+    // round-over-round verdict into a calibration argument). Additions
+    // only: every pre-existing field keeps its name and meaning, and the
+    // full detail (spread/cpu/cold_builds/samples) still goes to the
+    // detail file. The r07 slice risk (a bounded tail capture cutting a
+    // long line) is mitigated, not reintroduced: this stays the LAST
+    // stdout line, ~2.5 KB, and the summary keeps its own short fields
+    // so a sliced head still leaves the detail file authoritative.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"nqueries":${results.count(_._2 >= 0)},"runs":$runs,"cpu_total":$cpuTotal%.3f,"loadavg":$load,"calib_rps":$calibMed%.0f,"scan_calib_rps":$scanMed%.0f,"gc_frac_max":${if (gcFracs.isEmpty) -1.0 else gcFracs.max}%.4f,"errors":$errs,"gate":"$gate","sf":"$sfDir","detail":"$detailPath"}""")
   }
 }

@@ -23,19 +23,26 @@ import org.apache.spark.sql.SparkSession
 object JobProf {
 
   private final class Prof extends SparkListener {
-    final case class Stage(durMs: Long, taskTimeMs: Long, maxTaskMs: Long, tasks: Int)
+    final case class Stage(durMs: Long, taskTimeMs: Long, tasks: Int)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[Stage]()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // max single-task wall (straggler signal) — from onTaskEnd, the only
+    // callback that sees per-task durations (ADVICE r20: the old per-Stage
+    // maxTaskMs field was stored as 0 and never printed)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     // [start, end] unix ms per stage, for the gap computation
     val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
     override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null)
+        maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
       val dur = (for {s <- i.submissionTime; e <- i.completionTime} yield e - s).getOrElse(0L)
       val run = i.taskMetrics.executorRunTime
-      stages.add(Stage(dur, run, 0L, i.numTasks))
+      stages.add(Stage(dur, run, i.numTasks))
       for {s <- i.submissionTime; e <- i.completionTime} spans.add((s, e))
       if (sys.env.contains("GRAFT_PROF_STAGES"))
         stageRows.add(f"    stage ${i.stageId}%4d dur=${dur / 1e3}%6.2f tasks=${i.numTasks}%4d " +
@@ -74,7 +81,7 @@ object JobProf {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     val queries = SparkEntry.queries
-    println(f"${"query"}%-36s ${"wall_s"}%7s ${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s ${"taskt_s"}%8s ${"gap_s"}%6s")
+    println(f"${"query"}%-36s ${"wall_s"}%7s ${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s ${"taskt_s"}%8s ${"maxt_s"}%6s ${"gap_s"}%6s")
     names.filter(queries.contains).foreach { n =>
       var last: String = null
       for (r <- 1 to runs) {
@@ -89,7 +96,7 @@ object JobProf {
         import scala.jdk.CollectionConverters._
         val st = prof.stages.asScala.toSeq
         val gap = gapMs(prof.spans.asScala.toSeq, t0w, t1w)
-        last = f"$n%-36s ${(t1w - t0w) / 1e3}%7.2f ${prof.jobs.get}%5d ${st.size}%6d ${st.map(_.tasks).sum}%6d ${st.map(_.taskTimeMs).sum / 1e3}%8.2f ${gap / 1e3}%6.2f"
+        last = f"$n%-36s ${(t1w - t0w) / 1e3}%7.2f ${prof.jobs.get}%5d ${st.size}%6d ${st.map(_.tasks).sum}%6d ${st.map(_.taskTimeMs).sum / 1e3}%8.2f ${prof.maxTaskMs.get / 1e3}%6.2f ${gap / 1e3}%6.2f"
         if (r == runs && sys.env.contains("GRAFT_PROF_STAGES")) {
           println(last); last = null
           prof.stageRows.forEach(r => println(r))

@@ -37,7 +37,11 @@ object QProf {
         if (t == null) None
         else Some(id -> (t.getThreadName, math.max(0L, tmx.getThreadCpuTime(id))))
       }.toMap
-    for (n <- names; r <- 1 to 4) {
+    // mirror JobProf's name filtering (ADVICE r20): a mistyped query name
+    // gets a stderr note instead of a raw NoSuchElementException mid-loop
+    names.filterNot(queries.contains).foreach(n =>
+      System.err.println(s"[qprof] unknown query '$n' — skipped"))
+    for (n <- names.filter(queries.contains); r <- 1 to 4) {
       val tc0 = threadCpu()
       val t0 = System.nanoTime(); val c0 = cpuNs(); val g0 = gcMs()
       queries(n)(spark, sfDir).count()

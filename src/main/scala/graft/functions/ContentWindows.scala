@@ -113,13 +113,31 @@ object ContentWindows {
   /** Register `content_windows(str, winLen, modSel)` (literal int params)
     * for use from `expr(...)`.
     */
+  /** Require a foldable integral literal before eval'ing a builder
+    * parameter (ADVICE r20: `content_windows(text, col, 4)` or a string
+    * literal otherwise fails with an obscure eval/ClassCastException at
+    * registration-expansion time).
+    */
+  private def literalInt(e: Expression, what: String): Int = {
+    require(e.foldable,
+      s"content_windows: $what must be a literal integer, got ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"content_windows: $what must be a literal integer, got ${e.sql} = $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("content_windows"))) {
       reg.createOrReplaceTempFunction(
         "content_windows",
         exprs => ContentWindows(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+          literalInt(exprs(1), "winLen"), literalInt(exprs(2), "modSel")),
         "scala_udf"
       )
     }

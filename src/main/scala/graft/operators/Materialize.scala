@@ -115,8 +115,17 @@ private[graft] object Materialize {
     * the input has ≥ parallelism splits and spreadScan is a no-op, so
     * the quantum only ever shapes small inputs.
     */
-  private val SpreadQuantumBytes: Long =
-    sys.props.get("graft.spread.quantum").map(_.toLong).getOrElse(192L * 1024)
+  // read per-call like graft.spread.width, parsed tolerantly (ADVICE r20:
+  // the object-init bare toLong crashed the first spreadScan caller on a
+  // malformed prop, and a prop set after class load was silently ignored)
+  private def spreadQuantumBytes: Long =
+    sys.props.get("graft.spread.quantum").flatMap { v =>
+      val parsed = scala.util.Try(v.toLong).toOption.filter(_ > 0)
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[materialize] ignoring malformed graft.spread.quantum='$v'; using default")
+      parsed
+    }.getOrElse(192L * 1024)
 
   /** `workFactor` scales the size-derived width for projections whose
     * per-byte cost is far above a plain scan's (md5-per-gram passes do
@@ -130,11 +139,19 @@ private[graft] object Materialize {
     val width = sys.props.get("graft.spread.width")
       .map(w => math.max(1, math.min(par, w.toInt)))
       .getOrElse {
+        val quantum = spreadQuantumBytes
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes * workFactor
-        val byQuantum = (bytes + SpreadQuantumBytes - 1) / SpreadQuantumBytes
+        val byQuantum = (bytes + quantum - 1) / quantum
         byQuantum.min(BigInt(par)).max(BigInt(1)).toInt
       }
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    // width 1 can never beat the input's own split count — short-circuit
+    // before the df.rdd call (VERDICT r20 #6: driver-side RDD
+    // instantiation per spreadScan call is planning-cost-only but adds up
+    // across a 154-query Verify at fixture scale, where width 1 is the
+    // common case)
+    if (width <= 1) df
+    else if (df.rdd.getNumPartitions < width) df.repartition(width)
+    else df
   }
 
   def once(df: DataFrame): DataFrame =

@@ -2,7 +2,17 @@
 # Run a graft main with plain java (no sbt lock): tools/jrun.sh graft.Bench [args...]
 # Mirrors build.sbt's forked-JVM options (JDK17 add-opens, UTC, no UI).
 set -u
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# Derive the repo root from this script's own location (ADVICE r20: a
+# hardcoded /root/repo classpath silently ran stale/missing classes from
+# another checkout or after a clean) and fail fast when the classes dir
+# is absent.
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$ROOT/target/scala-2.13/classes"
+if [ ! -d "$CLASSES" ]; then
+  echo "jrun.sh: $CLASSES not found — run 'sbt compile' first" >&2
+  exit 1
+fi
+CP="$CLASSES:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
