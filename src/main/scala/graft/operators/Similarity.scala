@@ -766,29 +766,86 @@ object Similarity {
     twoStageTopK(cosineCols(pairs), k, col("cosine").desc)
       .select("query_id", "rank", "vec_id", "cosine")
 
+  // ---- serving plans over a parameterized encode frame (r21) ----------
+  // Each ANN serving plan is ONE function of its (possibly shared) source
+  // frame: the standalone queries pass their own bare-scan encode (so the
+  // query-side isQueryId filter keeps its parquet pushdown), and
+  // ann_recall passes a single Materialize.once'd frame carrying every
+  // arm's encode columns — one corpus pass instead of five (VERDICT r20
+  // #1). One copy of each plan means the composite and standalone forms
+  // cannot drift; the oracle gate pins both.
+  // Column contract: `src` carries vec_id plus the columns the plan
+  // reads — emb (bruteforce/ivf re-rank), sig (lsh banding), cells
+  // (rank-ordered IVF probe cells), codes (PQ codes); the query side is
+  // the isQueryId rows of the same frame.
+
+  private def bruteforceTopkOn(src: DataFrame): DataFrame = {
+    val q = src.filter(isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val c = src.select(col("vec_id"), col("emb").as("ce"))
+    topk(c.join(broadcast(q), col("query_id") =!= col("vec_id")), 5)
+  }
+
+  private def lshTopkOn(src: DataFrame): DataFrame = {
+    val banded = banded4(src)
+    val q = banded.filter(isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("band_id"), col("band_val"))
+    val c = banded.select(col("vec_id"), col("emb").as("ce"),
+      col("band_id"), col("band_val"))
+    topk(c.join(broadcast(q), Seq("band_id", "band_val"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "qe", "vec_id", "ce")
+      .distinct(), 5)
+  }
+
+  private def ivfTopkOn(src: DataFrame): DataFrame = {
+    val corpus = src.select(col("vec_id"), col("emb").as("ce"),
+      element_at(col("cells"), 1).as("cell_id"))
+    val q = src.filter(isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        explode(col("cells")).as("cell_id"))
+    topk(corpus.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "qe", "vec_id", "ce"), 5)
+  }
+
+  private def pqTopkOn(src: DataFrame, qdf: DataFrame): DataFrame = {
+    val scored = src.select(col("vec_id"), col("codes"))
+      .join(broadcast(qdf), col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", expr(adcExpr))
+    twoStageTopK(scored, 5, col("approx_dist"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("approx_dist"), 4).as("approx_dist"))
+  }
+
+  /** `corpusSrc` and `querySrc` are separate because
+    * ann_ivfpq_filtered_topk pre-filters the CORPUS only — queries are
+    * never label-filtered.
+    */
+  private def ivfpqTopkOn(corpusSrc: DataFrame, querySrc: DataFrame,
+      qdf: DataFrame): DataFrame = {
+    val corpus = corpusSrc.select(col("vec_id"),
+      element_at(col("cells"), 1).as("cell_id"), col("codes"))
+    val qcells = querySrc.filter(isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), explode(col("cells")).as("cell_id"))
+    val scored = corpus
+      .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", expr(adcExpr))
+    twoStageTopK(scored, 5, col("approx_dist"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("approx_dist"), 4).as("approx_dist"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_bruteforce_topk" -> ((s, d) => {
+    "ann_bruteforce_topk" -> ((s, d) =>
       // exact baseline: one corpus pass × K=50 broadcast queries. The IN
       // filter pushes to the parquet scan, so the query side is O(K) at
       // any corpus size.
-      val e = withEmb(s, d)
-      val q = e.filter(isQueryId(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"))
-      val c = e.select(col("vec_id"), col("emb").as("ce"))
-      topk(c.join(broadcast(q), col("query_id") =!= col("vec_id")), 5)
-    }),
-    "ann_lsh_topk" -> ((s, d) => {
-      val e = withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)"))
-      val banded = banded4(e)
-      val q = banded.filter(isQueryId(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("band_id"), col("band_val"))
-      val c = banded.select(col("vec_id"), col("emb").as("ce"), col("band_id"), col("band_val"))
-      val cands = c.join(broadcast(q), Seq("band_id", "band_val"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select("query_id", "qe", "vec_id", "ce")
-        .distinct()
-      topk(cands, 5)
-    }),
+      bruteforceTopkOn(withEmb(s, d))),
+    "ann_lsh_topk" -> ((s, d) =>
+      lshTopkOn(withEmb(s, d).withColumn("sig", expr("hyperplane_sig16(emb)")))),
     "dedup_embedding_lsh" -> ((s, d) => {
       // near-dup scale path: hyperplane-LSH buckets → exact cosine re-rank,
       // top-20 pairs. Candidate volume tracks bucket collisions, not n².
@@ -862,14 +919,7 @@ object Similarity {
       // query side (tiny, IN-filter pushed to parquet) probes nprobe=2
       // cells — the full scan + assignment still runs exactly once.
       val fn = graft.functions.GraftFunctions.registerIvf(s, cents, 2)
-      val corpus = e.select(col("vec_id"), col("emb").as("ce"),
-        expr(s"element_at($fn(emb), 1)").as("cell_id"))
-      val q = e.filter(isQueryId(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-          explode(expr(s"$fn(emb)")).as("cell_id"))
-      topk(corpus.join(broadcast(q), Seq("cell_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select("query_id", "qe", "vec_id", "ce"), 5)
+      ivfTopkOn(e.withColumn("cells", expr(s"$fn(emb)")))
     }),
     "ann_pq_topk" -> ((s, d) => {
       // Product quantization + asymmetric distance (ADC) — the
@@ -888,14 +938,9 @@ object Similarity {
       val e = withEmb(s, d)
       val idx = annIndex(e, d)
       val fn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
-      val corpus = e.select(col("vec_id"), expr(s"$fn(emb)").as("codes"))
       import s.implicits._
       val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
-      val scored = corpus.join(broadcast(qdf), col("query_id") =!= col("vec_id"))
-        .withColumn("approx_dist", expr(adcExpr))
-      twoStageTopK(scored, 5, col("approx_dist"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("approx_dist"), 4).as("approx_dist"))
+      pqTopkOn(e.withColumn("codes", expr(s"$fn(emb)")), qdf)
     }),
     "ann_ivfpq_topk" -> ((s, d) => {
       // IVF × PQ composition — the actual 100 TB ANN serving shape: the
@@ -913,22 +958,13 @@ object Similarity {
       val idx = annIndex(e, d)
       val ivfFn = graft.functions.GraftFunctions.registerIvf(s, idx.centroids, 2)
       val pqFn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
-      val corpus = e.select(col("vec_id"),
-        expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
-        expr(s"$pqFn(emb)").as("codes"))
       // query side: probed cells from a tiny IN-pushed scan × driver LUTs —
       // both O(K), joined before broadcasting against the corpus
-      val qcells = e.filter(isQueryId(col("vec_id")))
-        .select(col("vec_id").as("query_id"), explode(expr(s"$ivfFn(emb)")).as("cell_id"))
       import s.implicits._
       val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
-      val scored = corpus
-        .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("approx_dist", expr(adcExpr))
-      twoStageTopK(scored, 5, col("approx_dist"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("approx_dist"), 4).as("approx_dist"))
+      val enc = e.withColumn("cells", expr(s"$ivfFn(emb)"))
+        .withColumn("codes", expr(s"$pqFn(emb)"))
+      ivfpqTopkOn(enc, enc, qdf)
     }),
     "ann_ivfpq_filtered_topk" -> ((s, d) => {
       // FILTERED vector search — the production feature every metadata-
@@ -945,21 +981,14 @@ object Similarity {
       val idx = annIndex(e, d)
       val ivfFn = graft.functions.GraftFunctions.registerIvf(s, idx.centroids, 2)
       val pqFn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
-      val corpus = e.filter(col("label") < FilteredLabelLt)
-        .select(col("vec_id"),
-          expr(s"element_at($ivfFn(emb), 1)").as("cell_id"),
-          expr(s"$pqFn(emb)").as("codes"))
-      val qcells = e.filter(isQueryId(col("vec_id")))
-        .select(col("vec_id").as("query_id"), explode(expr(s"$ivfFn(emb)")).as("cell_id"))
       import s.implicits._
       val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
-      val scored = corpus
-        .join(broadcast(qcells.join(qdf, Seq("query_id"))), Seq("cell_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("approx_dist", expr(adcExpr))
-      twoStageTopK(scored, 5, col("approx_dist"))
-        .select(col("query_id"), col("rank"), col("vec_id"),
-          round(col("approx_dist"), 4).as("approx_dist"))
+      val enc = e.withColumn("cells", expr(s"$ivfFn(emb)"))
+        .withColumn("codes", expr(s"$pqFn(emb)"))
+      // corpus-only pre-filter (BEFORE the encode projections, so it
+      // still pushes to the parquet scan — SimilarityFilterSpec asserts
+      // PushedFilters); the query side is never label-filtered
+      ivfpqTopkOn(enc.filter(col("label") < FilteredLabelLt), enc, qdf)
     }),
     "embedding_kmeans" -> ((s, d) => {
       // assignments come from the persisted store (r15): a fresh-JVM
@@ -1030,17 +1059,33 @@ object Similarity {
       // Recall@5 of each approximate index vs the bruteforce ground truth —
       // the first number a real ANN user asks of an index. All five result
       // sets are deterministic (and individually oracle-matched), so even
-      // this quality metric is hash-checked. Sharing: all four approximate
-      // pipelines reuse the one cached AnnIndex train step, and the ground
+      // this quality metric is hash-checked. Sharing (r21, VERDICT r20
+      // #1): ONE corpus pass computes every arm's encode — emb
+      // ride-through, LSH signature, rank-ordered IVF probe cells, PQ
+      // codes — materialized once; the five serving plans are the
+      // standalone queries' own functions over that shared frame, so the
+      // result sets are identical by construction (previously each arm
+      // re-scanned and re-encoded the corpus: 5 passes). The ground
       // truth is 250 rows — the join is a broadcast, the aggregate is 4
       // rows. Denominator = the full 50×5 ground-truth set, so a method
       // returning < 5 hits for some query is penalized, not normalized
       // away.
-      val bf = queries("ann_bruteforce_topk")(s, d).select("query_id", "vec_id")
-      Seq("lsh" -> "ann_lsh_topk", "ivf" -> "ann_ivf_topk",
-        "pq" -> "ann_pq_topk", "ivfpq" -> "ann_ivfpq_topk")
+      val e = withEmb(s, d)
+      val idx = annIndex(e, d)
+      val ivfFn = graft.functions.GraftFunctions.registerIvf(s, idx.centroids, 2)
+      val pqFn = graft.functions.GraftFunctions.registerPq(s, idx.codebooks)
+      import s.implicits._
+      val qdf = pqLuts(idx.queryVecs, idx.codebooks).toDF("query_id", "lut")
+      val enc = e.select(col("vec_id"), col("emb"),
+          expr("hyperplane_sig16(emb)").as("sig"),
+          expr(s"$ivfFn(emb)").as("cells"),
+          expr(s"$pqFn(emb)").as("codes"))
+        .transform(Materialize.once)
+      val bf = bruteforceTopkOn(enc).select("query_id", "vec_id")
+      Seq("lsh" -> lshTopkOn(enc), "ivf" -> ivfTopkOn(enc),
+        "pq" -> pqTopkOn(enc, qdf), "ivfpq" -> ivfpqTopkOn(enc, enc, qdf))
         .map { case (m, q) =>
-          queries(q)(s, d).select(lit(m).as("method"), col("query_id"), col("vec_id"))
+          q.select(lit(m).as("method"), col("query_id"), col("vec_id"))
         }
         .reduce(_ union _)
         .join(broadcast(bf), Seq("query_id", "vec_id"))
@@ -1150,83 +1195,124 @@ object Similarity {
       // Probe seam `graft.ann.prod.arm=np<N>.<adc|rerank>` restricts the
       // sweep to one arm so per-arm serve cost is timeable in isolation.
       val armFilter = sys.props.get("graft.ann.prod.arm")
-      val arms = for {
+      val selected = for {
         np <- Seq(ProdNprobe / 2, ProdNprobe, ProdNprobe * 2)
         rerank <- Seq(false, true)
         if armFilter.forall(_ == s"np$np." + (if (rerank) "rerank" else "adc"))
-      } yield {
-        val probeFn = graft.functions.GraftFunctions.registerIvf(s, cents, np)
-        val qcells = qvec.select(col("query_id"),
-          explode(expr(s"$probeFn(qe)")).as("cell_id"))
-        // LUT stride = the TRAINED codeword count (ADVICE r15): prodIndex
-        // trains min(ProdPqCodewords, sample.length) codewords and
-        // pqLutsN lays the LUT out with that stride — hardcoding
-        // ProdPqCodewords would read wrong offsets (or past the array)
-        // on a corpus with fewer than 64 embeddings.
-        val scored = corpus
-          .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
-          .withColumn("approx_dist", expr(adcExprN(books.head.length)))
-        // production serving shape (rerank arm): ADC SHORTLIST
-        // (top-ProdRerankDepth per query) → EXACT re-rank of the
-        // shortlist's original vectors (O(Q·depth) — the
-        // ann_hybrid_served_rerank idiom). The ADC-only arm serves the
-        // raw compressed-domain top-5; its exact cosines are computed
-        // for GRADING only (the order stays ADC order) — that arm shows
-        // what the re-rank buys (measured sf10: hit@1 0.66 ADC-only vs
-        // 1.0 re-ranked — PQ crowding erodes rank-1 as the corpus grows).
-        val approx =
-          if (rerank) {
-            val shortlist = twoStageTopK(scored, ProdRerankDepth,
-              col("approx_dist")).select("query_id", "vec_id")
-            twoStageTopK(
-              shortlist
-                .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
-                .join(broadcast(qvec), Seq("query_id"))
-                .withColumn("cos_q", exactCos),
-              5, col("cos_q").desc)
-              .select("query_id", "rank", "vec_id", "cos_q")
-          } else {
-            twoStageTopK(scored, 5, col("approx_dist"))
-              .select("query_id", "rank", "vec_id")
-              .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
-              .join(broadcast(qvec), Seq("query_id"))
-              .withColumn("cos_q", exactCos)
-              .select("query_id", "rank", "vec_id", "cos_q")
-          }
-        val hit1 = approx.filter(col("rank") === 1)
-          .agg(sum(when(col("cos_q") >= hitFloor, 1L).otherwise(0L))
-            .as("hits1"))
-        val rec5 = approx
-          .join(broadcast(bf.select("query_id", "vec_id")),
-            Seq("query_id", "vec_id"))
-          .agg(count(lit(1)).as("hits5"))
-        // competitive recall: the returned neighbor's EXACT cosine meets
-        // the ground truth's 5th-best (1.1e-4 slack covers the 4-dp
-        // rounding of cos5 vs the 1e-6 quantization of cos_q — it can
-        // only loosen, and only at diagnostics precision)
-        val rec5c = approx.join(broadcast(bfFloor), Seq("query_id"))
-          .agg(sum(when(col("cos_q").cast("double") / lit(1e6) >=
-            col("cos5") - lit(1.1e-4), 1L).otherwise(0L)).as("hits5c"))
-        hit1.crossJoin(rec5).crossJoin(rec5c)
-          .select(
-            // label reports the TRAINED codeword count (self-review r16:
-            // the ADC stride already uses it — a config string claiming
-            // pq8x64 for an index trained smaller would let cross-round
-            // artifact reads conflate different geometries)
-            lit(s"ivf${cents.length}.nprobe$np.pq${PqM}x${books.head.length}." +
-              (if (rerank) "rerank" else "adc")).as("config"),
-            lit(np).as("nprobe"),
-            lit(rerank).as("reranked"),
-            lit(seeds.length).as("n_queries"),
-            round(col("hits1") / lit(seeds.length.toDouble), 4)
-              .as("planted_hit_at_1"),
-            round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"),
-            round(col("hits5c") / lit(seeds.length * 5.0), 4)
-              .as("recall_at_5_cos"))
-      }
-      require(arms.nonEmpty, s"graft.ann.prod.arm=${armFilter.get} matches " +
+      } yield (np, rerank)
+      require(selected.nonEmpty, s"graft.ann.prod.arm=${armFilter.get} matches " +
         "no arm — expected np{4|8|16}.{adc|rerank} at the current ProdNprobe")
-      arms.reduce(_ unionByName _)
+      // ONE probe + corpus join for the WHOLE sweep (r21; was one corpus
+      // join per (nprobe, rerank) arm, each then re-evaluated by three
+      // separate grading aggregates — JobProf: 65 jobs, 8.75 task-s).
+      // IvfTopCells' cell order is TOTAL (cosine desc, id desc on ties),
+      // so the np-probe cell set is exactly the first np entries of the
+      // widest selected probe — each arm filters the probe rank instead
+      // of re-joining the corpus (guide §2.4: operations keyed the same
+      // way share one pass).
+      val maxNp = selected.map(_._1).max
+      val probeFn = graft.functions.GraftFunctions.registerIvf(s, cents, maxNp)
+      val qcells = qvec.select(col("query_id"),
+          posexplode(expr(s"$probeFn(qe)")))
+        .withColumnRenamed("pos", "probe_rank")
+        .withColumnRenamed("col", "cell_id")
+      // LUT stride = the TRAINED codeword count (ADVICE r15): prodIndex
+      // trains min(ProdPqCodewords, sample.length) codewords and
+      // pqLutsN lays the LUT out with that stride — hardcoding
+      // ProdPqCodewords would read wrong offsets (or past the array)
+      // on a corpus with fewer than 64 embeddings.
+      val scoredAll = corpus
+        .join(broadcast(qcells.join(qlut, Seq("query_id"))), Seq("cell_id"))
+        .withColumn("approx_dist", expr(adcExprN(books.head.length)))
+        .select("query_id", "probe_rank", "vec_id", "approx_dist")
+        .transform(Materialize.once)
+      // production serving shape (rerank arm): ADC SHORTLIST
+      // (top-ProdRerankDepth per query) → EXACT re-rank of the
+      // shortlist's original vectors (O(Q·depth) — the
+      // ann_hybrid_served_rerank idiom). The ADC-only arm serves the
+      // raw compressed-domain top-5; its exact cosines are computed
+      // for GRADING only (the order stays ADC order) — that arm shows
+      // what the re-rank buys (measured sf10: hit@1 0.66 ADC-only vs
+      // 1.0 re-ranked — PQ crowding erodes rank-1 as the corpus grows).
+      //
+      // Shared shortlist (r21): the ADC-only arm's top-5 is the first 5
+      // rows of the SAME total order (approx_dist, vec_id) that ranks the
+      // re-rank arm's top-ProdRerankDepth shortlist, so ONE shortlist per
+      // nprobe serves both arms, and the exact-cosine join back to the
+      // original vectors (the one remaining corpus-sized probe) runs once
+      // for the whole sweep over the np-tagged union.
+      val shortAll = selected.map(_._1).distinct.map { np =>
+        twoStageTopK(scoredAll.filter(col("probe_rank") < np),
+            ProdRerankDepth, col("approx_dist"))
+          .select(lit(np).as("np"), col("query_id"),
+            col("rank").as("adc_rank"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val scoredShort = shortAll
+        .join(e.select(col("vec_id"), col("emb").as("ce")), Seq("vec_id"))
+        .join(broadcast(qvec), Seq("query_id"))
+        .withColumn("cos_q", exactCos)
+        .select("np", "query_id", "adc_rank", "vec_id", "cos_q")
+        .transform(Materialize.once)
+      // Every arm's top-5 and ALL grading in ONE pass each (r21): the
+      // re-rank top-5 of every np is a single window partitioned by
+      // (np, query_id) — the same total order (cos_q desc, vec_id) the
+      // old per-arm topk used, applied per group — the ADC-only top-5 is
+      // a rank filter, and the (np, reranked)-tagged union reduces under
+      // one groupBy: six aggregate subtrees + two crossJoins each
+      // collapse to one aggregate. Per-group values are identical — the
+      // group keys partition the union exactly as the old per-arm frames
+      // did, and every selected arm is non-empty for any corpus with
+      // ≥ 1 vector (the planted queries always return rank 1). bf
+      // membership is a broadcast LEFT-join marker and the per-query
+      // exact 5th-best floor rides the same row (left join — an absent
+      // floor contributes 0 exactly as the old inner join dropped the
+      // row); count(when(marker, 1)) ≡ the old inner-join count(*).
+      // Competitive-recall slack unchanged: 1.1e-4 covers the 4-dp
+      // rounding of cos5 vs the 1e-6 quantization of cos_q — it can only
+      // loosen, and only at diagnostics precision.
+      val rerankNps = selected.collect { case (np, true) => np }
+      val adcNps = selected.collect { case (np, false) => np }
+      val rerankRows =
+        if (rerankNps.isEmpty) Seq.empty[DataFrame]
+        else Seq(twoStageTopKBy(
+            scoredShort.filter(col("np").isin(rerankNps: _*)).drop("adc_rank"),
+            5, struct(col("np"), col("query_id")), xxhash64(col("vec_id")),
+            Seq(col("cos_q").desc, col("vec_id")))
+          .select(col("np"), lit(true).as("reranked"), col("query_id"),
+            col("rank"), col("vec_id"), col("cos_q")))
+      val adcRows =
+        if (adcNps.isEmpty) Seq.empty[DataFrame]
+        else Seq(scoredShort
+          .filter(col("np").isin(adcNps: _*) && col("adc_rank") <= 5)
+          .select(col("np"), lit(false).as("reranked"), col("query_id"),
+            col("adc_rank").as("rank"), col("vec_id"), col("cos_q")))
+      (rerankRows ++ adcRows).reduce(_ unionByName _)
+        .join(broadcast(bf.select(col("query_id"), col("vec_id"),
+          lit(true).as("in_bf"))), Seq("query_id", "vec_id"), "left")
+        .join(broadcast(bfFloor), Seq("query_id"), "left")
+        .groupBy(col("np"), col("reranked"))
+        .agg(
+          sum(when(col("rank") === 1 && col("cos_q") >= hitFloor, 1L)
+            .otherwise(0L)).as("hits1"),
+          count(when(col("in_bf"), lit(1))).as("hits5"),
+          sum(when(col("cos_q").cast("double") / lit(1e6) >=
+            col("cos5") - lit(1.1e-4), 1L).otherwise(0L)).as("hits5c"))
+        .select(
+          // label reports the TRAINED codeword count (self-review r16:
+          // the ADC stride already uses it — a config string claiming
+          // pq8x64 for an index trained smaller would let cross-round
+          // artifact reads conflate different geometries)
+          concat(lit(s"ivf${cents.length}.nprobe"), col("np").cast("string"),
+            lit(s".pq${PqM}x${books.head.length}."),
+            when(col("reranked"), "rerank").otherwise("adc")).as("config"),
+          col("np").as("nprobe"),
+          col("reranked"),
+          lit(seeds.length).as("n_queries"),
+          round(col("hits1") / lit(seeds.length.toDouble), 4)
+            .as("planted_hit_at_1"),
+          round(col("hits5") / lit(seeds.length * 5.0), 4).as("recall_at_5"),
+          round(col("hits5c") / lit(seeds.length * 5.0), 4)
+            .as("recall_at_5_cos"))
         .orderBy(col("nprobe"), col("reranked"))
         // probe seam: -Dgraft.ann.prod.bound=-1 disables the gates to
         // READ the measured numbers while tuning; defaults stand. The
