@@ -115,27 +115,62 @@ object Retrieval {
     * docs containing the token), so stream scores are bit-identical to
     * batch scores against the same corpus snapshot.
     */
+  /** The standing query set's (query_id, term) pairs, collected once per
+    * dataset content version per JVM (r21). This is the SAME bounded
+    * O(query-vocab) driver materialization [[frozenStats]] has always
+    * performed for the percolator — hoisted into a shared content-keyed
+    * cache so the batch scorer can bind the vocabulary into a
+    * [[graft.functions.StandingTf]] expression: per-doc term frequencies
+    * then compute in ONE codegen loop per row, the occurrence-level
+    * explode + broadcast prune + tf shuffle disappear outright (guide
+    * §2.4), and the posting stage's input is distinct (doc, term) rows
+    * instead of token occurrences. Cold-build attributed; content-keyed
+    * like Similarity's model caches, so an in-place rewrite refreshes.
+    */
+  private val standingQtCache = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Long, String)]]
+
+  private def qtCacheKey(d: String): String = {
+    val canon = try new java.io.File(d).getCanonicalPath catch {
+      case _: java.io.IOException => d
+    }
+    s"$canon@${Tables.tableFingerprint(d, "documents")}"
+  }
+
+  private[graft] def standingQt(s: SparkSession, d: String): Array[(Long, String)] =
+    standingQtCache.getOrElseUpdate(qtCacheKey(d), {
+      graft.ColdBuilds.record("bm25_standing_queries")
+      Tables.documents(s, d).filter(isQueryDoc(col("doc_id")))
+        .select(col("doc_id").as("query_id"),
+          explode(split(col("text"), " ")).as("token")).distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    })
+
   def frozenStats(s: SparkSession, d: String): FrozenIndexStats = {
     val docs = Tables.documents(s, d)
-    // corpus stream spread (r20, same fix as bmScored); query side on the
-    // BARE scan so the IN filter keeps pushing into the parquet scan
-    val t = Materialize.spreadScan(docs).select(
-      col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-    val qt = docs.filter(isQueryDoc(col("doc_id")))
-      .select(col("doc_id").as("query_id"),
-        explode(split(col("text"), " ")).as("token")).distinct()
-      .transform(Materialize.once) // collected below AND feeds the df probe
-    val dfq = t.join(broadcast(qt.select("token").distinct()), "token")
-      .select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val qtRows = standingQt(s, d)
     val st = docs
       .select(docLen(col("text")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .head()
-    val rows = qt.join(dfq, "token")
-      .select("query_id", "token", "df").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    if (qtRows.isEmpty) return assembleFrozen(Array.empty, st.getLong(0), st.getLong(1))
+    // df via the frozen-vocab tf expression (r21): one codegen loop per
+    // doc replaces the occurrence explode + broadcast semi-join + double
+    // distinct; a term's df = #docs whose tf against the union vocabulary
+    // is positive — the identical count.
+    val union = qtRows.map(_._2).distinct.sorted.toSeq
+    val tfFn = graft.functions.GraftFunctions.registerStandingTf(s, union)
+    val dfByIdx = Materialize.spreadScan(docs)
+      .select(posexplode(expr(s"$tfFn(split(text, ' '))")))
+      .filter(col("col") > 0)
+      .groupBy("pos").agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val idxOf = union.zipWithIndex.toMap
+    // a query term absent from every doc (df 0) never appeared in the old
+    // dfq inner join either — drop it the same way
+    val rows = qtRows.flatMap { case (qid, term) =>
+      dfByIdx.get(idxOf(term)).map(df => (qid, term, df))
+    }
     assembleFrozen(rows, st.getLong(0), st.getLong(1))
   }
 
@@ -183,49 +218,56 @@ object Retrieval {
     */
   private[graft] def bmScored(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // one row per token OCCURRENCE, carrying the doc length. dl is
-    // functionally dependent on doc_id, so grouping by it below adds no
-    // cardinality — and saves a corpus-sized dl join.
-    //
-    // r20 (JobProf: 16 stages / 16 TASKS, 3.6 s of single-task compute —
-    // the whole tokenize+tf pipeline serialized on the scan's one fixture
-    // split): spread the corpus stream (no-op at real scale), split ONCE
-    // per row (the old shape evaluated the regex split twice — once in
-    // the dl projection, once as the generator input; Generate's input
-    // is outside the child Project so codegen CSE never merges them),
-    // and take dl from the split already in hand.
-    val t = Materialize.spreadScan(docs)
+    val qtRows = standingQt(s, d)
+    if (qtRows.isEmpty) {
+      // no standing queries ⇒ the old qt joins produced an empty result;
+      // reproduce its exact schema
+      import s.implicits._
+      return Seq.empty[(Long, Long, Int, Long)]
+        .toDF("query_id", "doc_id", "n_terms", "sum_q")
+    }
+    // Postings via the frozen-vocab StandingTf expression (r21, VERDICT
+    // r20 #7): per-doc term frequencies against the standing vocabulary
+    // compute in ONE codegen loop per row — one HashMap probe per token —
+    // so the posting stage's input is distinct (doc, term) rows with
+    // tf > 0 instead of one row per token OCCURRENCE. Replaces, output-
+    // identically: the corpus-stream explode (Generate over every
+    // occurrence), the broadcast semi-join prune, AND the tf shuffle
+    // (groupBy doc, dl, token) — the pipeline's one corpus-sized exchange
+    // is gone outright (guide §2.4); what remains shuffles nothing until
+    // the per-(query, doc) aggregate over candidate postings. dl rides
+    // the same split (size(ws), unchanged since r20). The standing
+    // vocabulary is the SAME bounded driver materialization frozenStats
+    // has always collected for the percolator, now shared via
+    // [[standingQt]]'s content-keyed cache.
+    val union = qtRows.map(_._2).distinct.sorted.toSeq
+    val idxOf = union.zipWithIndex.toMap
+    val tfFn = graft.functions.GraftFunctions.registerStandingTf(s, union)
+    // corpus stream spread: no-op at real scale, un-serializes the
+    // single-split fixture scan (r20)
+    val tf = Materialize.spreadScan(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
-        explode(col("ws")).as("token"))
-    // query side stays on the BARE scan: the IN filter must keep pushing
-    // into the parquet scan (O(Q) at any corpus size) — hanging it off
-    // the spread stream would put a repartition between filter and scan
-    val qt = docs.filter(isQueryDoc(col("doc_id")))
-      .select(col("doc_id").as("query_id"),
-        explode(split(col("text"), " ")).as("token")).distinct()
-    // prune the corpus stream to query-term postings BEFORE the tf
-    // shuffle — the broadcast semi-join is what keeps the one big
-    // shuffle proportional to candidate postings at 100 TB
-    val pruned = t.join(broadcast(qt.select("token").distinct()), "token")
-    val tf = pruned.groupBy("doc_id", "dl", "token")
-      .agg(count(lit(1)).as("tf"))
+        posexplode(expr(s"$tfFn(ws)")))
+      .filter(col("col") > 0)
+      .select(col("doc_id"), col("dl"), col("pos").as("idx"),
+        col("col").cast("long").as("tf"))
       .transform(Materialize.once) // feeds both the df branch and the score join
-    // tf rows are distinct (doc_id, token) pairs, so df is a re-aggregation
-    // of tf — no second corpus pass, no distinct over occurrences
-    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // tf rows are distinct (doc_id, term) pairs, so df is a re-aggregation
+    // of tf — no second corpus pass
+    val dfq = tf.groupBy("idx").agg(count(lit(1)).as("df"))
     val st = docs
       .select(docLen(col("text")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    // Quantize per (doc_id, token), BEFORE the query fan-out (r20): the
+    // Quantize per (doc_id, term), BEFORE the query fan-out (r20): the
     // rounded contribution q = round(idf·tfw·1e6) depends only on
     // (df, tf, dl, corpus scalars) — never on query_id — and the later
     // per-(query, doc) aggregate sums the identical longs, so hoisting
     // the transcendentals+round above the qt join changes nothing but
     // evaluates them once per POSTING instead of once per (query, doc,
-    // token) row (sf0.1: 155 k vs 3.1 M; the ratio is the query count's
+    // term) row (sf0.1: 155 k vs 3.1 M; the ratio is the query count's
     // term coverage at any scale).
-    val qd = tf.join(broadcast(dfq), "token")
+    val qd = tf.join(broadcast(dfq), "idx")
       .crossJoin(broadcast(st))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -233,8 +275,14 @@ object Retrieval {
         col("tf") * lit(2.2) / (col("tf") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sum_dl") / col("n_docs")))))
       .withColumn("q", round(col("idf") * col("tfw") * lit(1e6)).cast("long"))
-      .select("doc_id", "token", "q")
-    qd.join(broadcast(qt), "token")
+      .select("doc_id", "idx", "q")
+    // the (query_id, term-idx) fan-out side is driver-built from the same
+    // collected standing set — one row per (query, term), exactly the old
+    // qt distinct
+    import s.implicits._
+    val qtIdx = qtRows.map { case (qid, term) => (qid, idxOf(term)) }
+      .toSeq.toDF("query_id", "idx")
+    qd.join(broadcast(qtIdx), "idx")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"), sum("q").as("sum_q"))
