@@ -998,10 +998,7 @@ object BmStore {
       val bmr = servedRanked(s, bmRoot, frozenStats(s, bmRoot, d), FuseDepth)
         .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
       val annRoot = AnnIndexIO.ensureFullBuilt(s, d)
-      val qs = Similarity.withEmb(s, d)
-        .filter(Retrieval.isQueryDoc(col("vec_id")))
-        .select("vec_id", "emb").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val qs = queryEmbs(s, d)
       val cr = AnnIndexIO.serveVectors(s, annRoot, qs, FuseDepth)
         .select(col("query_id"), col("vec_id").as("doc_id"),
           col("rank").as("r_cos"))
@@ -1055,10 +1052,7 @@ object BmStore {
       val bmr = servedRanked(s, bmRoot, frozenStats(s, bmRoot, d), FuseDepth)
         .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
       val annRoot = AnnIndexIO.ensureFullBuilt(s, d)
-      val qs = Similarity.withEmb(s, d)
-        .filter(Retrieval.isQueryDoc(col("vec_id")))
-        .select("vec_id", "emb").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val qs = queryEmbs(s, d)
       val deep = AnnIndexIO.serveVectors(s, annRoot, qs, RerankDepth,
           nprobe = RerankNprobe)
         .select(col("query_id"), col("vec_id"))
@@ -1104,6 +1098,32 @@ object BmStore {
         .select("query_id", "hits", "overlap_at_10")
     })
   )
+
+  /** The standing query documents' embeddings (vec_id ∈
+    * [[Retrieval.QueryDocIds]]), collected once per dataset content
+    * version per JVM (r21): both hybrid serve paths previously re-read
+    * and re-collected the same O(Q) vectors on EVERY serve — a scan +
+    * collect barrier per query. Same frozen-model discipline as the
+    * standing-query vocabulary and the trained-centroid caches:
+    * content-keyed (an in-place rewrite refreshes), cold-build
+    * attributed, O(Q × dims) driver memory.
+    */
+  private val queryEmbCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Array[Double])]]
+
+  private def queryEmbs(s: SparkSession, d: String): Seq[(Long, Array[Double])] =
+    queryEmbCache.getOrElseUpdate({
+      val canon = try new java.io.File(d).getCanonicalPath catch {
+        case _: java.io.IOException => d
+      }
+      s"$canon@${Tables.tableFingerprint(d, "embeddings")}"
+    }, {
+      graft.ColdBuilds.record("hybrid_query_embs")
+      Similarity.withEmb(s, d)
+        .filter(Retrieval.isQueryDoc(col("vec_id")))
+        .select("vec_id", "emb").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    })
 
   /** ANN candidate depth feeding the exact re-rank: 8× the fusion depth.
     * The retrieve-deep/re-rank-shallow ratio is deliberately generous

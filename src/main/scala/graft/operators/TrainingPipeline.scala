@@ -157,7 +157,7 @@ object TrainingPipeline {
     * one shingle pass feeds both).
     */
   private def manifestOn(s: SparkSession, d: String,
-      compLabels: DataFrame): DataFrame = {
+      compLabels: => DataFrame): DataFrame = {
     val docs = Tables.documents(s, d)
     val quality = TextOps.queries("text_quality")(s, d)
       .select(col("doc_id"), col("quality_score"))
@@ -165,11 +165,28 @@ object TrainingPipeline {
     val exact = docs
       .withColumn("exact_canonical", col("doc_id") === min("doc_id").over(byHash))
       .select("doc_id", "exact_canonical")
+    // Overlap the two INDEPENDENT eager subtrees (guide §2.6, r21): the
+    // near-dup contamination arm's shingle-pass materialization and the
+    // component-label arm's eager work (the one-shot fixpoint's edge
+    // pass, or the stored serve's label build) previously serialized at
+    // plan-construction time — two driver-eager phases back to back with
+    // the cluster idle through each one's barriers. Spark schedules
+    // concurrent driver jobs FIFO with back-fill, so running the two
+    // thunks on separate threads overlaps their jobs; every value is
+    // deterministic, so scheduling cannot change the output. (The lazy
+    // quality/exact/split branches already parallelize as independent
+    // stages of the final job — only the EAGER phases needed threads.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val contamF = Future {
+      Dedup.trainEvalNearDup(s, d)._2
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("contaminates_eval", lit(true))
+    }
     val comp = compLabels
       .select(col("doc_id"), col("is_canonical").as("cluster_canonical"))
-    val contam = Dedup.trainEvalNearDup(s, d)._2
-      .select(col("train_id").as("doc_id")).distinct()
-      .withColumn("contaminates_eval", lit(true))
+    val contam = Await.result(contamF, Duration.Inf)
     docs
       .select(col("doc_id"), expr(
         "cast(conv(substring(md5(concat('split:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
