@@ -933,6 +933,20 @@ object GraftFunctions {
         "bpe_token_count",
         exprs => BpeTokenCount(exprs.head),
         "scala_udf")
+      // portable-hash prefixes (r21): the two widths the engine uses —
+      // 8 hex (31-ish-bit bucket hashes) and 15 hex (fingerprint screens)
+      reg.createOrReplaceTempFunction(
+        "md5_prefix8",
+        exprs => Md5PrefixLong(exprs.head, 8),
+        "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "md5_prefix15",
+        exprs => Md5PrefixLong(exprs.head, 15),
+        "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "md5_prefix15_array",
+        exprs => Md5PrefixLongArray(exprs.head, 15),
+        "scala_udf")
       // last: its presence is the "already registered" marker above
       reg.createOrReplaceTempFunction(
         "dot_double",

@@ -70,10 +70,13 @@ object Dedup {
     * the signature build and the exact-Jaccard confirm.
     */
   private def minhashSigsFromShingles(shingled: DataFrame): DataFrame = {
+    // native portable-hash prefix (r21): same value as
+    // cast(conv(substring(md5(s),1,8),16,10) as bigint) — which stays the
+    // oracle form — minus the per-shingle hex-string round-trip
+    graft.functions.GraftFunctions.register(shingled.sparkSession)
     val exploded = shingled
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h",
-        expr(s"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) % $MinhashP"))
+      .withColumn("h", expr(s"md5_prefix8(s) % $MinhashP"))
     val aggs = (0 until 16).map(i =>
       min(expr(s"(${hashA(i)} * h + ${hashB(i)}) % $MinhashP")).as(s"m$i"))
     exploded
@@ -896,10 +899,13 @@ object Dedup {
       // driver-resident postings count bounds it under the gate;
       // past the gate it joins as a plain shuffle — candidate-sized
       // exchanges, still never string-array-sized.
+      // one-loop native array hash (r21): the transform lambda never
+      // enters whole-stage codegen (interpreted per ELEMENT — the
+      // WinnowFps lesson), and each element paid the md5 hex-string
+      // round-trip; md5_prefix15_array is the bit-identical twin of the
+      // lambda form, which stays the oracle SQL
       val shh = sh.select(col("doc_id"), col("n_sh"),
-        array_sort(expr(
-          "transform(sh, x -> cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint))"))
-          .as("shh"))
+        array_sort(expr("md5_prefix15_array(sh)")).as("shh"))
         .transform(Materialize.once) // the screen joins it twice
       // corpusStats (cached per corpus) still backs THIS gate — the
       // one remaining consumer of the df-stats aggregate now that the

@@ -74,22 +74,28 @@ object Dsir {
     * gate's scores cannot drift from the batch formula.
     */
   private[graft] def bucketSql(tok: String): String =
-    s"cast(conv(substring(md5($tok), 1, 8), 16, 10) as bigint) % $Buckets"
+    // native portable-hash prefix (r21) — bit-identical to
+    // cast(conv(substring(md5(x),1,8),16,10) as bigint), which stays the
+    // oracle form; consumers must have GraftFunctions.register'd their
+    // session (occ below and the frozen gate both do)
+    s"md5_prefix8($tok) % $Buckets"
 
   /** 1e-6-quantized Gumbel noise from doc_id — shared VERBATIM with the
     * gate for the same reason (u = (md5-prefix + 0.5)/2^32 ∈ (0,1)).
     */
   private[graft] val gumbelSql: String =
-    "cast(round(-ln(-ln((cast(conv(substring(md5(concat('dsir:', " +
-      "cast(doc_id as string))), 1, 8), 16, 10) as bigint) + 0.5) " +
+    "cast(round(-ln(-ln((md5_prefix8(concat('dsir:', " +
+      "cast(doc_id as string))) + 0.5) " +
       "/ 4294967296.0)) * 1e6) as bigint)"
 
   /** (doc_id, is_target, bucket) per token OCCURRENCE. */
-  private def occ(s: SparkSession, d: String): DataFrame =
+  private def occ(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), isTarget.as("is_target"),
         explode(split(col("text"), " ")).as("token"))
       .withColumn("bucket", expr(bucketSql("token")))
+  }
 
   /** The fitted model rows (bucket, ct, cr, lam), cached per dataset-dir
     * CONTENT fingerprint (the kmeansCents idiom): the model is exactly

@@ -61,8 +61,9 @@ object Overlap {
       .withColumn("sh", expr("word_shingles(text)"))
       .filter(col("sh").isNotNull)
       .select(col("source"), explode(col("sh")).as("sg"))
-      .withColumn("h",
-        expr(s"cast(conv(substring(md5(sg), 1, 8), 16, 10) as bigint) % $P"))
+      // native portable-hash prefix (r21) — bit-identical to the
+      // conv(substring(md5)) chain, which stays the oracle form
+      .withColumn("h", expr(s"md5_prefix8(sg) % $P"))
       .select("source", "h").distinct()
   }
 

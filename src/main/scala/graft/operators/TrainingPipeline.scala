@@ -336,8 +336,9 @@ object TrainingPipeline {
       graft.functions.GraftFunctions.register(s)
       val fps = Dedup.withShingles(Tables.documents(s, d))
         .select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("fp", expr(
-          "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+        // native portable-hash prefix (r21) — bit-identical to the
+        // conv(substring(md5)) chain, which stays the oracle form
+        .withColumn("fp", expr("md5_prefix15(s)"))
         .select("doc_id", "fp")
       // small side materialized once: it feeds the filter build AND the
       // exact confirm join

@@ -88,6 +88,10 @@ object DsirGate {
   def score(docs: DataFrame, frozen: FrozenDsir): DataFrame = {
     require(frozen.lam.size == Dsir.Buckets,
       s"frozen model must cover all ${Dsir.Buckets} buckets")
+    // the shared bucket/gumbel fragments now resolve md5_prefix8 (r21) —
+    // register against the ARRIVAL frame's session, which need not be the
+    // one the model was fitted on
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val accepted = frozen.cut match {
       case None => lit(false)
       case Some((cutQ, cutId)) =>
