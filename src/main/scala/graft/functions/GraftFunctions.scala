@@ -78,6 +78,91 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL adjacent n-grams of a space-tokenized string, duplicates kept,
+  * joined with ' ' — the multiplicity-preserving sibling of
+  * [[WordShingles]] (whose LinkedHashSet dedup makes it unusable for
+  * COUNT models). Null for texts with < n words, exactly like the
+  * zip_with-over-split form it replaces (r21):
+  * {{{
+  *   zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1),
+  *     (a, b) -> named_struct('w1', a, 'w2', b))        -- n = 2
+  * }}}
+  * whose lambda is interpreted per ELEMENT (higher-order functions never
+  * enter whole-stage codegen — the WinnowFps lesson). The joined string
+  * is a bijective encoding of the token tuple (tokens are split fields,
+  * so they cannot contain the joiner), so grouping by it is grouping by
+  * the tuple; consumers that need the tuple back split the VOCAB-sized
+  * aggregate, never the corpus stream. Tokenization is split(' ', -1) —
+  * identical to Spark's split(text, ' ') including empty fields.
+  */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null for texts with < n words
+  override def prettyName: String = s"word_grams$n"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("word_grams(string, n>=1)")
+
+  def compute(input: UTF8String): ArrayData = {
+    // Adjacent tokens are separated by exactly ONE space, so the
+    // space-joined n-gram (w_i, …, w_{i+n-1}) is EXACTLY the contiguous
+    // byte span from w_i's first byte to w_{i+n-1}'s last — each gram is
+    // a zero-copy slice of the input (0x20 only ever encodes ' ' in
+    // UTF-8, so a byte scan finds the token boundaries exactly where
+    // split(' ') does). A toString/split/StringBuilder/fromString
+    // formulation measured ~2× the CPU of the zip_with form this
+    // expression replaces; this one allocates nothing but the output
+    // refs.
+    val bytes = input.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) spaces += 1; i += 1 }
+    val nWords = spaces + 1
+    if (nWords < n) return null
+    // starts(k) = first byte of token k; ends(k) = one past its last
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = bytes.length
+    val out = new Array[Any](nWords - n + 1)
+    var g = 0
+    while (g <= nWords - n) {
+      out(g) = UTF8String.fromBytes(bytes, starts(g), ends(g + n - 1) - starts(g))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordGrams", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("grams")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp = $self.compute($c);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 /** |a ∩ b| for two SORTED, DISTINCT-element arrays via one linear merge —
   * the verification kernel of the AllPairs/prefix jaccard plan. Spark's
   * `array_intersect` builds a per-ROW hash set (then materializes the
@@ -935,6 +1020,10 @@ object GraftFunctions {
         "scala_udf")
       // portable-hash prefixes (r21): the two widths the engine uses —
       // 8 hex (31-ish-bit bucket hashes) and 15 hex (fingerprint screens)
+      reg.createOrReplaceTempFunction(
+        "word_bigrams",
+        exprs => WordGrams(exprs.head, 2),
+        "scala_udf")
       reg.createOrReplaceTempFunction(
         "md5_prefix8",
         exprs => Md5PrefixLong(exprs.head, 8),

@@ -310,20 +310,25 @@ object TextOps {
       //    (weighted by the occurrence count), the module-wide
       //    determinism idiom.
       val docs = Tables.documents(s, d)
-      // spread the scan: the zip_with/named_struct bigram projection is
-      // interpreted higher-order eval (never codegen), and the fixture is
-      // a single parquet split — without this the whole per-doc pass
-      // serializes on one core (no-op at real scale, see spreadScan)
+      graft.functions.GraftFunctions.register(s)
+      // Native bigram stream (r21): the previous zip_with/named_struct
+      // projection was interpreted higher-order eval per ELEMENT (never
+      // codegen). word_bigrams emits all adjacent pairs as 'w1 w2'
+      // strings in one loop per doc — a BIJECTIVE tuple encoding (split
+      // fields cannot contain the joiner), so grouping by the string is
+      // grouping by the pair and every count below is identical. The
+      // corpus stream now groups and joins on ONE string key; w1/w2 are
+      // recovered by splitting the VOCAB-sized model frame, never the
+      // corpus stream. Null (< 2 words) drops at the explode exactly as
+      // the old size(ws) >= 2 filter did. Spread the scan: the fixture
+      // is a single parquet split (no-op at real scale, see spreadScan).
       val bgOcc = Materialize.spreadScan(docs)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
-            " (a, b) -> named_struct('w1', a, 'w2', b))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), explode(expr("word_bigrams(text)")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .transform(Materialize.once) // feeds the model aggregates AND the scoring join
-      val bcnt = bgOcc.groupBy("w1", "w2").agg(sum("c").as("cb"))
+      val bcnt = bgOcc.groupBy("bg").agg(sum("c").as("cb"))
+        .withColumn("w1", element_at(split(col("bg"), " ", 2), 1))
+        .withColumn("w2", element_at(split(col("bg"), " ", 2), 2))
       val ccnt = bcnt.groupBy("w1").agg(sum("cb").as("cc"))
       val ucnt = docs
         .select(explode(split(col("text"), " ")).as("w2"))
@@ -335,8 +340,8 @@ object TextOps {
         .withColumn("q", round(log(
           lit(0.8) * col("cb") / col("cc") +
             lit(0.2) * col("cu") / col("total")) * lit(1e6)).cast("long"))
-        .select("w1", "w2", "q")
-      bgOcc.join(model, Seq("w1", "w2"))
+        .select("bg", "q")
+      bgOcc.join(model, Seq("bg"))
         .groupBy("doc_id")
         .agg(sum("c").as("n_bigrams"), sum(col("c") * col("q")).as("sum_q"))
         .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
