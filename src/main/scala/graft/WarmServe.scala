@@ -80,7 +80,11 @@ object WarmServe {
     */
   private val WarmOk = Set(
     "bm_meta", "bm_frozen_stats", "emb_count", "emb_dim",
-    "jaccard_df_stats", "dsir_model")
+    "jaccard_df_stats", "dsir_model",
+    // r21 frozen-query caches: both are IN-pushed O(query-set) collects
+    // (20 standing query docs' tokens / embeddings), never a corpus pass
+    // — the bm_frozen_stats class, rebuilt per JVM by design
+    "bm25_standing_queries", "hybrid_query_embs")
 
   private[graft] def violations(tags: Seq[String]): Seq[String] =
     tags.filterNot { t =>
